@@ -1,0 +1,375 @@
+"""Unified dataclass configuration for the whole framework.
+
+Replaces the reference's three coexisting config systems (flat argparse in
+args.py:4-357, PDVC argparse+chained-YAML in PDVC/opts.py, and the class-based
+option snapshotting in moment_detr/moment_detr/config.py:9-244) with one typed
+dataclass tree plus a dataset registry equivalent to ``name2folder``
+(args.py:9-14).
+
+Configs are plain dataclasses so they are hashable-free pytree-friendly static
+arguments: pass them as Python objects outside jit, and only array data crosses
+the jit boundary.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Tuple
+
+
+# ---------------------------------------------------------------------------
+# Dataset registry (reference: args.py:9-14 `name2folder`)
+# ---------------------------------------------------------------------------
+
+DATASET_REGISTRY: Dict[str, str] = {
+    "chapters": "AllChapters",
+    "htm": "howto100m",
+    "youcook": "YouCook2",
+    "vitt": "ViTT",
+}
+
+
+@dataclass
+class PathsConfig:
+    """Root paths (reference: args.py:4-8 PRESAVE_DIR/MODEL_DIR/DATA_DIR/SSD_DIR)."""
+
+    presave_dir: str = ""
+    model_dir: str = ""
+    data_dir: str = ""
+    ssd_dir: str = ""
+
+    def dataset_dir(self, name: str) -> Path:
+        return Path(self.data_dir) / DATASET_REGISTRY[name]
+
+
+@dataclass
+class DatasetPaths:
+    """Per-dataset file locations (reference: args.py dataset path args)."""
+
+    train_json_path: str = ""
+    val_json_path: str = ""
+    test_json_path: str = ""
+    features_path: str = ""
+    subtitles_path: str = ""
+    # moment-retrieval style jsonl (grounding task)
+    train_jsonl_path: str = ""
+    val_jsonl_path: str = ""
+    test_jsonl_path: str = ""
+
+
+# ---------------------------------------------------------------------------
+# Model configs
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class T5Config:
+    """T5 encoder-decoder hyperparameters.
+
+    Matches t5-base semantics used by the reference fork
+    (model/modeling_t5.py:1497-1560): RMSNorm, relative attention bias on the
+    first layer of each stack, tied embeddings with rescaled logits, optional
+    gated-GELU feed-forward (t5-v1_1) vs ReLU (t5-base), label smoothing.
+    """
+
+    vocab_size: int = 32200  # 32100 text tokens + 100 time tokens
+    d_model: int = 768
+    d_kv: int = 64
+    d_ff: int = 3072
+    num_layers: int = 12
+    num_decoder_layers: int = 12
+    num_heads: int = 12
+    relative_attention_num_buckets: int = 32
+    relative_attention_max_distance: int = 128
+    dropout_rate: float = 0.1
+    encoder_dropout: float = 0.1
+    decoder_dropout: float = 0.1
+    layer_norm_epsilon: float = 1e-6
+    feed_forward_proj: str = "relu"  # "relu" (t5-base) | "gated-gelu" (t5-v1_1)
+    tie_word_embeddings: bool = True
+    label_smoothing: float = 0.1
+    dtype: str = "bfloat16"  # compute dtype; params kept in float32
+
+    @property
+    def is_gated_act(self) -> bool:
+        return "gated" in self.feed_forward_proj
+
+
+@dataclass(frozen=True)
+class TemporalViTConfig:
+    """Temporal visual transformer over per-frame CLIP features.
+
+    Reference: model/vit.py:79-133 — 12-layer post-embed transformer over 100
+    frame features with learned temporal position embeddings (interpolated on
+    length mismatch), pre-norm blocks, GELU MLP (hidden 2048), LayerNorm final.
+    """
+
+    num_features: int = 100  # max frames (reference max_feats, args.py:241-245)
+    embed_dim: int = 768
+    depth: int = 12
+    num_heads: int = 12
+    mlp_dim: int = 2048
+    qkv_bias: bool = True
+    drop_rate: float = 0.0
+    attn_drop_rate: float = 0.0
+    dtype: str = "bfloat16"
+
+
+@dataclass(frozen=True)
+class Vid2SeqConfig:
+    """Full Vid2Seq model (reference: model/vid2seq.py:20-57)."""
+
+    t5: T5Config = field(default_factory=T5Config)
+    vit: TemporalViTConfig = field(default_factory=TemporalViTConfig)
+    use_speech: bool = True
+    use_video: bool = True
+    num_bins: int = 100  # time-token quantization bins (args.py:276-281)
+
+    @property
+    def num_text_tokens(self) -> int:
+        return self.t5.vocab_size - self.num_bins
+
+
+@dataclass(frozen=True)
+class GroundingConfig:
+    """Moment-DETR-equivalent chapter grounding model.
+
+    Reference: moment_detr/moment_detr/model.py:19-107 + config.py:92-95 —
+    2-layer encoder + 2-layer decoder transformer, 10 learned moment queries,
+    span head (center,width sigmoid), fg/bg class head, saliency head, frozen
+    CLIP ViT-L/14 text encoder, optional BERT speech branch.
+    """
+
+    hidden_dim: int = 256
+    nheads: int = 8
+    enc_layers: int = 2
+    dec_layers: int = 2
+    dim_feedforward: int = 1024
+    num_queries: int = 10
+    dropout: float = 0.1
+    input_dropout: float = 0.5
+    v_feat_dim: int = 770  # 768 + 2 TEF dims (config.py:222-227)
+    t_feat_dim: int = 768  # CLIP ViT-L/14 text width (token-level features)
+    s_feat_dim: int = 768  # BERT speech width
+    use_speech: bool = False
+    use_tef: bool = True
+    max_v_l: int = 1200
+    clip_length: int = 3
+    span_loss_type: str = "l1"  # "l1" (cxw regression) | "ce" (classification)
+    contrastive_align_loss: bool = False
+    contrastive_hdim: int = 64
+    aux_loss: bool = True
+    max_q_l: int = 32
+    # loss coefficients (moment_detr config.py defaults / chapters.sh)
+    span_loss_coef: float = 10.0
+    giou_loss_coef: float = 1.0
+    label_loss_coef: float = 4.0
+    eos_coef: float = 0.1
+    saliency_margin: float = 0.2
+    lw_saliency: float = 1.0
+    dtype: str = "float32"
+
+
+@dataclass(frozen=True)
+class PDVCConfig:
+    """PDVC-equivalent deformable set-prediction dense captioner.
+
+    Reference: PDVC/pdvc/pdvc.py:35-651 + deformable_transformer.py — conv1d
+    multi-scale pyramid, 1-D multi-scale deformable attention encoder/decoder,
+    event queries with iterative box refinement, class/count/box/caption heads.
+    """
+
+    hidden_dim: int = 512
+    nheads: int = 8
+    enc_layers: int = 2
+    dec_layers: int = 2
+    dim_feedforward: int = 2048
+    num_queries: int = 100
+    num_feature_levels: int = 4
+    dec_n_points: int = 4
+    enc_n_points: int = 4
+    feature_dim: int = 768  # input (CLIP) feature dim
+    frame_embedding_num: int = 100
+    max_eseq_length: int = 10  # max predicted event count bins
+    dropout: float = 0.1
+    with_box_refine: bool = True
+    caption_decoder_type: str = "light"  # "light" | "dsa" | "none"
+    vocab_size: int = 1111  # word-level vocab (dataset-dependent)
+    max_caption_len: int = 30
+    rnn_size: int = 512
+    cap_nheads: int = 8
+    cap_dec_n_points: int = 4
+    cap_num_feature_levels: int = 4
+    # loss coefficients (PDVC/opts.py defaults)
+    cls_loss_coef: float = 2.0
+    count_loss_coef: float = 0.1
+    bbox_loss_coef: float = 5.0
+    giou_loss_coef: float = 2.0
+    caption_loss_coef: float = 1.0
+    focal_alpha: float = 0.25
+    focal_gamma: float = 2.0
+    temperature: float = 2.0  # event-count gaussian smear
+    dtype: str = "float32"
+
+
+# ---------------------------------------------------------------------------
+# Data / training / generation / runtime configs
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    """Dense-video-captioning data pipeline knobs.
+
+    Reference: dataset/dvc_dataset.py:10-49 + args.py:241-299.
+    """
+
+    max_feats: int = 100
+    features_dim: int = 768
+    num_bins: int = 100
+    max_input_tokens: int = 1000
+    max_output_tokens: int = 256
+    noise_density: float = 0.25
+    mean_noise_span_length: float = 5.0
+    # static-shape bucketing for XLA: pad token lengths up to these buckets
+    input_buckets: Tuple[int, ...] = (128, 256, 512, 1000)
+    output_buckets: Tuple[int, ...] = (64, 128, 256)
+
+
+@dataclass(frozen=True)
+class GenerationConfig:
+    """Decode-time parameters (reference: model/vid2seq.py:100-162)."""
+
+    num_beams: int = 4
+    max_length: int = 256
+    min_length: int = 1
+    top_p: float = 0.9
+    repetition_penalty: float = 1.0
+    length_penalty: float = 1.0
+    temperature: float = 1.0
+    use_nucleus_sampling: bool = False
+
+
+@dataclass(frozen=True)
+class OptimConfig:
+    """Optimizer + schedule (reference: dvc.py:346-351, util/misc.py:15-42)."""
+
+    lr: float = 3e-4
+    beta1: float = 0.9
+    beta2: float = 0.999
+    weight_decay: float = 0.0
+    clip_max_norm: float = 0.1
+    schedule: str = "cosine_with_warmup"  # "" | "linear_with_warmup" | cosine
+    fraction_warmup_steps: float = 0.01
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Device mesh layout for pjit sharding.
+
+    The reference's parallelism is degenerate data-parallel without gradient
+    sync (SURVEY.md §2.8); here data parallelism is real (XLA collectives over
+    ICI) with optional tensor-model parallelism for larger T5 variants.
+    """
+
+    data_axis: str = "data"
+    model_axis: str = "model"
+    model_parallel_size: int = 1  # 1 = pure DP
+
+    def axis_shapes(self, n_devices: int) -> Tuple[int, int]:
+        mp = max(1, self.model_parallel_size)
+        assert n_devices % mp == 0, (n_devices, mp)
+        return (n_devices // mp, mp)
+
+
+@dataclass
+class CheckpointConfig:
+    """Best/last/periodic checkpoint policy (reference: dvc.py:402-441,
+    moment_detr/moment_detr/train.py:160-208, PDVC/train.py:264-347)."""
+
+    save_dir: str = ""
+    keep_last: int = 1
+    keep_best: int = 1
+    save_every_epochs: int = 0  # 0 = only best/last
+    best_metric: str = "CIDEr"  # chapter-gen selects on CIDEr (dvc.py:402)
+    best_mode: str = "max"
+
+
+@dataclass
+class TrainConfig:
+    epochs: int = 10
+    batch_size: int = 64  # global batch (reference: 8/GPU x 8 GPUs)
+    eval_batch_size: int = 32
+    seed: int = 42
+    print_freq: int = 100
+    generative: float = 1.0  # loss weight (args.py)
+    denoising: float = 1.0
+    genasr: bool = False  # HowTo100M pretrain objective (dvc.py:59-68)
+    eval_every_epochs: int = 1
+    optim: OptimConfig = field(default_factory=OptimConfig)
+    checkpoint: CheckpointConfig = field(default_factory=CheckpointConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+
+
+@dataclass
+class ExperimentConfig:
+    """Top-level experiment description for DVC / chapter-gen tasks."""
+
+    task: str = "dvc"  # dvc | vc | grounding | pdvc
+    combine_datasets: List[str] = field(default_factory=lambda: ["chapters"])
+    paths: PathsConfig = field(default_factory=PathsConfig)
+    datasets: Dict[str, DatasetPaths] = field(default_factory=dict)
+    data: DataConfig = field(default_factory=DataConfig)
+    model: Vid2SeqConfig = field(default_factory=Vid2SeqConfig)
+    generation: GenerationConfig = field(default_factory=GenerationConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    tokenizer_path: str = ""  # path to spiece.model; "" = byte fallback
+
+
+# ---------------------------------------------------------------------------
+# (De)serialization — configs snapshot to JSON like the reference persists
+# opt.json (moment_detr config.py:204-211) / info.json (PDVC/train.py:46-60).
+# ---------------------------------------------------------------------------
+
+
+def to_dict(cfg: Any) -> Any:
+    if dataclasses.is_dataclass(cfg) and not isinstance(cfg, type):
+        return {f.name: to_dict(getattr(cfg, f.name)) for f in dataclasses.fields(cfg)}
+    if isinstance(cfg, dict):
+        return {k: to_dict(v) for k, v in cfg.items()}
+    if isinstance(cfg, (list, tuple)):
+        return [to_dict(v) for v in cfg]
+    return cfg
+
+
+def save_config(cfg: Any, path: str) -> None:
+    Path(path).parent.mkdir(parents=True, exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(to_dict(cfg), f, indent=2)
+
+
+def _from_dict(cls: type, d: Any) -> Any:
+    if not dataclasses.is_dataclass(cls):
+        return d
+    kwargs = {}
+    hints = {f.name: f for f in dataclasses.fields(cls)}
+    for k, v in d.items():
+        if k not in hints:
+            continue
+        f = hints[k]
+        ftype = f.type if isinstance(f.type, type) else None
+        if ftype is not None and dataclasses.is_dataclass(ftype):
+            kwargs[k] = _from_dict(ftype, v)
+        elif isinstance(v, list) and f.name in ("input_buckets", "output_buckets"):
+            kwargs[k] = tuple(v)
+        else:
+            kwargs[k] = v
+    return cls(**kwargs)
+
+
+def load_config(cls: type, path: str) -> Any:
+    with open(path) as f:
+        return _from_dict(cls, json.load(f))

@@ -1,0 +1,70 @@
+"""Device mesh + multi-host initialization.
+
+Replaces the reference's NCCL/SLURM rendezvous machinery (util/dist.py:201-238)
+with the JAX-native story: ``jax.distributed.initialize()`` for multi-host,
+then a ``jax.sharding.Mesh`` over all devices. Gradient synchronization is
+performed by XLA collectives over ICI automatically once arrays carry
+``NamedSharding`` — unlike the reference, which sharded data but never
+all-reduced gradients (SURVEY.md §2.8).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from vidchapters_tpu.config import MeshConfig
+
+
+def maybe_initialize_distributed(coordinator_address: Optional[str] = None,
+                                 num_processes: Optional[int] = None,
+                                 process_id: Optional[int] = None) -> None:
+    """Initialize jax.distributed when running multi-host.
+
+    No-op for single-process runs (the common test/bench path). Multi-host
+    coordinates via the JAX coordinator service instead of the reference's
+    env:// / SLURM-derived NCCL rendezvous (util/dist.py:207-238).
+    """
+    if num_processes is None:
+        num_processes = int(os.environ.get("VIDCHAPTERS_NUM_PROCESSES", "1"))
+    if num_processes <= 1:
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address
+        or os.environ.get("VIDCHAPTERS_COORDINATOR", "localhost:9876"),
+        num_processes=num_processes,
+        process_id=process_id
+        if process_id is not None
+        else int(os.environ.get("VIDCHAPTERS_PROCESS_ID", "0")),
+    )
+
+
+def create_mesh(cfg: MeshConfig = MeshConfig(),
+                devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    """A 2-D ``(data, model)`` mesh; model axis is 1 for pure DP.
+
+    The data axis rides ICI within a slice; on multi-slice topologies the
+    outer (data) axis maps onto DCN by virtue of device ordering.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    dp, mp = cfg.axis_shapes(len(devices))
+    device_array = np.asarray(devices).reshape(dp, mp)
+    return Mesh(device_array, (cfg.data_axis, cfg.model_axis))
+
+
+def data_sharding(mesh: Mesh) -> NamedSharding:
+    """Batch-dim sharding for input arrays."""
+    return NamedSharding(mesh, P(mesh.axis_names[0]))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def is_main_process() -> bool:
+    """Rank-0 predicate (reference: util/dist.py:190-199)."""
+    return jax.process_index() == 0
