@@ -71,9 +71,12 @@ def test_decode_chapter_sequence_basic():
 def test_decode_skips_triple_time_tokens():
     events = decode_chapter_sequence(
         "<time=1> <time=2> <time=3> hello", duration=99.0, num_bins=100)
-    # first pair consumes tokens 1,2; pair (2,3) starts right after -> skipped
+    # pair (1,2) has no text between it and pair (2,3) so it is dropped
+    # without claiming last_processed; pair (2,3) then takes "hello"
+    # (dvc.py:191-212 control flow)
     assert len(events) == 1
-    assert events[0]["timestamp"] == [1.0, 2.0]
+    assert events[0]["timestamp"] == [2.0, 3.0]
+    assert events[0]["sentence"] == "hello"
 
 
 def test_decode_drops_invalid_and_empty():
