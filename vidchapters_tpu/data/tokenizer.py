@@ -141,7 +141,9 @@ class ByteLevelTokenizer(_TokenizerBase):
         self._byte_offset = 3
 
     def _encode_text(self, text: str) -> List[int]:
-        return [self._byte_offset + b for b in text.encode("utf-8")]
+        # segment-edge whitespace is dropped, mirroring T5 spm normalization
+        # (decode re-joins segments with single spaces)
+        return [self._byte_offset + b for b in text.strip().encode("utf-8")]
 
     def _decode_text(self, ids: Sequence[int]) -> str:
         data = bytes(max(0, min(255, i - self._byte_offset)) for i in ids
