@@ -1,0 +1,117 @@
+import numpy as np
+import pytest
+
+from vidchapters_tpu.evals.dvc import DVCEvaluator, eval_dvc, segment_iou
+from vidchapters_tpu.evals.soda import chased_dp_assignment, eval_soda, soda_iou
+
+
+GT = {
+    "vid1": {
+        "duration": 100.0,
+        "timestamps": [[0.0, 30.0], [30.0, 60.0], [60.0, 100.0]],
+        "sentences": ["Intro to the topic.", "Main discussion.", "Final conclusion."],
+    },
+    "vid2": {
+        "duration": 50.0,
+        "timestamps": [[0.0, 25.0], [25.0, 50.0]],
+        "sentences": ["Setting up.", "Wrapping up."],
+    },
+}
+
+PERFECT_PREDS = {
+    "results": {
+        vid: [{"sentence": s, "timestamp": list(ts)}
+              for s, ts in zip(GT[vid]["sentences"], GT[vid]["timestamps"])]
+        for vid in GT
+    }
+}
+
+BAD_PREDS = {
+    "results": {
+        "vid1": [{"sentence": "qwerty asdf.", "timestamp": [2.0, 3.0]}],
+        "vid2": [{"sentence": "zxcv uiop.", "timestamp": [48.0, 49.0]}],
+    }
+}
+
+
+def test_segment_iou():
+    assert segment_iou([0, 10], [0, 10]) == pytest.approx(1.0, abs=1e-6)
+    assert segment_iou([0, 10], [5, 15]) == pytest.approx(5 / 15, abs=1e-6)
+    assert segment_iou([0, 10], [20, 30]) == 0.0
+    assert soda_iou([0, 10], [0, 10]) == pytest.approx(1.0, abs=1e-6)
+
+
+def test_dp_assignment_diagonal():
+    scores = np.eye(3)
+    max_score, pairs = chased_dp_assignment(scores)
+    assert max_score == pytest.approx(3.0)
+    assert pairs == [(0, 0), (1, 1), (2, 2)]
+
+
+def test_dp_assignment_rectangular():
+    scores = np.array([[0.9, 0.1, 0.0, 0.0], [0.0, 0.0, 0.8, 0.7]])
+    max_score, pairs = chased_dp_assignment(scores)
+    assert max_score == pytest.approx(1.7)
+    assert pairs == [(0, 0), (1, 2)]
+
+
+def test_dp_assignment_monotonicity_constraint():
+    # cannot take (0,1) and (1,0) together (order-preserving)
+    scores = np.array([[0.0, 1.0], [1.0, 0.0]])
+    max_score, _ = chased_dp_assignment(scores)
+    assert max_score == pytest.approx(1.0)
+
+
+def test_dp_assignment_large_no_recursion_limit():
+    # the reference's recursive DP would RecursionError here (soda.py:101-104)
+    scores = np.random.default_rng(0).random((300, 300)) * 0.1
+    max_score, pairs = chased_dp_assignment(scores)
+    assert max_score > 0
+    assert len(pairs) <= 300
+
+
+def test_eval_dvc_perfect_predictions():
+    out = eval_dvc(PERFECT_PREDS, [GT], seed=0)
+    assert out["Recall"] == pytest.approx(1.0)
+    assert out["Precision"] == pytest.approx(1.0)
+    assert out["F1"] == pytest.approx(1.0)
+    assert out["CIDEr"] > 1.0  # identical captions
+    assert out["METEOR"] > 0.4
+    # vid2's 2-word captions have zero 3/4-gram guesses, so its per-video
+    # corpus BLEU-4 is ~1e-3 even for perfect output (pycocoevalcap behavior)
+    assert out["Bleu_4"] > 0.45
+    assert out["Bleu_1"] > 0.9
+    assert out["Recall@0.9"] == pytest.approx(1.0)
+    assert out["Recall@1s"] == pytest.approx(1.0)
+
+
+def test_eval_dvc_bad_predictions():
+    out = eval_dvc(BAD_PREDS, [GT], seed=0)
+    assert out["F1"] < 0.6
+    assert out["CIDEr"] < 0.5
+    # navigation@1s: vid2's bad pred starts 48s away from any GT start
+    assert out["Recall@1s"] < 1.0
+
+
+def test_eval_dvc_missing_video_skipped():
+    preds = {"results": {"vid1": PERFECT_PREDS["results"]["vid1"]}}
+    out = eval_dvc(preds, [GT], seed=0)
+    assert 0 < out["Recall"] <= 1.0
+
+
+def test_eval_soda_perfect():
+    out = eval_soda(PERFECT_PREDS, [GT])
+    assert 0.4 < out["soda_c"] <= 1.0
+
+
+def test_eval_soda_bad():
+    good = eval_soda(PERFECT_PREDS, [GT])["soda_c"]
+    bad = eval_soda(BAD_PREDS, [GT])["soda_c"]
+    assert bad < good
+    assert bad == pytest.approx(0.0, abs=0.05)
+
+
+def test_eval_soda_empty_prediction_video():
+    preds = {"results": {"vid1": PERFECT_PREDS["results"]["vid1"], "vid2": []}}
+    out = eval_soda(preds, [GT])
+    assert 0 <= out["soda_c"] < 1.0
