@@ -1,0 +1,88 @@
+"""Benchmark: Vid2Seq chapter-generation training throughput on one chip.
+
+Measures end-to-end jit'd train steps (generative + denoising forward,
+backward, Adam update, time-token renorm) of the flagship model (t5-base +
+12-layer temporal ViT) at the reference recipe's per-device shapes
+(batch 8/device, 100 visual features, ASR up to 1000 tokens, 256 output
+tokens — README.md:179-185, args.py:241-299) and reports videos/sec/chip.
+
+``vs_baseline``: the reference trains this model on A100-80GB at batch 8 per
+GPU; no throughput number is published (BASELINE.md), so the baseline is an
+engineering estimate of the reference PyTorch path at these shapes —
+~8 videos/s per A100 (≈1 it/s at bs8 for a 314M-param enc-dec + dual forward).
+The ratio is therefore indicative; task-metric parity is tracked separately.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+REF_VIDEOS_PER_SEC_ESTIMATE = 8.0
+
+
+def main() -> None:
+    from vidchapters_tpu.config import OptimConfig, Vid2SeqConfig
+    from vidchapters_tpu.models.vid2seq import Vid2Seq
+    from vidchapters_tpu.train.dvc_train import TrainState, make_train_step
+    from vidchapters_tpu.train.schedules import build_optimizer
+
+    cfg = Vid2SeqConfig()  # bfloat16 compute by default
+    model = Vid2Seq(cfg)
+
+    batch, feats = 8, cfg.vit.num_features
+    src, tgt = 1000, 256
+    rng = jax.random.PRNGKey(0)
+    np_rng = np.random.default_rng(0)
+
+    video = jnp.asarray(np_rng.normal(size=(batch, feats, cfg.vit.embed_dim)),
+                        jnp.float32)
+    input_tokens = jnp.asarray(
+        np_rng.integers(2, 32000, (batch, src)), jnp.int32)
+    output_tokens = jnp.asarray(
+        np_rng.integers(2, 32000, (batch, tgt)), jnp.int32)
+
+    params = model.init({"params": rng, "dropout": rng}, video,
+                        input_tokens[:, :8], jnp.ones((batch, 8), jnp.int32),
+                        output_tokens[:, :8])["params"]
+
+    tx = build_optimizer(OptimConfig(), num_training_steps=1000)
+    train_step = jax.jit(make_train_step(model, tx), donate_argnums=(0,))
+
+    state = TrainState(params=params, opt_state=tx.init(params),
+                       step=jnp.array(0))
+    batch_dict = {
+        "video": video,
+        "input_tokens": input_tokens,
+        "output_tokens": output_tokens,
+        "denoising_input_tokens": input_tokens,
+        "denoising_output_tokens": output_tokens[:, :128],
+    }
+    step_rng = jax.random.PRNGKey(1)
+
+    # warmup / compile
+    state, metrics = train_step(state, batch_dict, step_rng)
+    jax.block_until_ready(metrics)
+
+    n_steps = 10
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        state, metrics = train_step(state, batch_dict, step_rng)
+    jax.block_until_ready(metrics)
+    dt = time.perf_counter() - t0
+
+    videos_per_sec = batch * n_steps / dt
+    print(json.dumps({
+        "metric": "vid2seq_train_videos_per_sec_per_chip",
+        "value": round(videos_per_sec, 3),
+        "unit": "videos/s",
+        "vs_baseline": round(videos_per_sec / REF_VIDEOS_PER_SEC_ESTIMATE, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,140 @@
+import numpy as np
+import pytest
+
+from vidchapters_tpu.config import DataConfig
+from vidchapters_tpu.data.dvc_dataset import (
+    DenseVideoCaptioningDataset,
+    EpochIterator,
+    SubtitleSource,
+    collate,
+    pad_to,
+)
+from vidchapters_tpu.data.features import FeatureSource, subsample_or_pad
+from vidchapters_tpu.data.tokenizer import ByteLevelTokenizer
+
+
+def test_subsample_long_video():
+    video = np.arange(250, dtype=np.float32)[:, None].repeat(4, 1)
+    out = subsample_or_pad(video, 100, 4)
+    assert out.shape == (100, 4)
+    # integer-stride rule: out[j] = video[(j * 250) // 100]
+    for j in [0, 1, 50, 99]:
+        assert out[j, 0] == (j * 250) // 100
+
+
+def test_pad_short_video():
+    video = np.ones((30, 4), np.float32)
+    out = subsample_or_pad(video, 100, 4)
+    assert out.shape == (100, 4)
+    assert out[:30].sum() == 120
+    assert out[30:].sum() == 0
+
+
+@pytest.fixture
+def tiny_dataset(tmp_path):
+    import json
+
+    ann = {
+        "xxxxxxvid01": {"duration": 100.0,
+                        "timestamps": [[0.0, 50.0], [50.0, 100.0]],
+                        "sentences": ["first part", "second part"]},
+        "xxxxxxvid02": {"duration": 60.0,
+                        "timestamps": [[0.0, 60.0]],
+                        "sentences": ["only chapter"]},
+    }
+    json_path = tmp_path / "ann.json"
+    json_path.write_text(json.dumps(ann))
+    feat_dir = tmp_path / "feats"
+    feat_dir.mkdir()
+    rng = np.random.default_rng(0)
+    for vid in ann:
+        np.save(feat_dir / f"{vid[-11:]}.npy",
+                rng.normal(size=(rng.integers(5, 200), 8)).astype(np.float32))
+    subs = {
+        "xxxxxxvid01"[-11:]: {"text": ["hello there", "more speech"],
+                              "start": [0.0, 40.0], "end": [30.0, 90.0]},
+    }
+    import pickle
+
+    subs_path = tmp_path / "subs.pkl"
+    subs_path.write_bytes(pickle.dumps(subs))
+    tok = ByteLevelTokenizer(num_bins=100)
+    cfg = DataConfig(max_feats=16, features_dim=8, max_input_tokens=64,
+                     max_output_tokens=48)
+    ds = DenseVideoCaptioningDataset(str(json_path), str(feat_dir), tok,
+                                     cfg, subtitles_path=str(subs_path))
+    return ds, tok, cfg
+
+
+def test_dataset_example_structure(tiny_dataset, rng):
+    ds, tok, cfg = tiny_dataset
+    ex = ds.__getitem__(0, rng=rng)
+    assert ex["video"].shape == (16, 8)
+    assert ex["output_tokens"][-1] == tok.eos_token_id
+    # output starts with two time tokens
+    assert tok.is_time_token(ex["output_tokens"][0])
+    assert tok.is_time_token(ex["output_tokens"][1])
+    # subtitle video has a real input sequence with time tokens
+    assert len(ex["input_tokens"]) > 1
+    assert tok.is_time_token(ex["input_tokens"][0])
+    # denoising pair contains sentinels just below time tokens
+    assert any(32000 <= t < 32100 for t in ex["denoising_input_tokens"])
+
+
+def test_dataset_no_subtitles(tiny_dataset, rng):
+    ds, tok, cfg = tiny_dataset
+    ex = ds.__getitem__(1, rng=rng)  # vid02 has no subtitles
+    assert list(ex["input_tokens"]) == [tok.eos_token_id]
+    assert list(ex["denoising_input_tokens"]) == [0]
+
+
+def test_collate_static_shapes(tiny_dataset, rng):
+    ds, tok, cfg = tiny_dataset
+    examples = [ds.__getitem__(i, rng=rng) for i in range(2)]
+    batch = collate(examples, cfg.max_input_tokens, cfg.max_output_tokens)
+    assert batch["video"].shape == (2, 16, 8)
+    assert batch["input_tokens"].shape == (2, 64)
+    assert batch["output_tokens"].shape == (2, 48)
+    assert batch["video_id"] == ["xxxxxxvid01", "xxxxxxvid02"]
+
+
+def test_epoch_iterator_sharding(tiny_dataset):
+    ds, tok, cfg = tiny_dataset
+    it0 = EpochIterator(ds, batch_size=1, cfg=cfg, num_shards=2, shard_index=0,
+                        seed=1)
+    it1 = EpochIterator(ds, batch_size=1, cfg=cfg, num_shards=2, shard_index=1,
+                        seed=1)
+    vids0 = [b["video_id"][0] for b in it0]
+    vids1 = [b["video_id"][0] for b in it1]
+    assert set(vids0) | set(vids1) == {"xxxxxxvid01", "xxxxxxvid02"}
+    assert not set(vids0) & set(vids1)
+
+
+def test_epoch_iterator_shuffle_determinism(tiny_dataset):
+    ds, tok, cfg = tiny_dataset
+    it = EpochIterator(ds, batch_size=2, cfg=cfg, seed=3)
+    it.set_epoch(0)
+    a = [b["video_id"] for b in it]
+    it.set_epoch(0)
+    b = [x["video_id"] for x in it]
+    assert a == b
+
+
+def test_checkpoint_manager_roundtrip(tmp_path):
+    from vidchapters_tpu.runtime.checkpoint import CheckpointManager
+
+    tree = {"w": np.arange(6, dtype=np.float32).reshape(2, 3),
+            "b": np.zeros(3, np.float32)}
+    mgr = CheckpointManager(str(tmp_path / "ckpt"), best_metric="CIDEr")
+    mgr.save_last(tree, epoch=0)
+    assert mgr.maybe_save_best(tree, 0, {"CIDEr": 1.0})
+    assert not mgr.maybe_save_best(tree, 1, {"CIDEr": 0.5})
+    tree2 = {"w": np.array(tree["w"] * 2), "b": tree["b"]}
+    assert mgr.maybe_save_best(tree2, 2, {"CIDEr": 2.0})
+    target = {"w": np.zeros((2, 3), np.float32), "b": np.zeros(3, np.float32)}
+    restored = mgr.restore("best", target)
+    np.testing.assert_array_equal(restored["w"], tree2["w"])
+    assert mgr.meta("best")["epoch"] == 2
+    # fresh manager preserves best value
+    mgr2 = CheckpointManager(str(tmp_path / "ckpt"), best_metric="CIDEr")
+    assert mgr2.best_value == 2.0

@@ -1,0 +1,400 @@
+"""T5 encoder-decoder in Flax, numerically matching the reference's fork.
+
+The reference vendors HF 4.28 T5 with per-stack dropout overrides and
+label-smoothed CE (model/modeling_t5.py:1497-1760). This is a from-scratch
+Flax implementation of the same math, TPU-first:
+
+- RMSNorm ("T5LayerNorm", modeling_t5.py:254) computed in float32;
+- relative attention bias on the first self-attention layer of each stack,
+  shared by later layers (modeling_t5.py:357-589); no cross-attention bias;
+- unscaled attention (T5 folds 1/sqrt(d_kv) into initialization);
+- ReLU (t5-base) or gated-GELU (t5-v1_1) feed-forward (modeling_t5.py:314-342);
+- tied embeddings with ``d_model**-0.5`` logit rescale (modeling_t5.py:1710-1712);
+- label-smoothed cross-entropy with -100 ignore positions (modeling_t5.py:1721).
+
+Decode-time KV caching is explicit: ``decode_step`` consumes and returns a
+cache pytree of static shape so the whole autoregressive loop stays inside
+one jit (no HF-style dynamic shapes).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vidchapters_tpu.config import T5Config
+
+Array = jax.Array
+
+NEG_INF = -1e9  # large-negative additive mask (safe in bf16)
+
+
+def _apply_dropout(module: nn.Module, x: Array, rate: float,
+                   deterministic: bool) -> Array:
+    """Functional dropout usable inside setup-style module methods."""
+    if deterministic or rate == 0.0:
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(module.make_rng("dropout"), keep, x.shape)
+    return jnp.where(mask, x / keep, jnp.zeros_like(x))
+
+
+def _dtype(cfg: T5Config):
+    return jnp.dtype(cfg.dtype)
+
+
+class RMSNorm(nn.Module):
+    """T5LayerNorm: scale-only RMS norm, stats in fp32."""
+
+    dim: int
+    eps: float = 1e-6
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        weight = self.param("weight", nn.initializers.ones, (self.dim,), jnp.float32)
+        var = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=-1, keepdims=True)
+        y = x.astype(jnp.float32) * jax.lax.rsqrt(var + self.eps)
+        return (weight * y).astype(self.dtype)
+
+
+def relative_position_bucket(relative_position: Array, bidirectional: bool,
+                             num_buckets: int, max_distance: int) -> Array:
+    """HF-equivalent bucketing of relative positions (modeling_t5.py:389-427)."""
+    ret = jnp.zeros_like(relative_position)
+    n = -relative_position
+    if bidirectional:
+        num_buckets //= 2
+        ret += (n < 0).astype(jnp.int32) * num_buckets
+        n = jnp.abs(n)
+    else:
+        n = jnp.maximum(n, 0)
+    max_exact = num_buckets // 2
+    is_small = n < max_exact
+    val_if_large = max_exact + (
+        jnp.log(n.astype(jnp.float32) / max_exact + 1e-6)
+        / np.log(max_distance / max_exact)
+        * (num_buckets - max_exact)
+    ).astype(jnp.int32)
+    val_if_large = jnp.minimum(val_if_large, num_buckets - 1)
+    ret += jnp.where(is_small, n, val_if_large)
+    return ret
+
+
+class RelativePositionBias(nn.Module):
+    cfg: T5Config
+    bidirectional: bool
+
+    @nn.compact
+    def __call__(self, query_length: int, key_length: int,
+                 query_offset: int = 0) -> Array:
+        """[1, heads, q_len, k_len] additive bias."""
+        cfg = self.cfg
+        emb = self.param(
+            "rel_embedding", nn.initializers.normal(1.0),
+            (cfg.relative_attention_num_buckets, cfg.num_heads), jnp.float32)
+        ctx = jnp.arange(query_length)[:, None] + query_offset
+        mem = jnp.arange(key_length)[None, :]
+        rel_pos = mem - ctx  # key - query
+        buckets = relative_position_bucket(
+            rel_pos, self.bidirectional,
+            cfg.relative_attention_num_buckets, cfg.relative_attention_max_distance)
+        bias = jnp.asarray(emb)[buckets]  # [q, k, heads]
+        return jnp.transpose(bias, (2, 0, 1))[None].astype(_dtype(cfg))
+
+
+class T5Attention(nn.Module):
+    """Multi-head attention, unscaled QK^T, optional additive position bias."""
+
+    cfg: T5Config
+
+    def setup(self):
+        cfg = self.cfg
+        inner = cfg.num_heads * cfg.d_kv
+        kernel_init = nn.initializers.normal(1.0)
+        dt = _dtype(cfg)
+        self.q = nn.Dense(inner, use_bias=False, dtype=dt, kernel_init=kernel_init, name="q")
+        self.k = nn.Dense(inner, use_bias=False, dtype=dt, kernel_init=kernel_init, name="k")
+        self.v = nn.Dense(inner, use_bias=False, dtype=dt, kernel_init=kernel_init, name="v")
+        self.o = nn.Dense(cfg.d_model, use_bias=False, dtype=dt, kernel_init=kernel_init, name="o")
+
+    def _split(self, x: Array) -> Array:
+        b, l, _ = x.shape
+        return x.reshape(b, l, self.cfg.num_heads, self.cfg.d_kv).transpose(0, 2, 1, 3)
+
+    def _merge(self, x: Array) -> Array:
+        b, h, l, d = x.shape
+        return x.transpose(0, 2, 1, 3).reshape(b, l, h * d)
+
+    def __call__(self, hidden: Array, kv: Array, bias: Optional[Array],
+                 dropout_rate: float, deterministic: bool,
+                 cache: Optional[Dict[str, Array]] = None,
+                 cache_index: Optional[Array] = None,
+                 ) -> Tuple[Array, Optional[Dict[str, Array]]]:
+        q = self._split(self.q(hidden))
+        if cache is not None and "k" in cache and kv is hidden:
+            # incremental self-attention: write new kv at cache_index
+            k_new = self._split(self.k(hidden))
+            v_new = self._split(self.v(hidden))
+            k = jax.lax.dynamic_update_slice(cache["k"], k_new, (0, 0, cache_index, 0))
+            v = jax.lax.dynamic_update_slice(cache["v"], v_new, (0, 0, cache_index, 0))
+            cache = {"k": k, "v": v}
+        elif cache is not None:  # precomputed cross-attention kv
+            k, v = cache["k"], cache["v"]
+        else:
+            k = self._split(self.k(kv))
+            v = self._split(self.v(kv))
+        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32)
+        if bias is not None:
+            scores = scores + bias.astype(jnp.float32)
+        probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+        probs = _apply_dropout(self, probs, dropout_rate, deterministic)
+        out = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+        return self.o(self._merge(out)), cache
+
+    def precompute_kv(self, kv: Array) -> Dict[str, Array]:
+        return {"k": self._split(self.k(kv)), "v": self._split(self.v(kv))}
+
+
+class T5FeedForward(nn.Module):
+    cfg: T5Config
+
+    @nn.compact
+    def __call__(self, x: Array, dropout_rate: float, deterministic: bool) -> Array:
+        cfg = self.cfg
+        dt = _dtype(cfg)
+        init = nn.initializers.normal(1.0)
+        if cfg.is_gated_act:
+            g = nn.Dense(cfg.d_ff, use_bias=False, dtype=dt, kernel_init=init, name="wi_0")(x)
+            l = nn.Dense(cfg.d_ff, use_bias=False, dtype=dt, kernel_init=init, name="wi_1")(x)
+            # HF "gated-gelu" resolves to gelu_new = tanh approximation
+            h = jax.nn.gelu(g, approximate=True) * l
+        else:
+            h = nn.Dense(cfg.d_ff, use_bias=False, dtype=dt, kernel_init=init, name="wi")(x)
+            h = jax.nn.relu(h)
+        h = nn.Dropout(rate=dropout_rate, deterministic=deterministic)(h)
+        return nn.Dense(cfg.d_model, use_bias=False, dtype=dt, kernel_init=init, name="wo")(h)
+
+
+class T5Block(nn.Module):
+    cfg: T5Config
+    is_decoder: bool
+
+    def setup(self):
+        cfg = self.cfg
+        dt = _dtype(cfg)
+        self.self_attn_norm = RMSNorm(cfg.d_model, cfg.layer_norm_epsilon, dt,
+                                      name="self_attn_norm")
+        self.self_attn = T5Attention(cfg, name="self_attn")
+        if self.is_decoder:
+            self.cross_attn_norm = RMSNorm(cfg.d_model, cfg.layer_norm_epsilon, dt,
+                                           name="cross_attn_norm")
+            self.cross_attn = T5Attention(cfg, name="cross_attn")
+        self.ff_norm = RMSNorm(cfg.d_model, cfg.layer_norm_epsilon, dt, name="ff_norm")
+        self.ff = T5FeedForward(cfg, name="ff")
+
+    def __call__(self, x: Array, self_bias: Optional[Array],
+                 enc_out: Optional[Array], cross_bias: Optional[Array],
+                 dropout_rate: float, deterministic: bool,
+                 cache: Optional[Dict[str, Any]] = None,
+                 cache_index: Optional[Array] = None,
+                 ) -> Tuple[Array, Optional[Dict[str, Any]]]:
+        new_cache: Dict[str, Any] = {}
+        normed = self.self_attn_norm(x)
+        h, self_kv = self.self_attn(
+            normed, normed, self_bias, dropout_rate, deterministic,
+            cache=None if cache is None else cache.get("self"),
+            cache_index=cache_index)
+        x = x + _apply_dropout(self, h, dropout_rate, deterministic)
+        if cache is not None:
+            new_cache["self"] = self_kv
+        has_cached_cross = cache is not None and "cross" in cache
+        if self.is_decoder and (enc_out is not None or has_cached_cross):
+            h, _ = self.cross_attn(
+                self.cross_attn_norm(x), enc_out, cross_bias,
+                dropout_rate, deterministic,
+                cache=cache.get("cross") if has_cached_cross else None)
+            x = x + _apply_dropout(self, h, dropout_rate, deterministic)
+            if cache is not None:
+                new_cache["cross"] = cache.get("cross")
+        x = x + _apply_dropout(
+            self, self.ff(self.ff_norm(x), dropout_rate, deterministic),
+            dropout_rate, deterministic)
+        return x, (new_cache if cache is not None else None)
+
+
+class T5Stack(nn.Module):
+    cfg: T5Config
+    is_decoder: bool
+
+    def setup(self):
+        cfg = self.cfg
+        n = cfg.num_decoder_layers if self.is_decoder else cfg.num_layers
+        self.blocks = [T5Block(cfg, self.is_decoder, name=f"block_{i}") for i in range(n)]
+        self.final_norm = RMSNorm(cfg.d_model, cfg.layer_norm_epsilon, _dtype(cfg),
+                                  name="final_norm")
+        self.rel_bias = RelativePositionBias(cfg, bidirectional=not self.is_decoder,
+                                             name="rel_bias")
+
+    @property
+    def dropout_rate(self) -> float:
+        return self.cfg.decoder_dropout if self.is_decoder else self.cfg.encoder_dropout
+
+    def __call__(self, inputs_embeds: Array, attention_mask: Array,
+                 enc_out: Optional[Array] = None,
+                 enc_mask: Optional[Array] = None,
+                 deterministic: bool = True) -> Array:
+        """Full-sequence forward (training / encoding)."""
+        b, l, _ = inputs_embeds.shape
+        rate = self.dropout_rate
+        x = _apply_dropout(self, inputs_embeds.astype(_dtype(self.cfg)),
+                           rate, deterministic)
+
+        key_mask = (1.0 - attention_mask.astype(jnp.float32)) * NEG_INF
+        self_bias = self.rel_bias(l, l) + key_mask[:, None, None, :]
+        if self.is_decoder:
+            causal = jnp.tril(jnp.ones((l, l), dtype=bool))
+            self_bias = jnp.where(causal[None, None], self_bias, NEG_INF)
+        cross_bias = None
+        if enc_out is not None:
+            cross_bias = (1.0 - enc_mask.astype(jnp.float32))[:, None, None, :] * NEG_INF
+        for blk in self.blocks:
+            x, _ = blk(x, self_bias, enc_out, cross_bias, rate, deterministic)
+        x = self.final_norm(x)
+        return _apply_dropout(self, x, rate, deterministic)
+
+    # ----- incremental decoding -----
+
+    def init_cache(self, batch: int, max_len: int, enc_out: Array) -> Dict[str, Any]:
+        cfg = self.cfg
+        dt = _dtype(cfg)
+        cache: Dict[str, Any] = {}
+        for i, blk in enumerate(self.blocks):
+            cache[f"block_{i}"] = {
+                "self": {
+                    "k": jnp.zeros((batch, cfg.num_heads, max_len, cfg.d_kv), dt),
+                    "v": jnp.zeros((batch, cfg.num_heads, max_len, cfg.d_kv), dt),
+                },
+                "cross": blk.cross_attn.precompute_kv(enc_out.astype(dt)),
+            }
+        return cache
+
+    def decode_step(self, token_embeds: Array, cache: Dict[str, Any],
+                    cache_index: Array, enc_mask: Array,
+                    max_len: int) -> Tuple[Array, Dict[str, Any]]:
+        """One decode step. ``token_embeds``: [b, 1, d]."""
+        cfg = self.cfg
+        x = token_embeds.astype(_dtype(cfg))
+        # position bias row for the current query position over all key slots
+        bias_full = self.rel_bias(1, max_len, query_offset=cache_index)
+        pos = jnp.arange(max_len)[None, None, None, :]
+        valid = pos <= cache_index
+        self_bias = jnp.where(valid, bias_full, NEG_INF)
+        cross_bias = (1.0 - enc_mask.astype(jnp.float32))[:, None, None, :] * NEG_INF
+        new_cache: Dict[str, Any] = {}
+        for i, blk in enumerate(self.blocks):
+            x, c = blk(x, self_bias, None, cross_bias, 0.0, True,
+                       cache=cache[f"block_{i}"], cache_index=cache_index)
+            # cross-attn handled with cached kv: pass enc via cache
+            new_cache[f"block_{i}"] = c
+        x = self.final_norm(x)
+        return x, new_cache
+
+
+class T5ForConditionalGeneration(nn.Module):
+    """Encoder-decoder with shared embeddings and (optionally tied) LM head."""
+
+    cfg: T5Config
+
+    def setup(self):
+        cfg = self.cfg
+        self.shared = nn.Embed(cfg.vocab_size, cfg.d_model,
+                               embedding_init=nn.initializers.normal(1.0),
+                               dtype=_dtype(cfg), name="shared")
+        self.encoder = T5Stack(cfg, is_decoder=False, name="encoder")
+        self.decoder = T5Stack(cfg, is_decoder=True, name="decoder")
+        if not cfg.tie_word_embeddings:
+            self.lm_head = nn.Dense(cfg.vocab_size, use_bias=False,
+                                    dtype=_dtype(cfg), name="lm_head")
+
+    def embed(self, ids: Array) -> Array:
+        return self.shared(ids)
+
+    def encode(self, input_ids: Optional[Array] = None,
+               inputs_embeds: Optional[Array] = None,
+               attention_mask: Optional[Array] = None,
+               deterministic: bool = True) -> Array:
+        if inputs_embeds is None:
+            inputs_embeds = self.shared(input_ids)
+        if attention_mask is None:
+            attention_mask = jnp.ones(inputs_embeds.shape[:2], jnp.int32)
+        return self.encoder(inputs_embeds, attention_mask, deterministic=deterministic)
+
+    def logits_from_hidden(self, hidden: Array) -> Array:
+        cfg = self.cfg
+        if cfg.tie_word_embeddings:
+            hidden = hidden * (cfg.d_model ** -0.5)
+            logits = jnp.einsum("bld,vd->blv", hidden,
+                                self.shared.embedding.astype(hidden.dtype))
+        else:
+            logits = self.lm_head(hidden)
+        return logits.astype(jnp.float32)
+
+    def decode(self, decoder_input_ids: Array, decoder_attention_mask: Array,
+               enc_out: Array, enc_mask: Array,
+               deterministic: bool = True) -> Array:
+        dec = self.decoder(self.shared(decoder_input_ids), decoder_attention_mask,
+                           enc_out=enc_out.astype(_dtype(self.cfg)), enc_mask=enc_mask,
+                           deterministic=deterministic)
+        return self.logits_from_hidden(dec)
+
+    def __call__(self, input_ids: Array, attention_mask: Array,
+                 decoder_input_ids: Array, decoder_attention_mask: Array,
+                 deterministic: bool = True) -> Array:
+        enc = self.encode(input_ids=input_ids, attention_mask=attention_mask,
+                          deterministic=deterministic)
+        return self.decode(decoder_input_ids, decoder_attention_mask,
+                           enc, attention_mask, deterministic=deterministic)
+
+    # decode-step API used by ops.decoding
+
+    def init_cache(self, batch: int, max_len: int, enc_out: Array) -> Dict[str, Any]:
+        return self.decoder.init_cache(batch, max_len, enc_out)
+
+    def decode_step(self, token_ids: Array, cache: Dict[str, Any], cache_index: Array,
+                    enc_mask: Array, max_len: int) -> Tuple[Array, Dict[str, Any]]:
+        """token_ids: [b] -> logits [b, vocab], new cache."""
+        emb = self.shared(token_ids[:, None])
+        hidden, cache = self.decoder.decode_step(emb, cache, cache_index, enc_mask, max_len)
+        return self.logits_from_hidden(hidden)[:, 0], cache
+
+
+def shift_right(labels: Array, decoder_start_token_id: int = 0,
+                pad_token_id: int = 0) -> Array:
+    """HF `_shift_right` (modeling_t5.py): prepend start token, drop last."""
+    shifted = jnp.zeros_like(labels).at[:, 1:].set(labels[:, :-1])
+    shifted = shifted.at[:, 0].set(decoder_start_token_id)
+    return jnp.where(shifted == -100, pad_token_id, shifted)
+
+
+def label_smoothed_cross_entropy(logits: Array, labels: Array,
+                                 label_smoothing: float = 0.1,
+                                 ignore_index: int = -100) -> Array:
+    """Mean CE with label smoothing over non-ignored positions.
+
+    Matches torch's ``CrossEntropyLoss(ignore_index=-100, label_smoothing=s)``
+    as used at modeling_t5.py:1721.
+    """
+    vocab = logits.shape[-1]
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    mask = (labels != ignore_index)
+    safe_labels = jnp.where(mask, labels, 0)
+    nll = -jnp.take_along_axis(logp, safe_labels[..., None], axis=-1)[..., 0]
+    smooth = -jnp.mean(logp, axis=-1)
+    loss = (1.0 - label_smoothing) * nll + label_smoothing * smooth
+    denom = jnp.maximum(mask.sum(), 1)
+    return jnp.where(mask, loss, 0.0).sum() / denom

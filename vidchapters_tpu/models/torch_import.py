@@ -1,0 +1,128 @@
+"""Import released PyTorch checkpoints into the Flax parameter tree.
+
+The reference ships torch checkpoints (``{model, optimizer, epoch, args}``
+dicts, dvc.py:406-441). This shim maps the HF-T5 + reference-ViT state_dict
+layout onto this framework's parameter pytree so paper checkpoints reproduce
+their metrics on TPU. It also backs the numerical parity tests (random torch
+weights -> Flax forward must match).
+
+All inputs are name->numpy arrays; torch is only needed by the caller to
+deserialize ``.pth`` files (``load_torch_checkpoint``).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Mapping
+
+import numpy as np
+
+Params = Dict[str, Any]
+
+
+def _t(x: np.ndarray) -> np.ndarray:
+    """torch Linear stores [out, in]; flax Dense kernel is [in, out]."""
+    return np.ascontiguousarray(x.T)
+
+
+def _set(tree: Params, path: str, value: np.ndarray) -> None:
+    keys = path.split("/")
+    node = tree
+    for k in keys[:-1]:
+        node = node.setdefault(k, {})
+    node[keys[-1]] = np.asarray(value, dtype=np.float32)
+
+
+def convert_t5_state_dict(sd: Mapping[str, np.ndarray], prefix: str = "",
+                          gated: bool = False) -> Params:
+    """HF ``T5ForConditionalGeneration`` state_dict -> Flax t5 params."""
+    p: Params = {}
+    g = lambda k: np.asarray(sd[prefix + k])
+
+    _set(p, "shared/embedding", g("shared.weight"))
+    for stack, n_layers_key in (("encoder", "encoder"), ("decoder", "decoder")):
+        i = 0
+        while f"{prefix}{stack}.block.{i}.layer.0.SelfAttention.q.weight" in sd:
+            base = f"{stack}.block.{i}.layer.0"
+            blk = f"{stack}/block_{i}"
+            for w in ("q", "k", "v", "o"):
+                _set(p, f"{blk}/self_attn/{w}/kernel",
+                     _t(g(f"{base}.SelfAttention.{w}.weight")))
+            _set(p, f"{blk}/self_attn_norm/weight", g(f"{base}.layer_norm.weight"))
+            if stack == "decoder":
+                base_x = f"{stack}.block.{i}.layer.1"
+                for w in ("q", "k", "v", "o"):
+                    _set(p, f"{blk}/cross_attn/{w}/kernel",
+                         _t(g(f"{base_x}.EncDecAttention.{w}.weight")))
+                _set(p, f"{blk}/cross_attn_norm/weight", g(f"{base_x}.layer_norm.weight"))
+                ff_idx = 2
+            else:
+                ff_idx = 1
+            base_f = f"{stack}.block.{i}.layer.{ff_idx}"
+            if gated:
+                _set(p, f"{blk}/ff/wi_0/kernel", _t(g(f"{base_f}.DenseReluDense.wi_0.weight")))
+                _set(p, f"{blk}/ff/wi_1/kernel", _t(g(f"{base_f}.DenseReluDense.wi_1.weight")))
+            else:
+                _set(p, f"{blk}/ff/wi/kernel", _t(g(f"{base_f}.DenseReluDense.wi.weight")))
+            _set(p, f"{blk}/ff/wo/kernel", _t(g(f"{base_f}.DenseReluDense.wo.weight")))
+            _set(p, f"{blk}/ff_norm/weight", g(f"{base_f}.layer_norm.weight"))
+            i += 1
+        _set(p, f"{stack}/final_norm/weight", g(f"{stack}.final_layer_norm.weight"))
+        _set(p, f"{stack}/rel_bias/rel_embedding",
+             g(f"{stack}.block.0.layer.0.SelfAttention.relative_attention_bias.weight"))
+    if prefix + "lm_head.weight" in sd:
+        lm = np.asarray(sd[prefix + "lm_head.weight"])
+        if not np.array_equal(lm, np.asarray(sd[prefix + "shared.weight"])):
+            _set(p, "lm_head/kernel", _t(lm))
+    return p
+
+
+def convert_vit_state_dict(sd: Mapping[str, np.ndarray], prefix: str = "") -> Params:
+    """Reference ``VisionTransformer`` state_dict (model/vit.py) -> Flax params."""
+    p: Params = {}
+    g = lambda k: np.asarray(sd[prefix + k])
+    _set(p, "pos_embed", g("pos_embed"))
+    i = 0
+    while f"{prefix}blocks.{i}.norm1.weight" in sd:
+        blk = f"block_{i}"
+        _set(p, f"{blk}/norm1/scale", g(f"blocks.{i}.norm1.weight"))
+        _set(p, f"{blk}/norm1/bias", g(f"blocks.{i}.norm1.bias"))
+        _set(p, f"{blk}/attn/qkv/kernel", _t(g(f"blocks.{i}.attn.qkv.weight")))
+        if f"{prefix}blocks.{i}.attn.qkv.bias" in sd:
+            _set(p, f"{blk}/attn/qkv/bias", g(f"blocks.{i}.attn.qkv.bias"))
+        _set(p, f"{blk}/attn/proj/kernel", _t(g(f"blocks.{i}.attn.proj.weight")))
+        _set(p, f"{blk}/attn/proj/bias", g(f"blocks.{i}.attn.proj.bias"))
+        _set(p, f"{blk}/norm2/scale", g(f"blocks.{i}.norm2.weight"))
+        _set(p, f"{blk}/norm2/bias", g(f"blocks.{i}.norm2.bias"))
+        _set(p, f"{blk}/fc1/kernel", _t(g(f"blocks.{i}.mlp.fc1.weight")))
+        _set(p, f"{blk}/fc1/bias", g(f"blocks.{i}.mlp.fc1.bias"))
+        _set(p, f"{blk}/fc2/kernel", _t(g(f"blocks.{i}.mlp.fc2.weight")))
+        _set(p, f"{blk}/fc2/bias", g(f"blocks.{i}.mlp.fc2.bias"))
+        i += 1
+    _set(p, "norm/scale", g("norm.weight"))
+    _set(p, "norm/bias", g("norm.bias"))
+    return p
+
+
+def convert_vid2seq_state_dict(sd: Mapping[str, np.ndarray],
+                               gated: bool = False) -> Params:
+    """Full reference Vid2Seq checkpoint -> {"t5": ..., "visual_encoder": ...}."""
+    out: Params = {
+        "t5": convert_t5_state_dict(sd, prefix="t5_model.", gated=gated),
+        "visual_encoder": convert_vit_state_dict(sd, prefix="visual_encoder."),
+    }
+    if "proj_v2t.weight" in sd:
+        out["proj_v2t"] = {
+            "kernel": _t(np.asarray(sd["proj_v2t.weight"])),
+            "bias": np.asarray(sd["proj_v2t.bias"], dtype=np.float32),
+        }
+    return out
+
+
+def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
+    """Load a reference ``.pth`` checkpoint into numpy (CPU torch required)."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    sd = ckpt.get("model", ckpt)
+    # strip DDP "module." prefixes if present
+    return {k.removeprefix("module."): v.numpy() for k, v in sd.items()}

@@ -1,0 +1,276 @@
+"""Autoregressive decoding under jit: greedy, beam search, nucleus sampling.
+
+The reference relies on HF ``generate`` (model/vid2seq.py:150-162) whose
+Python control flow re-traces per step on dynamic shapes; here the whole
+decode loop is a single XLA program over a static-shape KV cache
+(``lax.while_loop`` / ``lax.scan``), which is the TPU-native formulation.
+
+Beam-search semantics follow HF's beam scorer as configured by the reference
+(num_beams=4, length_penalty, early_stopping=False, min_length): scores are
+summed log-probs; finished hypotheses are ranked by ``score / len**penalty``;
+the loop ends when no running beam can still improve the worst kept
+hypothesis or ``max_length`` is reached.
+
+All entry points take a ``model_fns`` pair built by ``make_decode_fns`` so
+they work for any encoder-decoder exposing init_cache/decode_step (Vid2Seq
+and the raw T5 both do).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+NEG_INF = -1.0e7
+
+
+class DecodeFns(NamedTuple):
+    init_cache: Callable[[int, int, Array], Any]
+    step: Callable[[Array, Any, Array, Array], Tuple[Array, Any]]
+
+
+def make_decode_fns(model, params, max_length: int) -> DecodeFns:
+    """Bind a flax module + params into cache/step closures."""
+
+    def init_cache(batch, enc_out):
+        return model.apply({"params": params}, batch, max_length, enc_out,
+                           method=model.init_cache)
+
+    def step(tokens, cache, index, enc_mask):
+        return model.apply({"params": params}, tokens, cache, index, enc_mask,
+                           max_length, method=model.decode_step)
+
+    return DecodeFns(init_cache, step)
+
+
+def _apply_repetition_penalty(logits: Array, sequences: Array,
+                              penalty: float) -> Array:
+    """HF RepetitionPenaltyLogitsProcessor: for tokens already generated,
+    divide positive logits by ``penalty`` and multiply negative ones."""
+    if penalty == 1.0:
+        return logits
+    vocab = logits.shape[-1]
+    seen = jnp.zeros(logits.shape, bool)
+    one_hot = jax.nn.one_hot(sequences, vocab, dtype=bool)
+    seen = jnp.any(one_hot, axis=-2)
+    penalized = jnp.where(logits > 0, logits / penalty, logits * penalty)
+    return jnp.where(seen, penalized, logits)
+
+
+# ---------------------------------------------------------------------------
+# Greedy
+# ---------------------------------------------------------------------------
+
+
+def greedy_decode(fns: DecodeFns, enc_out: Array, enc_mask: Array,
+                  max_length: int, eos_token_id: int = 1,
+                  decoder_start_token_id: int = 0,
+                  min_length: int = 0,
+                  repetition_penalty: float = 1.0) -> Array:
+    """Returns [batch, max_length] sequences (0-padded after EOS)."""
+    batch = enc_out.shape[0]
+    cache = fns.init_cache(batch, enc_out)
+
+    def cond(state):
+        i, _, _, finished, _ = state
+        return (i < max_length) & (~jnp.all(finished))
+
+    def body(state):
+        i, tokens, seqs, finished, cache = state
+        logits, cache = fns.step(tokens, cache, i, enc_mask)
+        logits = _apply_repetition_penalty(logits, seqs, repetition_penalty)
+        logits = jnp.where((i + 1 < min_length),
+                           logits.at[:, eos_token_id].set(NEG_INF), logits)
+        next_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        next_tok = jnp.where(finished, 0, next_tok)
+        seqs = seqs.at[:, i].set(next_tok)
+        finished = finished | (next_tok == eos_token_id)
+        return i + 1, next_tok, seqs, finished, cache
+
+    tokens0 = jnp.full((batch,), decoder_start_token_id, jnp.int32)
+    seqs0 = jnp.zeros((batch, max_length), jnp.int32)
+    finished0 = jnp.zeros((batch,), bool)
+    _, _, seqs, _, _ = jax.lax.while_loop(
+        cond, body, (jnp.array(0), tokens0, seqs0, finished0, cache))
+    return seqs
+
+
+# ---------------------------------------------------------------------------
+# Nucleus (top-p) sampling  — used when the reference passes num_beams=0
+# (dvc.py:177, use_nucleus_sampling)
+# ---------------------------------------------------------------------------
+
+
+def nucleus_sample(fns: DecodeFns, enc_out: Array, enc_mask: Array,
+                   max_length: int, rng: Array, top_p: float = 0.9,
+                   temperature: float = 1.0, eos_token_id: int = 1,
+                   decoder_start_token_id: int = 0,
+                   min_length: int = 0) -> Array:
+    batch = enc_out.shape[0]
+    cache = fns.init_cache(batch, enc_out)
+
+    def topp_filter(logits):
+        sorted_logits = jnp.sort(logits, axis=-1)[:, ::-1]
+        sorted_probs = jax.nn.softmax(sorted_logits, axis=-1)
+        cum = jnp.cumsum(sorted_probs, axis=-1)
+        # keep smallest set with cumulative prob >= top_p (always keep top-1)
+        cutoff_mask = cum - sorted_probs >= top_p
+        threshold = jnp.min(jnp.where(cutoff_mask, sorted_logits, jnp.inf), axis=-1)
+        return jnp.where(logits < threshold[:, None], NEG_INF, logits)
+
+    def body(state):
+        i, tokens, seqs, finished, cache, rng = state
+        logits, cache = fns.step(tokens, cache, i, enc_mask)
+        logits = logits / jnp.maximum(temperature, 1e-6)
+        logits = jnp.where((i + 1 < min_length),
+                           logits.at[:, eos_token_id].set(NEG_INF), logits)
+        logits = topp_filter(logits)
+        rng, sub = jax.random.split(rng)
+        next_tok = jax.random.categorical(sub, logits, axis=-1).astype(jnp.int32)
+        next_tok = jnp.where(finished, 0, next_tok)
+        seqs = seqs.at[:, i].set(next_tok)
+        finished = finished | (next_tok == eos_token_id)
+        return i + 1, next_tok, seqs, finished, cache, rng
+
+    def cond(state):
+        i, _, _, finished, _, _ = state
+        return (i < max_length) & (~jnp.all(finished))
+
+    tokens0 = jnp.full((batch,), decoder_start_token_id, jnp.int32)
+    seqs0 = jnp.zeros((batch, max_length), jnp.int32)
+    finished0 = jnp.zeros((batch,), bool)
+    _, _, seqs, _, _, _ = jax.lax.while_loop(
+        cond, body, (jnp.array(0), tokens0, seqs0, finished0, cache, rng))
+    return seqs
+
+
+# ---------------------------------------------------------------------------
+# Beam search
+# ---------------------------------------------------------------------------
+
+
+def _flatten_beams(x: Array) -> Array:
+    return x.reshape((-1,) + x.shape[2:])
+
+
+def _unflatten_beams(x: Array, batch: int, beams: int) -> Array:
+    return x.reshape((batch, beams) + x.shape[1:])
+
+
+def _gather_beams(tree, indices: Array, batch: int):
+    """Select beams by [batch, k] indices along axis 1 of every leaf."""
+
+    def gather(x):
+        return jax.vmap(lambda xb, ib: jnp.take(xb, ib, axis=0))(x, indices)
+
+    return jax.tree_util.tree_map(gather, tree)
+
+
+def beam_search(fns: DecodeFns, enc_out: Array, enc_mask: Array,
+                max_length: int, num_beams: int = 4,
+                eos_token_id: int = 1, decoder_start_token_id: int = 0,
+                length_penalty: float = 1.0, min_length: int = 0,
+                repetition_penalty: float = 1.0,
+                early_stopping: bool = False) -> Array:
+    """Returns [batch, max_length] best sequences."""
+    batch, src_len = enc_out.shape[0], enc_out.shape[1]
+    K = num_beams
+
+    # expand encoder state to beams: [B*K, ...]
+    enc_out_b = _flatten_beams(jnp.broadcast_to(
+        enc_out[:, None], (batch, K) + enc_out.shape[1:]))
+    enc_mask_b = _flatten_beams(jnp.broadcast_to(
+        enc_mask[:, None], (batch, K) + enc_mask.shape[1:]))
+    cache = fns.init_cache(batch * K, enc_out_b)
+
+    running_seqs = jnp.zeros((batch, K, max_length), jnp.int32)
+    # only beam 0 is live initially; others start at -inf
+    running_scores = jnp.tile(
+        jnp.array([0.0] + [NEG_INF] * (K - 1), jnp.float32), (batch, 1))
+    finished_seqs = jnp.zeros((batch, K, max_length), jnp.int32)
+    finished_scores = jnp.full((batch, K), NEG_INF, jnp.float32)
+    finished_flags = jnp.zeros((batch, K), bool)
+    tokens = jnp.full((batch, K), decoder_start_token_id, jnp.int32)
+
+    def not_done(state):
+        (i, _, running_scores, _, finished_scores, finished_flags, _, _) = state
+        if early_stopping:
+            improvable = ~jnp.all(finished_flags, axis=1)
+        else:
+            best_possible = running_scores / (max_length ** length_penalty)
+            worst_finished = jnp.min(
+                jnp.where(finished_flags, finished_scores, NEG_INF), axis=1)
+            improvable = jnp.any(best_possible > worst_finished[:, None], axis=1) | (
+                ~jnp.any(finished_flags, axis=1))
+        return (i < max_length) & jnp.any(improvable)
+
+    def body(state):
+        (i, running_seqs, running_scores, finished_seqs, finished_scores,
+         finished_flags, tokens, cache) = state
+        logits, cache = fns.step(_flatten_beams(tokens), cache, i, enc_mask_b)
+        vocab = logits.shape[-1]
+        logits = _apply_repetition_penalty(
+            logits, _flatten_beams(running_seqs), repetition_penalty)
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        logp = jnp.where((i + 1 < min_length),
+                         logp.at[:, eos_token_id].set(NEG_INF), logp)
+        logp = _unflatten_beams(logp, batch, K)  # [B, K, V]
+        cand_scores = running_scores[:, :, None] + logp
+        flat = cand_scores.reshape(batch, K * vocab)
+        top_scores, top_idx = jax.lax.top_k(flat, 2 * K)
+        beam_idx = top_idx // vocab
+        token_idx = top_idx % vocab
+
+        cand_seqs = _gather_beams(running_seqs, beam_idx, batch)
+        cand_seqs = cand_seqs.at[:, :, i].set(token_idx)
+
+        is_eos = token_idx == eos_token_id
+
+        # update finished set with EOS candidates
+        eos_norm_scores = jnp.where(
+            is_eos, top_scores / ((i + 1).astype(jnp.float32) ** length_penalty),
+            NEG_INF)
+        merged_seqs = jnp.concatenate([finished_seqs, cand_seqs], axis=1)
+        merged_scores = jnp.concatenate([finished_scores, eos_norm_scores], axis=1)
+        merged_flags = jnp.concatenate(
+            [finished_flags, is_eos], axis=1)
+        top_fin_scores, top_fin_idx = jax.lax.top_k(merged_scores, K)
+        finished_seqs = _gather_beams(merged_seqs, top_fin_idx, batch)
+        finished_scores = top_fin_scores
+        finished_flags = _gather_beams(merged_flags, top_fin_idx, batch)
+
+        # pick top-K non-EOS continuations as the new running set
+        non_eos_scores = jnp.where(is_eos, NEG_INF, top_scores)
+        new_scores, keep_idx = jax.lax.top_k(non_eos_scores, K)
+        running_scores = new_scores
+        running_seqs = _gather_beams(cand_seqs, keep_idx, batch)
+        new_tokens = _gather_beams(token_idx, keep_idx, batch)
+        src_beams = _gather_beams(beam_idx, keep_idx, batch)  # [B, K]
+
+        # reorder cache to follow surviving beams
+        flat_src = (jnp.arange(batch)[:, None] * K + src_beams).reshape(-1)
+        cache = jax.tree_util.tree_map(lambda x: jnp.take(x, flat_src, axis=0), cache)
+
+        return (i + 1, running_seqs, running_scores, finished_seqs,
+                finished_scores, finished_flags, new_tokens, cache)
+
+    state = (jnp.array(0), running_seqs, running_scores, finished_seqs,
+             finished_scores, finished_flags, tokens, cache)
+    state = jax.lax.while_loop(not_done, body, state)
+    (_, running_seqs, running_scores, finished_seqs, finished_scores,
+     finished_flags, _, _) = state
+
+    # fall back to best running beam if nothing finished
+    none_finished = ~jnp.any(finished_flags, axis=1)
+    norm_running = running_scores / (max_length ** length_penalty)
+    best_running = jnp.argmax(norm_running, axis=1)
+    best_finished = jnp.argmax(finished_scores, axis=1)
+    best_idx = jnp.where(none_finished, best_running, best_finished)
+    pick = lambda seqs: jax.vmap(lambda s, k: s[k])(seqs, best_idx)
+    out = jnp.where(none_finished[:, None], pick(running_seqs), pick(finished_seqs))
+    return out
