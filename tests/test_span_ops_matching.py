@@ -1,0 +1,94 @@
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vidchapters_tpu.ops.matching import auction_lsap, hungarian_match
+from vidchapters_tpu.ops.span_ops import (
+    generalized_temporal_iou,
+    span_cxw_to_xx,
+    span_xx_to_cxw,
+    temporal_iou,
+    temporal_nms_indices,
+)
+
+
+# span_utils.py doctest vectors (moment_detr/moment_detr/span_utils.py:10-109)
+
+def test_xx_cxw_doctest_vectors():
+    spans = jnp.array([[0.0, 1.0], [0.2, 0.4]])
+    cxw = span_xx_to_cxw(spans)
+    np.testing.assert_allclose(np.asarray(cxw), [[0.5, 1.0], [0.3, 0.2]],
+                               atol=1e-6)
+    back = span_cxw_to_xx(cxw)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(spans), atol=1e-6)
+
+
+def test_temporal_iou_doctest_vectors():
+    s1 = jnp.array([[0.0, 0.2], [0.5, 1.0]])
+    s2 = jnp.array([[0.0, 0.3], [0.0, 1.0]])
+    iou, union = temporal_iou(s1, s2)
+    np.testing.assert_allclose(np.asarray(iou),
+                               [[0.6667, 0.2], [0.0, 0.5]], atol=1e-4)
+    np.testing.assert_allclose(np.asarray(union),
+                               [[0.3, 1.0], [0.8, 1.0]], atol=1e-4)
+
+
+def test_generalized_iou_doctest_vectors():
+    s1 = jnp.array([[0.0, 0.2], [0.5, 1.0]])
+    s2 = jnp.array([[0.0, 0.3], [0.0, 1.0]])
+    giou = generalized_temporal_iou(s1, s2)
+    np.testing.assert_allclose(np.asarray(giou),
+                               [[0.6667, 0.2], [-0.2, 0.5]], atol=1e-4)
+
+
+def test_nms_suppresses_overlaps():
+    spans = jnp.array([[0.0, 10.0], [1.0, 11.0], [20.0, 30.0], [21.0, 29.0]])
+    scores = jnp.array([0.9, 0.8, 0.7, 0.95])
+    keep, valid = temporal_nms_indices(spans, scores, iou_threshold=0.5,
+                                       max_keep=4)
+    kept = set(np.asarray(keep)[np.asarray(valid)].tolist())
+    assert kept == {3, 0}  # best of each overlap cluster
+
+
+def test_hungarian_callback_matches_scipy(rng):
+    from scipy.optimize import linear_sum_assignment
+
+    for trial in range(5):
+        q, t = 10, 6
+        cost = rng.normal(size=(q, t)).astype(np.float32)
+        valid = np.ones(t, bool)
+        out = hungarian_match(jnp.array(cost), jnp.array(valid), exact=True)
+        rows, cols = linear_sum_assignment(cost)
+        expected = np.full(t, -1, np.int32)
+        expected[cols] = rows
+        np.testing.assert_array_equal(np.asarray(out), expected)
+
+
+def test_hungarian_with_padding(rng):
+    q, t = 8, 5
+    cost = rng.normal(size=(q, t)).astype(np.float32)
+    valid = np.array([True, True, True, False, False])
+    out = np.asarray(hungarian_match(jnp.array(cost), jnp.array(valid)))
+    assert (out[3:] == -1).all()
+    assert len(set(out[:3])) == 3  # distinct queries
+
+
+def test_auction_matches_scipy_on_separated_costs(rng):
+    from scipy.optimize import linear_sum_assignment
+
+    for trial in range(5):
+        q, t = 12, 7
+        cost = rng.normal(size=(q, t)).astype(np.float32) * 10
+        valid = np.ones(t, bool)
+        out = np.asarray(auction_lsap(jnp.array(cost), jnp.array(valid),
+                                      num_iters=500, eps=1e-3))
+        rows, cols = linear_sum_assignment(cost)
+        expected = np.full(t, -1, np.int32)
+        expected[cols] = rows
+        # auction is eps-optimal: allow equality of total cost, not indices
+        total_auction = cost[out[valid], np.arange(t)[valid]].sum()
+        total_exact = cost[expected[valid], np.arange(t)[valid]].sum()
+        assert len(set(out[valid].tolist())) == t  # a valid assignment
+        assert total_auction <= total_exact + 0.05 * t

@@ -96,11 +96,12 @@ def test_train_step_decreases_loss(setup):
              "denoising_output_tokens": labels}
     rng = jax.random.PRNGKey(0)
     losses = []
-    for _ in range(5):
+    for _ in range(12):
         state, metrics = train_step(state, batch, rng)
         losses.append(float(metrics["total_loss"]))
-    assert losses[-1] < losses[0]
-    assert int(state.step) == 5
+    # dropout makes single steps noisy; compare early/late averages
+    assert np.mean(losses[-3:]) < np.mean(losses[:3])
+    assert int(state.step) == 12
 
 
 def test_renorm_time_tokens(setup):

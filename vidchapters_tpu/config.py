@@ -170,6 +170,9 @@ class GroundingConfig:
     eos_coef: float = 0.1
     saliency_margin: float = 0.2
     lw_saliency: float = 1.0
+    set_cost_span: float = 10.0
+    set_cost_giou: float = 1.0
+    set_cost_class: float = 4.0
     dtype: str = "float32"
 
 

@@ -25,7 +25,13 @@ Array = jax.Array
 BIG = 1e9
 
 
-def _scipy_lsap(cost: np.ndarray, n_valid: np.ndarray) -> np.ndarray:
+def scipy_lsap(cost: np.ndarray, n_valid: int) -> np.ndarray:
+    """Exact LSAP on host (outside jit): cost [Q, T] -> assignment [T].
+
+    Host callbacks are NOT used: the axon TPU PJRT backend rejects
+    jax.pure_callback outright, so the exact scipy path only exists as an
+    eager verification oracle for the on-device auction solver.
+    """
     from scipy.optimize import linear_sum_assignment
 
     q, t = cost.shape
@@ -35,15 +41,6 @@ def _scipy_lsap(cost: np.ndarray, n_valid: np.ndarray) -> np.ndarray:
         rows, cols = linear_sum_assignment(cost[:, :n])
         out[cols] = rows.astype(np.int32)
     return out
-
-
-def hungarian_callback(cost: Array, n_valid: Array) -> Array:
-    """Exact LSAP on host: cost [Q, T] -> assignment [T] (query per target)."""
-    t = cost.shape[1]
-    return jax.pure_callback(
-        _scipy_lsap,
-        jax.ShapeDtypeStruct((t,), jnp.int32),
-        cost, n_valid, vmap_method="sequential")
 
 
 def auction_lsap(cost: Array, valid: Array, num_iters: int = 200,
@@ -92,11 +89,7 @@ def auction_lsap(cost: Array, valid: Array, num_iters: int = 200,
         prev_owner = owner
         new_owner = jnp.where(has_bid, winner_t.astype(jnp.int32), owner)
         new_prices = jnp.where(has_bid, prices + winner_bid, prices)
-        # update target->query map
-        assign = jnp.where(
-            (prev_owner >= 0) & has_bid & (prev_owner != new_owner),
-            # evicted targets lose their query
-            assign, assign)
+        # targets evicted from their query lose their assignment
         evicted = jnp.zeros(t, bool).at[jnp.where(
             (prev_owner >= 0) & has_bid, prev_owner, t)].set(True, mode="drop")
         assign = jnp.where(evicted, -1, assign)
@@ -108,15 +101,16 @@ def auction_lsap(cost: Array, valid: Array, num_iters: int = 200,
     return jnp.where(valid, assign, -1)
 
 
-def hungarian_match(cost: Array, valid: Array, exact: bool = True) -> Array:
+def hungarian_match(cost: Array, valid: Array, exact: bool = False) -> Array:
     """[Q, T] cost + [T] validity -> [T] assigned query indices (-1 invalid).
 
-    ``exact=True`` uses the host scipy callback (bit-identical to the
-    reference matcher); ``exact=False`` stays on device with the auction
-    solver.
+    ``exact=True`` solves with scipy eagerly on the host (NOT jit-safe; used
+    as a verification oracle — the reference matcher's semantics,
+    moment_detr/matcher.py:100-117). ``exact=False`` (default) stays on
+    device with the auction solver, the TPU production path.
     """
     if exact:
-        n_valid = valid.sum().astype(jnp.int32)
-        masked = jnp.where(valid[None, :], cost, BIG)
-        return hungarian_callback(masked, n_valid)
+        n_valid = int(np.asarray(valid).sum())
+        masked = np.where(np.asarray(valid)[None, :], np.asarray(cost), BIG)
+        return jnp.asarray(scipy_lsap(masked, n_valid))
     return auction_lsap(cost, valid)
