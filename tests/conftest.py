@@ -16,10 +16,14 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax
 
+# the axon sitecustomize registers the TPU backend and pins JAX_PLATFORMS=axon
+# at interpreter boot; flipping the config AFTER import reliably lands on the
+# 8-device virtual CPU mesh
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
-# this box's XLA:CPU (oneDNN) runs f32 matmuls in bf16 by default; force full
-# precision so numerical parity tests against torch are meaningful
+# force full-precision matmuls so numerical parity tests against torch are
+# meaningful (default f32 matmul accumulation is bf16-ish on some backends)
 jax.config.update("jax_default_matmul_precision", "highest")
 
 import numpy as np

@@ -1,0 +1,233 @@
+"""1-D multi-scale deformable attention, TPU-native.
+
+Replaces PDVC's CUDA ``MultiScaleDeformableAttention`` extension
+(PDVC/pdvc/ops/src/, ~1.7k LoC C++/CUDA). Semantics are defined by the
+reference's pure-PyTorch fallback ``ms_deform_attn_core_pytorch``
+(ops/functions/ms_deform_attn_func.py:44-71): sampling locations in [0, 1]
+per level are mapped through a pseudo-2D ``grid_sample(bilinear, border,
+align_corners=False)`` with height 1 (modules/ms_deform_attn.py:116-119),
+which reduces exactly to 1-D linear interpolation at pixel coordinate
+``loc * T_l - 0.5`` with edge clamping; each (query, head) output is the
+attention-weighted sum over levels x points.
+
+Three implementations, all matching:
+
+- ``deformable_attention_1d_reference``: direct gather + lerp (clarity /
+  test oracle — the analog of the reference's fallback);
+- ``deformable_attention_1d``: the irregular gather restructured as dense
+  per-level interpolation-matrix einsums. On TPU a [Lq, T_l] two-banded
+  matrix multiply runs on the MXU, which beats scatter/gather by a wide
+  margin for PDVC's sizes (T_l <= ~128); XLA fuses the one-hot construction
+  into the contraction.
+- ``deformable_attention_1d_pallas``: Pallas kernel fusing weight-matrix
+  construction in VMEM with the level matmuls (one grid step per
+  batch x level), with a custom VJP mirroring the CUDA col2im backward.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jax.Array
+
+
+def _split_levels(value: Array, spatial_shapes: Sequence[int]):
+    out = []
+    start = 0
+    for t in spatial_shapes:
+        out.append(value[:, start:start + t])
+        start += t
+    return out
+
+
+def _lerp_indices(loc: Array, t_l: int) -> Tuple[Array, Array, Array, Array]:
+    """loc in [0,1] -> (x0, x1, w0, w1) with border clamping."""
+    px = loc * t_l - 0.5
+    x0 = jnp.floor(px)
+    w1 = px - x0
+    w0 = 1.0 - w1
+    x0i = jnp.clip(x0.astype(jnp.int32), 0, t_l - 1)
+    x1i = jnp.clip(x0.astype(jnp.int32) + 1, 0, t_l - 1)
+    return x0i, x1i, w0, w1
+
+
+def deformable_attention_1d_reference(
+    value: Array, spatial_shapes: Sequence[int],
+    sampling_locations: Array, attention_weights: Array) -> Array:
+    """Gather-based oracle.
+
+    value: [N, S, M, D] with S = sum(spatial_shapes);
+    sampling_locations: [N, Lq, M, L, P] in [0, 1];
+    attention_weights:  [N, Lq, M, L, P] (softmaxed over L*P).
+    Returns [N, Lq, M*D].
+    """
+    n, s, m, d = value.shape
+    _, lq, _, L, p = sampling_locations.shape
+    levels = _split_levels(value, spatial_shapes)
+    acc = jnp.zeros((n, lq, m, d), jnp.promote_types(value.dtype, jnp.float32))
+
+    def per_head(v_nm, x0_nm, x1_nm, w0_nm, w1_nm, a_nm):
+        # v_nm: [T, D]; index/weight args: [Lq, P]
+        s0 = v_nm[x0_nm]  # [Lq, P, D]
+        s1 = v_nm[x1_nm]
+        samp = w0_nm[..., None] * s0 + w1_nm[..., None] * s1
+        return (a_nm[..., None] * samp).sum(1)  # [Lq, D]
+
+    # outer vmap over batch, inner vmap over heads (leading axes after
+    # the transposes below)
+    per_batch = jax.vmap(per_head, in_axes=(0,) * 6, out_axes=0)
+    vmapped = jax.vmap(per_batch, in_axes=(0,) * 6, out_axes=0)
+
+    for lid, t_l in enumerate(spatial_shapes):
+        v = jnp.moveaxis(levels[lid], 1, 2)  # [N, M, T, D]; head on axis 1
+        loc = sampling_locations[:, :, :, lid]  # [N, Lq, M, P]
+        attn = attention_weights[:, :, :, lid]
+        x0, x1, w0, w1 = _lerp_indices(loc, t_l)
+        tr = lambda x: jnp.transpose(x, (0, 2, 1, 3))  # -> [N, M, Lq, P]
+        contrib = vmapped(v, tr(x0), tr(x1), tr(w0), tr(w1), tr(attn))
+        acc = acc + jnp.transpose(contrib, (0, 2, 1, 3))  # [N, Lq, M, D]
+    return acc.reshape(n, lq, m * d).astype(value.dtype)
+
+
+def deformable_attention_1d(
+    value: Array, spatial_shapes: Sequence[int],
+    sampling_locations: Array, attention_weights: Array) -> Array:
+    """MXU formulation: per level, build the banded interpolation matrix
+    W[n, q, m, p, t] (two nonzeros per row) folded with the attention
+    weights, then contract with the level's values on the MXU.
+
+    Same signature/semantics as the reference oracle; differentiable through
+    both values and sampling locations (XLA fuses the one-hot construction).
+    """
+    n, s, m, d = value.shape
+    _, lq, _, L, p = sampling_locations.shape
+    levels = _split_levels(value, spatial_shapes)
+    compute_dtype = jnp.promote_types(value.dtype, jnp.float32)
+    acc = jnp.zeros((n, lq, m, d), compute_dtype)
+    for lid, t_l in enumerate(spatial_shapes):
+        v = levels[lid].astype(compute_dtype)  # [N, T, M, D]
+        loc = sampling_locations[:, :, :, lid]  # [N, Lq, M, P]
+        attn = attention_weights[:, :, :, lid].astype(compute_dtype)
+        px = loc * t_l - 0.5
+        x0 = jnp.floor(px)
+        w1 = (px - x0).astype(compute_dtype)
+        w0 = 1.0 - w1
+        x0i = jnp.clip(x0.astype(jnp.int32), 0, t_l - 1)
+        x1i = jnp.clip(x0.astype(jnp.int32) + 1, 0, t_l - 1)
+        # attention-folded interpolation matrix: [N, Lq, M, T_l]
+        oh0 = jax.nn.one_hot(x0i, t_l, dtype=compute_dtype)
+        oh1 = jax.nn.one_hot(x1i, t_l, dtype=compute_dtype)
+        w = (attn * w0)[..., None] * oh0 + (attn * w1)[..., None] * oh1
+        w = w.sum(axis=3)  # sum over points -> [N, Lq, M, T_l]
+        acc = acc + jnp.einsum("nqmt,ntmd->nqmd", w, v)
+    return acc.reshape(n, lq, m * d).astype(value.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernel: fused interpolation-matrix build + level matmul in VMEM
+# ---------------------------------------------------------------------------
+
+
+def _level_kernel(loc_ref, attn_ref, value_ref, out_ref, *, t_l: int):
+    """One (batch, head) tile of one level.
+
+    loc_ref/attn_ref: [Lq, P]; value_ref: [T_l, D]; out_ref: [Lq, D].
+    Builds the attention-folded two-banded interpolation matrix in VMEM via
+    iota comparison and contracts it on the MXU.
+    """
+    loc = loc_ref[0, :, 0, :].astype(jnp.float32)
+    attn = attn_ref[0, :, 0, :].astype(jnp.float32)
+    px = loc * t_l - 0.5
+    x0 = jnp.floor(px)
+    w1 = px - x0
+    w0 = 1.0 - w1
+    x0i = jnp.clip(x0.astype(jnp.int32), 0, t_l - 1)
+    x1i = jnp.clip(x0.astype(jnp.int32) + 1, 0, t_l - 1)
+    lq, p = loc.shape
+    t_iota = jax.lax.broadcasted_iota(jnp.int32, (lq, p, t_l), dimension=2)
+    band = ((t_iota == x0i[..., None]).astype(jnp.float32) * (attn * w0)[..., None]
+            + (t_iota == x1i[..., None]).astype(jnp.float32) * (attn * w1)[..., None])
+    w_mat = band.sum(axis=1)  # [Lq, T_l]
+    out_ref[0, :, 0, :] = jnp.dot(w_mat, value_ref[0, :, 0, :].astype(jnp.float32),
+                                  preferred_element_type=jnp.float32)
+
+
+def _pallas_level(value_l: Array, loc_l: Array, attn_l: Array, t_l: int,
+                  interpret: bool = False) -> Array:
+    """value_l: [N, T, M, D]; loc_l/attn_l: [N, Lq, M, P] -> [N, Lq, M, D]."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n, t, m, d = value_l.shape
+    lq = loc_l.shape[1]
+    kernel = functools.partial(_level_kernel, t_l=t_l)
+    grid = (n, m)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, lq, 1, loc_l.shape[-1]),
+                         lambda i, j: (i, 0, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lq, 1, attn_l.shape[-1]),
+                         lambda i, j: (i, 0, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t, 1, d), lambda i, j: (i, 0, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, lq, 1, d), lambda i, j: (i, 0, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, lq, m, d), jnp.float32),
+        interpret=interpret,
+    )(loc_l, attn_l, value_l)
+    return out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 4))
+def deformable_attention_1d_pallas(
+    value: Array, spatial_shapes: Tuple[int, ...],
+    sampling_locations: Array, attention_weights: Array,
+    interpret: bool = False) -> Array:
+    """Pallas forward with custom VJP (semantics == the jnp oracle).
+
+    ``spatial_shapes`` must be a static tuple. ``interpret=True`` runs the
+    kernels in interpreter mode (CPU tests).
+    """
+    n, s, m, d = value.shape
+    lq = sampling_locations.shape[1]
+    acc = jnp.zeros((n, lq, m, d), jnp.float32)
+    start = 0
+    for lid, t_l in enumerate(spatial_shapes):
+        v = value[:, start:start + t_l]
+        acc = acc + _pallas_level(
+            v, sampling_locations[:, :, :, lid],
+            attention_weights[:, :, :, lid], t_l, interpret=interpret)
+        start += t_l
+    return acc.reshape(n, lq, m * d).astype(value.dtype)
+
+
+def _fwd(value, spatial_shapes, sampling_locations, attention_weights,
+         interpret):
+    out = deformable_attention_1d_pallas(
+        value, spatial_shapes, sampling_locations, attention_weights, interpret)
+    return out, (value, sampling_locations, attention_weights)
+
+
+def _bwd(spatial_shapes, interpret, residuals, g):
+    """Backward mirroring the CUDA col2im kernels
+    (ops/src/cuda/ms_deform_im2col_cuda.cuh:303-620), expressed as the VJP of
+    the dense-lerp formulation (XLA emits the transposed matmuls)."""
+    value, sampling_locations, attention_weights = residuals
+
+    def f(v, loc, attn):
+        return deformable_attention_1d(v, spatial_shapes, loc, attn)
+
+    _, vjp = jax.vjp(f, value, sampling_locations, attention_weights)
+    dv, dloc, dattn = vjp(g.astype(jnp.float32))
+    return dv.astype(value.dtype), dloc, dattn
+
+
+deformable_attention_1d_pallas.defvjp(_fwd, _bwd)
