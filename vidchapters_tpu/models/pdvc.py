@@ -1,0 +1,463 @@
+"""PDVC-equivalent dense video captioner in Flax, TPU-native.
+
+Re-design of PDVC (PDVC/pdvc/pdvc.py:35-651, deformable_transformer.py,
+base_encoder.py:23-86, CaptioningHead/LSTM.py): conv1d multi-scale pyramid
+with GroupNorm + sine position embeddings; 1-D multi-scale deformable
+attention encoder/decoder (the CUDA op replaced by
+ops.deformable_attention); N event queries with iterative box refinement;
+per-layer heads — sigmoid-focal classification, event-count head over
+max-pooled queries (pdvc.py:172-175), (center, length) box MLP, and an LSTM
+caption head over matched event queries (LightCaptioner,
+CaptioningHead/LSTM.py:20-174).
+
+TPU-first deviations from the reference implementation (same math):
+- everything is static-shape: targets are padded with validity masks, the
+  matcher runs on device (ops.matching.auction_lsap), captions train via a
+  ``lax.scan`` LSTM over fixed max length instead of a Python loop with
+  early break;
+- the caption head scores all (query-slot, target-slot) matched pairs in one
+  batched scan rather than ragged index_select chains (pdvc.py:330-368).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from vidchapters_tpu.config import PDVCConfig
+from vidchapters_tpu.ops.deformable_attention import deformable_attention_1d
+from vidchapters_tpu.models.grounding import sine_position_encoding
+
+Array = jax.Array
+NEG_INF = -1e9
+
+
+def inverse_sigmoid(x: Array, eps: float = 1e-5) -> Array:
+    x = jnp.clip(x, eps, 1 - eps)
+    return jnp.log(x / (1 - x))
+
+
+def box_cl_to_xy(cl: Array) -> Array:
+    """(center, length) -> (start, end)."""
+    return jnp.stack([cl[..., 0] - 0.5 * cl[..., 1],
+                      cl[..., 0] + 0.5 * cl[..., 1]], axis=-1)
+
+
+def box_xy_to_cl(xy: Array) -> Array:
+    return jnp.stack([(xy[..., 0] + xy[..., 1]) * 0.5,
+                      xy[..., 1] - xy[..., 0]], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Base encoder: conv pyramid (base_encoder.py:23-86)
+# ---------------------------------------------------------------------------
+
+
+class ConvGN(nn.Module):
+    out_dim: int
+    kernel: int
+    stride: int
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        # x: [B, T, C]
+        x = nn.Conv(self.out_dim, (self.kernel,), strides=(self.stride,),
+                    padding=[(self.kernel // 2, self.kernel // 2)], name="conv")(x)
+        return nn.GroupNorm(num_groups=32, name="gn")(x)
+
+
+class BaseEncoder(nn.Module):
+    cfg: PDVCConfig
+
+    @nn.compact
+    def __call__(self, vf: Array, mask: Array
+                 ) -> Tuple[List[Array], List[Array], List[Array]]:
+        """vf [B, T, C_in], mask [B, T] (1 = valid) ->
+        per-level (srcs [B, T_l, D], masks [B, T_l], pos [B, T_l, D])."""
+        cfg = self.cfg
+        srcs, masks, poses = [], [], []
+        x = ConvGN(cfg.hidden_dim, 1, 1, name="proj_0")(vf)
+        srcs.append(x)
+        masks.append(mask)
+        poses.append(sine_position_encoding(mask, cfg.hidden_dim))
+        prev = vf
+        prev_mask = mask
+        for lvl in range(1, cfg.num_feature_levels):
+            prev = ConvGN(cfg.hidden_dim, 3, 2, name=f"proj_{lvl}")(prev)
+            # nearest mask downsample (base_encoder.py:76)
+            t_new = prev.shape[1]
+            idx = (jnp.arange(t_new) * prev_mask.shape[1]) // t_new
+            prev_mask = prev_mask[:, idx]
+            srcs.append(prev)
+            masks.append(prev_mask)
+            poses.append(sine_position_encoding(prev_mask, cfg.hidden_dim))
+        return srcs, masks, poses
+
+
+# ---------------------------------------------------------------------------
+# Deformable attention module (modules/ms_deform_attn.py:24-135)
+# ---------------------------------------------------------------------------
+
+
+class MSDeformAttn1D(nn.Module):
+    cfg: PDVCConfig
+    n_points: int
+
+    @nn.compact
+    def __call__(self, query: Array, reference_points: Array, value_src: Array,
+                 spatial_shapes: Sequence[int],
+                 padding_mask: Optional[Array] = None) -> Array:
+        """query [B, Lq, D]; reference_points [B, Lq, L, 1] in [0,1];
+        value_src [B, S, D]; padding_mask [B, S] (1 = valid)."""
+        cfg = self.cfg
+        m = cfg.nheads
+        d_head = cfg.hidden_dim // m
+        L = len(spatial_shapes)
+        p = self.n_points
+        b, lq, _ = query.shape
+        s = value_src.shape[1]
+
+        value = nn.Dense(cfg.hidden_dim, name="value_proj")(value_src)
+        if padding_mask is not None:
+            value = value * padding_mask[..., None].astype(value.dtype)
+        value = value.reshape(b, s, m, d_head)
+
+        # grid-prior bias initialization for sampling offsets
+        # (modules/ms_deform_attn.py:62-71, 1-D variant uses the x component)
+        def offset_bias_init(key, shape, dtype=jnp.float32):
+            thetas = jnp.arange(m, dtype=jnp.float32) * (2 * math.pi / m)
+            grid = jnp.cos(thetas)
+            grid = grid / jnp.maximum(jnp.abs(grid), 1e-6)  # sign
+            base = jnp.tile(grid[:, None, None], (1, L, p))
+            scale = jnp.arange(1, p + 1, dtype=jnp.float32)[None, None, :]
+            return (base * scale).reshape(-1).astype(dtype)
+
+        offsets = nn.Dense(m * L * p, name="sampling_offsets",
+                           kernel_init=nn.initializers.zeros,
+                           bias_init=offset_bias_init)(query)
+        offsets = offsets.reshape(b, lq, m, L, p)
+        attn = nn.Dense(m * L * p, name="attention_weights",
+                        kernel_init=nn.initializers.zeros,
+                        bias_init=nn.initializers.zeros)(query)
+        attn = jax.nn.softmax(attn.reshape(b, lq, m, L * p), axis=-1)
+        attn = attn.reshape(b, lq, m, L, p)
+
+        shapes_arr = jnp.asarray(spatial_shapes, jnp.float32)
+        if reference_points.shape[-1] == 1:
+            loc = (reference_points[:, :, None, :, None, 0]
+                   + offsets / shapes_arr[None, None, None, :, None])
+        else:  # (center, length) reference boxes
+            loc = (reference_points[:, :, None, :, None, 0]
+                   + offsets / p * reference_points[:, :, None, :, None, 1] * 0.5)
+
+        out = deformable_attention_1d(value, tuple(spatial_shapes), loc, attn)
+        return nn.Dense(cfg.hidden_dim, name="output_proj")(out)
+
+
+# ---------------------------------------------------------------------------
+# Encoder / decoder layers (deformable_transformer.py:149-330)
+# ---------------------------------------------------------------------------
+
+
+class EncoderLayer(nn.Module):
+    cfg: PDVCConfig
+
+    @nn.compact
+    def __call__(self, src, pos, reference_points, spatial_shapes, padding_mask,
+                 deterministic=True):
+        cfg = self.cfg
+        h = MSDeformAttn1D(cfg, cfg.enc_n_points, name="self_attn")(
+            src + pos, reference_points, src, spatial_shapes, padding_mask)
+        src = nn.LayerNorm(epsilon=1e-5, name="norm1")(
+            src + nn.Dropout(cfg.dropout, deterministic=deterministic)(h))
+        h = nn.Dense(cfg.dim_feedforward, name="ff1")(src)
+        h = nn.Dropout(cfg.dropout, deterministic=deterministic)(jax.nn.relu(h))
+        h = nn.Dense(cfg.hidden_dim, name="ff2")(h)
+        return nn.LayerNorm(epsilon=1e-5, name="norm2")(
+            src + nn.Dropout(cfg.dropout, deterministic=deterministic)(h))
+
+
+class DecoderLayer(nn.Module):
+    cfg: PDVCConfig
+
+    @nn.compact
+    def __call__(self, tgt, query_pos, reference_points, memory, spatial_shapes,
+                 memory_mask, query_mask, deterministic=True):
+        cfg = self.cfg
+        d_head = cfg.hidden_dim // cfg.nheads
+        # standard self-attention over queries
+        q = (tgt + query_pos)
+        b, nq, _ = q.shape
+        qh = nn.Dense(cfg.hidden_dim, name="sa_q")(q).reshape(b, nq, cfg.nheads, d_head)
+        kh = nn.Dense(cfg.hidden_dim, name="sa_k")(q).reshape(b, nq, cfg.nheads, d_head)
+        vh = nn.Dense(cfg.hidden_dim, name="sa_v")(tgt).reshape(b, nq, cfg.nheads, d_head)
+        scores = jnp.einsum("bqhd,bkhd->bhqk", qh, kh) / math.sqrt(d_head)
+        scores = scores + (1.0 - query_mask.astype(jnp.float32))[:, None, None, :] * NEG_INF
+        probs = jax.nn.softmax(scores, axis=-1)
+        sa = jnp.einsum("bhqk,bkhd->bqhd", probs, vh).reshape(b, nq, cfg.hidden_dim)
+        sa = nn.Dense(cfg.hidden_dim, name="sa_out")(sa)
+        tgt = nn.LayerNorm(epsilon=1e-5, name="norm2")(
+            tgt + nn.Dropout(cfg.dropout, deterministic=deterministic)(sa))
+        # deformable cross-attention into memory
+        h = MSDeformAttn1D(cfg, cfg.dec_n_points, name="cross_attn")(
+            tgt + query_pos, reference_points, memory, spatial_shapes, memory_mask)
+        tgt = nn.LayerNorm(epsilon=1e-5, name="norm1")(
+            tgt + nn.Dropout(cfg.dropout, deterministic=deterministic)(h))
+        h = nn.Dense(cfg.dim_feedforward, name="ff1")(tgt)
+        h = nn.Dropout(cfg.dropout, deterministic=deterministic)(jax.nn.relu(h))
+        h = nn.Dense(cfg.hidden_dim, name="ff2")(h)
+        return nn.LayerNorm(epsilon=1e-5, name="norm3")(
+            tgt + nn.Dropout(cfg.dropout, deterministic=deterministic)(h))
+
+
+class BoxMLP(nn.Module):
+    hidden_dim: int
+
+    @nn.compact
+    def __call__(self, x):
+        x = jax.nn.relu(nn.Dense(self.hidden_dim, name="fc0")(x))
+        x = jax.nn.relu(nn.Dense(self.hidden_dim, name="fc1")(x))
+        # last-layer zero init; length logit bias -2 (pdvc.py:89-92)
+        return nn.Dense(2, name="fc2", kernel_init=nn.initializers.zeros,
+                        bias_init=lambda *a: jnp.array([0.0, -2.0]))(x)
+
+
+# ---------------------------------------------------------------------------
+# LSTM caption head (LightCaptioner, CaptioningHead/LSTM.py:20-176)
+# ---------------------------------------------------------------------------
+
+
+class LSTMCaptioner(nn.Module):
+    """LSTM over [word embedding ; event-query feature] per step.
+
+    The "light" variant conditions each step on the mean-pooled clip context,
+    which for PDVC's light head is the event query feature itself
+    (pdvc.py:380-383: clip = hs_r.unsqueeze(1)). Parameters are explicit
+    arrays (not submodules) so scan bodies close over concrete values — the
+    LSTM math matches torch ``nn.LSTM(bias=False)`` gate order (i, f, g, o)
+    used by AllImgCore (LSTM.py:152-156).
+    """
+
+    cfg: PDVCConfig
+
+    def setup(self):
+        cfg = self.cfg
+        h = cfg.rnn_size
+        v = cfg.vocab_size + 1
+        init = nn.initializers.uniform(0.1)
+        xavier = nn.initializers.xavier_uniform()
+        self.embedding = self.param("embedding", init, (v, h), jnp.float32)
+        in_dim = h + cfg.hidden_dim  # word embed + event feature
+        self.w_x = self.param("w_x", xavier, (in_dim, 4 * h), jnp.float32)
+        self.w_h = self.param("w_h", xavier, (h, 4 * h), jnp.float32)
+        self.logit_w = self.param("logit_w", init, (h, v), jnp.float32)
+        self.logit_b = self.param("logit_b", nn.initializers.zeros, (v,),
+                                  jnp.float32)
+
+    def _cell(self, state, x):
+        h_prev, c_prev = state
+        gates = x @ self.w_x + h_prev @ self.w_h
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        c = jax.nn.sigmoid(f) * c_prev + jax.nn.sigmoid(i) * jnp.tanh(g)
+        h = jax.nn.sigmoid(o) * jnp.tanh(c)
+        return (h, c), h
+
+    def _logprobs(self, h):
+        return jax.nn.log_softmax(h @ self.logit_w + self.logit_b, axis=-1)
+
+    def _init_state(self, n: int):
+        h = self.cfg.rnn_size
+        return (jnp.zeros((n, h)), jnp.zeros((n, h)))
+
+    def teacher_forced_logprobs(self, feats: Array, seq: Array) -> Array:
+        """feats [N, C]; seq [N, L] ([0, w1..wk, 0, pad...]). Returns
+        per-step log-probs [N, L-1, V+1] predicting seq[:, 1:] (LSTM.py:57-85
+        convention: input at step i is seq[:, i])."""
+        emb = self.embedding[seq[:, :-1]]  # [N, L-1, H]
+        feats_b = jnp.broadcast_to(feats[:, None],
+                                   (feats.shape[0], emb.shape[1], feats.shape[-1]))
+        inputs = jnp.concatenate([emb, feats_b], axis=-1)
+
+        def body(state, x_t):
+            state, h = self._cell(state, x_t)
+            return state, self._logprobs(h)
+
+        _, logps = jax.lax.scan(body, self._init_state(seq.shape[0]),
+                                jnp.swapaxes(inputs, 0, 1))
+        return jnp.swapaxes(logps, 0, 1)  # [N, L-1, V+1]
+
+    def __call__(self, feats: Array, seq: Array) -> Array:
+        return self.teacher_forced_logprobs(feats, seq)
+
+    def greedy_sample(self, feats: Array, max_len: int
+                      ) -> Tuple[Array, Array]:
+        """feats [N, C] -> (tokens [N, max_len], logprobs [N, max_len]).
+        BOS = 0; tokens after the first generated 0 are zeroed
+        (LSTM.py:96-139)."""
+        n = feats.shape[0]
+
+        def body(carry, _):
+            state, tok, alive = carry
+            xt = self.embedding[tok]
+            state, h = self._cell(state,
+                                  jnp.concatenate([xt, feats], axis=-1))
+            logp = self._logprobs(h)
+            nxt = jnp.argmax(logp, axis=-1).astype(jnp.int32)
+            lp = jnp.take_along_axis(logp, nxt[:, None], axis=-1)[:, 0]
+            nxt = jnp.where(alive, nxt, 0)
+            lp = jnp.where(alive, lp, 0.0)
+            alive = alive & (nxt > 0)
+            return (state, nxt, alive), (nxt, lp)
+
+        init = (self._init_state(n), jnp.zeros(n, jnp.int32),
+                jnp.ones(n, bool))
+        _, (toks, lps) = jax.lax.scan(body, init, None, length=max_len)
+        return toks.T, lps.T
+
+
+# ---------------------------------------------------------------------------
+# Full PDVC model
+# ---------------------------------------------------------------------------
+
+
+class PDVC(nn.Module):
+    cfg: PDVCConfig
+
+    def setup(self):
+        cfg = self.cfg
+        self.base_encoder = BaseEncoder(cfg, name="base_encoder")
+        self.enc_layers_mod = [EncoderLayer(cfg, name=f"enc_{i}")
+                               for i in range(cfg.enc_layers)]
+        self.dec_layers_mod = [DecoderLayer(cfg, name=f"dec_{i}")
+                               for i in range(cfg.dec_layers)]
+        self.level_embed = self.param(
+            "level_embed", nn.initializers.normal(1.0),
+            (cfg.num_feature_levels, cfg.hidden_dim), jnp.float32)
+        self.query_embed = self.param(
+            "query_embed", nn.initializers.normal(1.0),
+            (cfg.num_queries, cfg.hidden_dim * 2), jnp.float32)
+        self.reference_points_proj = nn.Dense(1, name="reference_points")
+        # focal-init class bias (pdvc.py:71-74), single foreground class
+        prior = 0.01
+        self.class_heads = [
+            nn.Dense(1, name=f"class_head_{i}",
+                     bias_init=nn.initializers.constant(
+                         -math.log((1 - prior) / prior)))
+            for i in range(cfg.dec_layers)]
+        self.count_heads = [nn.Dense(cfg.max_eseq_length + 1,
+                                     name=f"count_head_{i}")
+                            for i in range(cfg.dec_layers)]
+        self.bbox_heads = [BoxMLP(cfg.hidden_dim, name=f"bbox_head_{i}")
+                           for i in range(cfg.dec_layers)]
+        self.captioner = LSTMCaptioner(cfg, name="captioner")
+
+    # -- encoder ------------------------------------------------------------
+
+    def encode(self, vf: Array, mask: Array, deterministic: bool = True
+               ) -> Tuple[Array, Array, Tuple[int, ...], Array]:
+        cfg = self.cfg
+        srcs, masks, poses = self.base_encoder(vf, mask)
+        spatial_shapes = tuple(s.shape[1] for s in srcs)
+        src_flat = jnp.concatenate(srcs, axis=1)
+        mask_flat = jnp.concatenate(masks, axis=1)
+        pos_flat = jnp.concatenate(
+            [p + self.level_embed[i][None, None] for i, p in enumerate(poses)],
+            axis=1)
+        # valid ratios per level (deformable_transformer.py:66-68)
+        valid_ratios = jnp.stack(
+            [m.sum(1).astype(jnp.float32) / m.shape[1] for m in masks], axis=1)
+        # encoder reference points: per-level normalized centers scaled by
+        # valid ratios (deformable_transformer.py:199-208)
+        refs = []
+        for lvl, t_l in enumerate(spatial_shapes):
+            centers = (jnp.arange(t_l, dtype=jnp.float32) + 0.5)
+            r = centers[None, :] / (valid_ratios[:, lvl:lvl + 1] * t_l)
+            refs.append(r)
+        ref_flat = jnp.concatenate(refs, axis=1)  # [B, S]
+        reference_points = (ref_flat[:, :, None] * valid_ratios[:, None, :])[..., None]
+
+        memory = src_flat
+        for layer in self.enc_layers_mod:
+            memory = layer(memory, pos_flat, reference_points, spatial_shapes,
+                           mask_flat, deterministic)
+        return memory, mask_flat, spatial_shapes, valid_ratios
+
+    # -- decoder with iterative refinement ----------------------------------
+
+    def decode(self, memory: Array, mask_flat: Array,
+               spatial_shapes: Tuple[int, ...], valid_ratios: Array,
+               deterministic: bool = True) -> Tuple[Array, Array, Array]:
+        cfg = self.cfg
+        b = memory.shape[0]
+        qe = jnp.broadcast_to(self.query_embed[None],
+                              (b,) + self.query_embed.shape)
+        query_pos, tgt = jnp.split(qe, 2, axis=-1)
+        reference = jax.nn.sigmoid(self.reference_points_proj(query_pos))  # [B, Q, 1]
+        init_reference = reference
+        query_mask = jnp.ones((b, cfg.num_queries), jnp.int32)
+
+        hs_layers = []
+        ref_layers = []
+        for lid, layer in enumerate(self.dec_layers_mod):
+            ref_input = reference[:, :, None, :] * valid_ratios[:, None, :, None]
+            tgt = layer(tgt, query_pos, ref_input, memory, spatial_shapes,
+                        mask_flat, query_mask, deterministic)
+            if cfg.with_box_refine:
+                delta = self.bbox_heads[lid](tgt)
+                new_ref = jax.nn.sigmoid(
+                    delta[..., :1] + inverse_sigmoid(reference))
+                reference = jax.lax.stop_gradient(new_ref)
+            hs_layers.append(tgt)
+            ref_layers.append(reference)
+        return (jnp.stack(hs_layers), init_reference, jnp.stack(ref_layers))
+
+    # -- full forward --------------------------------------------------------
+
+    def __call__(self, vf: Array, mask: Array, deterministic: bool = True
+                 ) -> Dict[str, Any]:
+        cfg = self.cfg
+        memory, mask_flat, spatial_shapes, valid_ratios = self.encode(
+            vf, mask, deterministic)
+        hs, init_reference, inter_references = self.decode(
+            memory, mask_flat, spatial_shapes, valid_ratios, deterministic)
+
+        logits_layers, count_layers, boxes_layers = [], [], []
+        for lid in range(cfg.dec_layers):
+            hs_lid = hs[lid]
+            reference = init_reference if lid == 0 else inter_references[lid - 1]
+            logits_layers.append(self.class_heads[lid](hs_lid))
+            count_layers.append(self.count_heads[lid](hs_lid.max(axis=1)))
+            delta = self.bbox_heads[lid](hs_lid)
+            ref_logit = inverse_sigmoid(reference)
+            boxes = jax.nn.sigmoid(
+                jnp.concatenate([delta[..., :1] + ref_logit, delta[..., 1:]],
+                                axis=-1))
+            boxes_layers.append(boxes)
+
+        return {
+            "pred_logits": jnp.stack(logits_layers),  # [Lyr, B, Q, 1]
+            "pred_count": jnp.stack(count_layers),  # [Lyr, B, max_eseq+1]
+            "pred_boxes": jnp.stack(boxes_layers),  # [Lyr, B, Q, 2] (c, l)
+            "hs": hs,  # [Lyr, B, Q, C]
+        }
+
+    def init_all(self, vf: Array, mask: Array) -> Dict[str, Any]:
+        """Init-time entry touching every submodule (the caption head is not
+        reached by ``__call__``, so ``model.init`` must go through here)."""
+        out = self(vf, mask)
+        feats = out["hs"][-1].reshape(-1, self.cfg.hidden_dim)
+        dummy = jnp.zeros((feats.shape[0], 2), jnp.int32)
+        self.captioner.teacher_forced_logprobs(feats, dummy)
+        return out
+
+    # -- caption heads -------------------------------------------------------
+
+    def caption_logprobs(self, feats: Array, seq: Array) -> Array:
+        return self.captioner.teacher_forced_logprobs(feats, seq)
+
+    def caption_sample(self, feats: Array, max_len: int) -> Tuple[Array, Array]:
+        return self.captioner.greedy_sample(feats, max_len)
