@@ -134,7 +134,11 @@ class T5Attention(nn.Module):
                  dropout_rate: float, deterministic: bool,
                  cache: Optional[Dict[str, Array]] = None,
                  cache_index: Optional[Array] = None,
+                 key_mask: Optional[Array] = None,
                  ) -> Tuple[Array, Optional[Dict[str, Array]]]:
+        """``bias`` is batch-independent ([1, h, q, k] rel-pos (+ causal));
+        the [B, K] ``key_mask`` is applied separately so no [B, h, L, L]
+        bias tensor is ever materialized in HBM (the v5e OOMs otherwise)."""
         q = self._split(self.q(hidden))
         if cache is not None and "k" in cache and kv is hidden:
             # incremental self-attention: write new kv at cache_index
@@ -151,6 +155,9 @@ class T5Attention(nn.Module):
         scores = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32)
         if bias is not None:
             scores = scores + bias.astype(jnp.float32)
+        if key_mask is not None:
+            scores = jnp.where(key_mask[:, None, None, :].astype(bool),
+                               scores, NEG_INF)
         probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
         probs = _apply_dropout(self, probs, dropout_rate, deterministic)
         out = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
@@ -202,13 +209,15 @@ class T5Block(nn.Module):
                  dropout_rate: float, deterministic: bool,
                  cache: Optional[Dict[str, Any]] = None,
                  cache_index: Optional[Array] = None,
+                 self_key_mask: Optional[Array] = None,
+                 cross_key_mask: Optional[Array] = None,
                  ) -> Tuple[Array, Optional[Dict[str, Any]]]:
         new_cache: Dict[str, Any] = {}
         normed = self.self_attn_norm(x)
         h, self_kv = self.self_attn(
             normed, normed, self_bias, dropout_rate, deterministic,
             cache=None if cache is None else cache.get("self"),
-            cache_index=cache_index)
+            cache_index=cache_index, key_mask=self_key_mask)
         x = x + _apply_dropout(self, h, dropout_rate, deterministic)
         if cache is not None:
             new_cache["self"] = self_kv
@@ -217,7 +226,8 @@ class T5Block(nn.Module):
             h, _ = self.cross_attn(
                 self.cross_attn_norm(x), enc_out, cross_bias,
                 dropout_rate, deterministic,
-                cache=cache.get("cross") if has_cached_cross else None)
+                cache=cache.get("cross") if has_cached_cross else None,
+                key_mask=cross_key_mask)
             x = x + _apply_dropout(self, h, dropout_rate, deterministic)
             if cache is not None:
                 new_cache["cross"] = cache.get("cross")
@@ -254,16 +264,22 @@ class T5Stack(nn.Module):
         x = _apply_dropout(self, inputs_embeds.astype(_dtype(self.cfg)),
                            rate, deterministic)
 
-        key_mask = (1.0 - attention_mask.astype(jnp.float32)) * NEG_INF
-        self_bias = self.rel_bias(l, l) + key_mask[:, None, None, :]
+        # batch-independent bias: rel-pos (+ causal); padding handled inside
+        # attention by the [B, L] key mask (no [B, h, L, L] tensor in HBM)
+        self_bias = self.rel_bias(l, l)
         if self.is_decoder:
             causal = jnp.tril(jnp.ones((l, l), dtype=bool))
             self_bias = jnp.where(causal[None, None], self_bias, NEG_INF)
-        cross_bias = None
-        if enc_out is not None:
-            cross_bias = (1.0 - enc_mask.astype(jnp.float32))[:, None, None, :] * NEG_INF
+
+        def body(blk, x, self_bias, self_key_mask, enc_out, cross_key_mask):
+            return blk(x, self_bias, enc_out, None, rate, deterministic,
+                       self_key_mask=self_key_mask,
+                       cross_key_mask=cross_key_mask)[0]
+
+        if not deterministic:  # remat each block to fit long-seq training
+            body = nn.checkpoint(body)
         for blk in self.blocks:
-            x, _ = blk(x, self_bias, enc_out, cross_bias, rate, deterministic)
+            x = body(blk, x, self_bias, attention_mask, enc_out, enc_mask)
         x = self.final_norm(x)
         return _apply_dropout(self, x, rate, deterministic)
 
