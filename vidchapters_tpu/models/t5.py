@@ -152,16 +152,68 @@ class T5Attention(nn.Module):
         else:
             k = self._split(self.k(kv))
             v = self._split(self.v(kv))
-        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32)
-        if bias is not None:
-            scores = scores + bias.astype(jnp.float32)
-        if key_mask is not None:
-            scores = jnp.where(key_mask[:, None, None, :].astype(bool),
-                               scores, NEG_INF)
-        probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
-        probs = _apply_dropout(self, probs, dropout_rate, deterministic)
-        out = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+        use_chunked = (cache is None and q.shape[2] > self.CHUNK
+                       and q.shape[2] * k.shape[2] > 512 * 512)
+        if use_chunked:
+            out = self._chunked_attention(q, k, v, bias, key_mask,
+                                          dropout_rate, deterministic)
+        else:
+            scores = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32)
+            if bias is not None:
+                scores = scores + bias.astype(jnp.float32)
+            if key_mask is not None:
+                scores = jnp.where(key_mask[:, None, None, :].astype(bool),
+                                   scores, NEG_INF)
+            probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+            probs = _apply_dropout(self, probs, dropout_rate, deterministic)
+            out = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
         return self.o(self._merge(out)), cache
+
+    CHUNK = 128
+
+    def _chunked_attention(self, q: Array, k: Array, v: Array,
+                           bias: Optional[Array], key_mask: Optional[Array],
+                           dropout_rate: float, deterministic: bool) -> Array:
+        """Query-chunked attention: never materializes [B, h, Lq, Lk].
+
+        Identical math to the dense path (including per-element attention-prob
+        dropout, reproduced with a counter-based PRNG folded per chunk) with
+        peak memory O(Lk * CHUNK) per layer — this is what lets seq-1000
+        batch-8 training fit v5e HBM.
+        """
+        chunk = self.CHUNK
+        b, h, lq, d = q.shape
+        pad = (-lq) % chunk
+        qp = jnp.pad(q, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        if bias is not None and pad:
+            bias = jnp.pad(bias, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        n_chunks = qp.shape[2] // chunk
+        key_valid = (key_mask[:, None, None, :].astype(bool)
+                     if key_mask is not None else None)
+        use_dropout = dropout_rate > 0.0 and not deterministic
+        rng = self.make_rng("dropout") if use_dropout else None
+
+        def body(_, idx):
+            qc = jax.lax.dynamic_slice_in_dim(qp, idx * chunk, chunk, axis=2)
+            scores = jnp.einsum("bhqd,bhkd->bhqk", qc, k).astype(jnp.float32)
+            if bias is not None:
+                bc = jax.lax.dynamic_slice_in_dim(
+                    bias.astype(jnp.float32), idx * chunk, chunk, axis=2)
+                scores = scores + bc
+            if key_valid is not None:
+                scores = jnp.where(key_valid, scores, NEG_INF)
+            probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+            if use_dropout:
+                keep = 1.0 - dropout_rate
+                mask = jax.random.bernoulli(
+                    jax.random.fold_in(rng, idx), keep, probs.shape)
+                probs = jnp.where(mask, probs / keep, jnp.zeros_like(probs))
+            return None, jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+
+        _, out_chunks = jax.lax.scan(body, None, jnp.arange(n_chunks))
+        # [n_chunks, B, h, chunk, d] -> [B, h, Lq, d]
+        out = jnp.moveaxis(out_chunks, 0, 2).reshape(b, h, n_chunks * chunk, d)
+        return out[:, :, :lq]
 
     def precompute_kv(self, kv: Array) -> Dict[str, Array]:
         return {"k": self._split(self.k(kv)), "v": self._split(self.v(kv))}
