@@ -1,0 +1,109 @@
+"""Dataset analysis: language / gender / toxicity statistics.
+
+Counterpart of analysis/ (language.py:55-74, gender.py:8-21, nsfw.py:60-121).
+The heavyweight external classifiers (langdetect, GenBit, Detoxify,
+CLIP-NSFW) are pluggable/gated; the built-in language detector is a
+stopword-profile heuristic so the pipeline runs fully offline.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+from typing import Callable, Dict, Iterable, List, Optional
+
+# tiny stopword profiles for the most common languages in VidChapters-7M
+_PROFILES = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "you", "that", "it",
+           "for", "this", "with", "on", "are", "we", "be", "have"},
+    "es": {"el", "la", "de", "que", "y", "en", "los", "del", "se", "las",
+           "por", "un", "para", "con", "una", "es"},
+    "fr": {"le", "la", "de", "et", "les", "des", "est", "un", "une", "que",
+           "pour", "dans", "qui", "nous", "vous", "pas"},
+    "de": {"der", "die", "und", "das", "ist", "von", "mit", "den", "nicht",
+           "ein", "eine", "auf", "sie", "wir", "ich"},
+    "pt": {"de", "que", "e", "o", "da", "em", "um", "para", "com", "uma",
+           "os", "no", "na", "por", "mais", "você"},
+    "ru": {"и", "в", "не", "на", "что", "это", "как", "с", "по", "то", "мы",
+           "вы", "так", "его", "но"},
+}
+
+
+def detect_language(text: str) -> str:
+    """Stopword-overlap language id; 'unknown' when nothing matches."""
+    words = set(text.lower().split())
+    best, best_score = "unknown", 0
+    for lang, profile in _PROFILES.items():
+        score = len(words & profile)
+        if score > best_score:
+            best, best_score = lang, score
+    return best
+
+
+def language_stats(asr: Dict[str, dict],
+                   detector: Optional[Callable[[str], str]] = None
+                   ) -> Dict[str, float]:
+    """Fraction of videos per detected ASR language (language.py:55-74).
+    Pass ``detector=langdetect.detect`` for the reference behavior when the
+    package is installed."""
+    detector = detector or detect_language
+    counts: Counter = Counter()
+    for vid, sub in asr.items():
+        text = " ".join(sub.get("text", []))[:2000]
+        if not text.strip():
+            counts["empty"] += 1
+            continue
+        try:
+            counts[detector(text)] += 1
+        except Exception:
+            counts["unknown"] += 1
+    total = max(sum(counts.values()), 1)
+    return {lang: n / total for lang, n in counts.most_common()}
+
+
+_GENDERED = {
+    "female": {"she", "her", "hers", "herself", "woman", "women", "girl",
+               "girls", "mother", "mom", "sister", "daughter", "wife",
+               "queen", "lady", "ladies", "actress"},
+    "male": {"he", "him", "his", "himself", "man", "men", "boy", "boys",
+             "father", "dad", "brother", "son", "husband", "king",
+             "gentleman", "gentlemen", "actor"},
+}
+
+
+def gender_stats(texts: Iterable[str]) -> Dict[str, float]:
+    """Gendered-term frequencies (GenBit-style aggregate, gender.py:8-21)."""
+    counts = {"female": 0, "male": 0, "total_words": 0}
+    for text in texts:
+        words = text.lower().split()
+        counts["total_words"] += len(words)
+        for w in words:
+            if w in _GENDERED["female"]:
+                counts["female"] += 1
+            elif w in _GENDERED["male"]:
+                counts["male"] += 1
+    total_gendered = counts["female"] + counts["male"]
+    return {
+        "female_fraction": counts["female"] / max(total_gendered, 1),
+        "male_fraction": counts["male"] / max(total_gendered, 1),
+        "gendered_word_rate": total_gendered / max(counts["total_words"], 1),
+    }
+
+
+def toxicity_stats(texts: Iterable[str],
+                   scorer: Optional[Callable[[str], float]] = None,
+                   threshold: float = 0.5) -> Dict[str, float]:
+    """Fraction of texts flagged toxic; ``scorer`` wraps Detoxify when
+    installed (nsfw.py:60-121); without one, a minimal blocklist heuristic."""
+    if scorer is None:
+        blocklist = {"fuck", "shit", "bitch", "asshole", "bastard", "dick"}
+
+        def scorer(t: str) -> float:
+            words = set(t.lower().split())
+            return 1.0 if words & blocklist else 0.0
+
+    scores = [scorer(t) for t in texts]
+    n = max(len(scores), 1)
+    return {
+        "toxic_fraction": sum(s > threshold for s in scores) / n,
+        "mean_score": sum(scores) / n,
+    }

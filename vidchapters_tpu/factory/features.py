@@ -1,0 +1,127 @@
+"""CLIP frame-feature factory: batched JAX feature extraction.
+
+Counterpart of the reference feature pipelines (demo_vid2seq.py:70-113 1-FPS
+decode + CLIP ViT-L/14 encode; moment_detr/run_on_video/data_utils.py:9-49):
+frames are preprocessed (resize-shorter-side + center crop + CLIP
+normalization, pure numpy), batched, and pushed through the JAX CLIP image
+tower under jit — one compiled program reused across all videos, the big
+per-chip throughput win over the per-frame torch loop.
+
+Video decode needs ffmpeg; when absent, the extractor accepts pre-decoded
+frame arrays (tests, or upstream decode services). The per-video output is
+``<id>.npy`` [T, D], matching what every dataset loader reads.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import subprocess
+from pathlib import Path
+from typing import Callable, Iterator, Optional, Sequence
+
+import numpy as np
+
+CLIP_MEAN = np.array([0.48145466, 0.4578275, 0.40821073], np.float32)
+CLIP_STD = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
+
+
+def preprocess_frames(frames: np.ndarray, size: int = 224) -> np.ndarray:
+    """[T, H, W, 3] uint8 -> [T, size, size, 3] float32, CLIP-normalized
+    (resize shorter side to ``size`` bilinearly, center crop)."""
+    t, h, w, _ = frames.shape
+    scale = size / min(h, w)
+    nh, nw = round(h * scale), round(w * scale)
+    # bilinear resize via separable linear interpolation
+    ys = np.linspace(0, h - 1, nh)
+    xs = np.linspace(0, w - 1, nw)
+    y0 = np.floor(ys).astype(int)
+    x0 = np.floor(xs).astype(int)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    wy = (ys - y0)[None, :, None, None]
+    wx = (xs - x0)[None, None, :, None]
+    f = frames.astype(np.float32)
+    top = f[:, y0][:, :, x0] * (1 - wx) + f[:, y0][:, :, x1] * wx
+    bot = f[:, y1][:, :, x0] * (1 - wx) + f[:, y1][:, :, x1] * wx
+    resized = top * (1 - wy) + bot * wy
+    # center crop
+    oy = (nh - size) // 2
+    ox = (nw - size) // 2
+    crop = resized[:, oy:oy + size, ox:ox + size]
+    return ((crop / 255.0 - CLIP_MEAN) / CLIP_STD).astype(np.float32)
+
+
+def decode_video_1fps(video_path: str, size: int = 224) -> np.ndarray:
+    """1-FPS RGB frames via ffmpeg (demo_vid2seq.py:84-90); raises if ffmpeg
+    is unavailable."""
+    if shutil.which("ffmpeg") is None:
+        raise RuntimeError("ffmpeg not available; provide frames directly")
+    probe = subprocess.run(
+        ["ffprobe", "-v", "error", "-select_streams", "v:0", "-show_entries",
+         "stream=width,height", "-of", "csv=p=0", video_path],
+        capture_output=True, text=True, check=True).stdout.strip()
+    w, h = (int(x) for x in probe.split(","))
+    proc = subprocess.run(
+        ["ffmpeg", "-i", video_path, "-vf", "fps=1", "-f", "rawvideo",
+         "-pix_fmt", "rgb24", "-v", "error", "-"],
+        capture_output=True, check=True)
+    frames = np.frombuffer(proc.stdout, np.uint8).reshape(-1, h, w, 3)
+    return frames
+
+
+class CLIPFeatureExtractor:
+    """Batched jit'd CLIP image tower over frame arrays."""
+
+    def __init__(self, encoder, params, batch_size: int = 64):
+        import jax
+
+        self.encoder = encoder
+        self.params = params
+        self.batch_size = batch_size
+        self._encode = jax.jit(
+            lambda p, x: encoder.apply({"params": p}, x))
+
+    def __call__(self, frames: np.ndarray) -> np.ndarray:
+        """[T, H, W, 3] uint8 or preprocessed float -> [T, D] features."""
+        import jax.numpy as jnp
+
+        if frames.dtype == np.uint8:
+            frames = preprocess_frames(frames)
+        feats = []
+        bs = self.batch_size
+        n = len(frames)
+        for s in range(0, n, bs):
+            chunk = frames[s:s + bs]
+            if len(chunk) < bs:  # static-shape pad for one compiled program
+                pad = np.zeros((bs - len(chunk),) + chunk.shape[1:],
+                               chunk.dtype)
+                out = self._encode(self.params,
+                                   jnp.asarray(np.concatenate([chunk, pad])))
+                feats.append(np.asarray(out)[: len(chunk)])
+            else:
+                feats.append(np.asarray(self._encode(self.params,
+                                                     jnp.asarray(chunk))))
+        return np.concatenate(feats, axis=0)
+
+
+def extract_features_sharded(video_paths: Sequence[str], out_dir: str,
+                             extractor: Callable[[np.ndarray], np.ndarray],
+                             decode_fn: Optional[Callable[[str], np.ndarray]] = None,
+                             seed: int = 0) -> int:
+    """Idempotent sharded feature extraction (same resume pattern as the ASR
+    factory: skip existing outputs, shuffle work)."""
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    decode_fn = decode_fn or decode_video_1fps
+    paths = list(video_paths)
+    np.random.default_rng(seed).shuffle(paths)
+    done = 0
+    for path in paths:
+        target = out / (Path(path).stem + ".npy")
+        if target.exists():
+            continue
+        frames = decode_fn(path)
+        np.save(target, extractor(frames).astype(np.float32))
+        done += 1
+    return done

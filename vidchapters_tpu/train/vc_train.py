@@ -1,0 +1,102 @@
+"""Chapter-title captioning with GT boundaries (VC task).
+
+Counterpart of vc.py:26-176: the Vid2Seq model trains on (clip features,
+clip ASR) -> title with the generative loss only; evaluation generates a
+title per GT clip and scores with the COCO captioning metrics
+(dvc_eval/eval_vc.py via evals.captioning). Tokenization happens here in the
+loop (vc.py:48-49), padded to static shapes before the jit boundary.
+
+``strip_time_tokens`` reproduces vc.py:304-308: loading a DVC checkpoint for
+the VC task slices the time-token rows off the embedding (the VC variant
+trains with text-only vocab).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vidchapters_tpu.config import GenerationConfig
+from vidchapters_tpu.models.vid2seq import Vid2Seq
+from vidchapters_tpu.train.dvc_train import make_generate_fn
+
+
+def tokenize_batch(texts: List[str], tokenizer, max_tokens: int) -> np.ndarray:
+    out = np.zeros((len(texts), max_tokens), np.int64)
+    for i, t in enumerate(texts):
+        ids = tokenizer.encode(t, add_special_tokens=True,
+                               max_length=max_tokens, truncation=True)
+        if not ids or ids[-1] != tokenizer.eos_token_id:
+            ids = (ids + [tokenizer.eos_token_id])[:max_tokens]
+        out[i, : len(ids)] = ids
+    return out
+
+
+def strip_time_tokens(params: Dict, num_bins: int) -> Dict:
+    """Drop the trailing time-token rows from embeddings (vc.py:304-308)."""
+    import copy
+
+    p = copy.deepcopy(params)
+    emb = np.asarray(p["t5"]["shared"]["embedding"])
+    p["t5"]["shared"]["embedding"] = emb[:-num_bins]
+    if "lm_head" in p["t5"]:
+        head = np.asarray(p["t5"]["lm_head"]["kernel"])
+        p["t5"]["lm_head"]["kernel"] = head[:, :-num_bins]
+    return p
+
+
+def make_vc_train_step(model: Vid2Seq, tx) -> Callable:
+    import optax
+
+    def loss_fn(params, batch, rng):
+        out = model.apply({"params": params}, batch["video"],
+                          batch["input_tokens"],
+                          (batch["input_tokens"] != 0).astype(jnp.int32),
+                          batch["output_tokens"], deterministic=False,
+                          rngs={"dropout": rng})
+        return out["loss"]
+
+    def train_step(state, batch, rng):
+        from vidchapters_tpu.train.dvc_train import TrainState
+
+        step_rng = jax.random.fold_in(rng, state.step)
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, batch, step_rng)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return (TrainState(params, opt_state, state.step + 1),
+                {"loss": loss, "grad_norm": optax.global_norm(grads)})
+
+    return train_step
+
+
+def evaluate_vc(model: Vid2Seq, params, dataset, tokenizer,
+                gen: GenerationConfig, max_input_tokens: int = 256,
+                batch_clips: int = 16, seed: int = 0
+                ) -> Tuple[Dict, Dict[str, float]]:
+    """Per-clip generation over every video, then COCO captioning metrics
+    (vc.py:89-176 + dvc_eval/eval_vc.py)."""
+    from vidchapters_tpu.evals.captioning import eval_vc
+
+    generate = make_generate_fn(model, gen)
+    rng = jax.random.PRNGKey(seed)
+    results = {}
+    uid = 0
+    for idx in range(len(dataset)):
+        ex = dataset[idx]
+        clips = ex["video"]  # [n_clips, T, D]
+        inputs = tokenize_batch(ex["input_text"], tokenizer, max_input_tokens)
+        texts: List[str] = []
+        for s in range(0, len(clips), batch_clips):
+            rng, sub = jax.random.split(rng)
+            seqs = generate(params, jnp.asarray(clips[s:s + batch_clips]),
+                            jnp.asarray(inputs[s:s + batch_clips]), sub)
+            texts.extend(tokenizer.batch_decode(np.asarray(seqs),
+                                                skip_special_tokens=True))
+        for pred, gt in zip(texts, ex["output_text"]):
+            results[uid] = {"sentence": pred, "gt": gt}
+            uid += 1
+    metrics = eval_vc(results) if results else {}
+    return results, metrics
