@@ -1,0 +1,72 @@
+"""Native C++ feature loader vs the numpy reference implementation."""
+
+import time
+
+import numpy as np
+import pytest
+
+from vidchapters_tpu.data.features import subsample_or_pad
+
+native = pytest.importorskip("vidchapters_tpu.data.native_loader")
+
+if not native.is_available():
+    pytest.skip("g++ unavailable", allow_module_level=True)
+
+
+@pytest.fixture(scope="module")
+def loader():
+    return native.NativeFeatureLoader(num_threads=2)
+
+
+def test_shape_and_exact_load(tmp_path, loader, rng):
+    arr = rng.normal(size=(37, 16)).astype(np.float32)
+    p = tmp_path / "a.npy"
+    np.save(p, arr)
+    assert loader.shape(str(p)) == (37, 16)
+    out = loader.load(str(p), max_rows=37, dim=16)
+    np.testing.assert_array_equal(out, arr)
+
+
+def test_subsample_matches_reference_rule(tmp_path, loader, rng):
+    arr = rng.normal(size=(250, 8)).astype(np.float32)
+    p = tmp_path / "b.npy"
+    np.save(p, arr)
+    out = loader.load(str(p), max_rows=100, dim=8)
+    np.testing.assert_array_equal(out, subsample_or_pad(arr, 100, 8))
+
+
+def test_pad_short(tmp_path, loader, rng):
+    arr = rng.normal(size=(5, 8)).astype(np.float32)
+    p = tmp_path / "c.npy"
+    np.save(p, arr)
+    out = loader.load(str(p), max_rows=10, dim=8)
+    np.testing.assert_array_equal(out[:5], arr)
+    assert out[5:].sum() == 0
+
+
+def test_float64_input(tmp_path, loader, rng):
+    arr = rng.normal(size=(6, 4))
+    p = tmp_path / "d.npy"
+    np.save(p, arr)
+    out = loader.load(str(p), max_rows=6, dim=4)
+    np.testing.assert_allclose(out, arr.astype(np.float32), rtol=1e-6)
+
+
+def test_prefetch_populates_cache(tmp_path, loader, rng):
+    paths = []
+    for i in range(4):
+        p = tmp_path / f"pf{i}.npy"
+        np.save(p, rng.normal(size=(20, 8)).astype(np.float32))
+        paths.append(str(p))
+    loader.prefetch(paths)
+    deadline = time.time() + 5
+    while loader.cache_entries() < 4 and time.time() < deadline:
+        time.sleep(0.01)
+    assert loader.cache_entries() >= 4
+
+
+def test_dim_mismatch_errors(tmp_path, loader, rng):
+    p = tmp_path / "e.npy"
+    np.save(p, rng.normal(size=(5, 8)).astype(np.float32))
+    with pytest.raises(IOError):
+        loader.load(str(p), max_rows=5, dim=16)

@@ -1,0 +1,169 @@
+"""DVC / chapter-generation training entry point (the dvc.py equivalent).
+
+Full orchestration matching dvc.py:243-475: build tokenizer + datasets +
+model + optimizer, run per-epoch train/eval with best-checkpoint selection on
+CIDEr (dvc.py:402-418), persist ``last`` for resume, write per-epoch
+``log.txt`` JSON lines (dvc.py:429-431) and prediction jsons, and reload the
+best checkpoint for the final test eval (dvc.py:447-464).
+
+Unlike the reference's launcher-spawned unsynchronized replicas, there is one
+process per host, batches shard over the mesh data axis, and XLA keeps
+parameters in sync.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vidchapters_tpu.config import ExperimentConfig
+from vidchapters_tpu.data.dvc_dataset import (
+    DenseVideoCaptioningDataset,
+    EpochIterator,
+    YTPretrainDataset,
+)
+from vidchapters_tpu.data.tokenizer import build_tokenizer
+from vidchapters_tpu.models.vid2seq import Vid2Seq
+from vidchapters_tpu.runtime.checkpoint import CheckpointManager
+from vidchapters_tpu.runtime.mesh import create_mesh, is_main_process
+from vidchapters_tpu.runtime.meters import MetricLogger
+from vidchapters_tpu.train.dvc_train import (
+    TrainState,
+    evaluate,
+    make_train_step,
+)
+from vidchapters_tpu.train.schedules import build_optimizer
+
+
+def build_datasets(cfg: ExperimentConfig, tokenizer):
+    train_sets, val_sets = [], []
+    for name in cfg.combine_datasets:
+        paths = cfg.datasets[name]
+        if name == "htm":
+            train_sets.append((name, YTPretrainDataset.from_csv(
+                paths.train_json_path, paths.features_path, tokenizer,
+                paths.subtitles_path, cfg.data)))
+            continue
+        train_sets.append((name, DenseVideoCaptioningDataset(
+            paths.train_json_path, paths.features_path, tokenizer, cfg.data,
+            subtitles_path=paths.subtitles_path)))
+        val_sets.append((name, DenseVideoCaptioningDataset(
+            paths.val_json_path, paths.features_path, tokenizer, cfg.data,
+            subtitles_path=paths.subtitles_path), paths.val_json_path))
+    return train_sets, val_sets
+
+
+def main(cfg: ExperimentConfig,
+         init_params: Optional[Dict] = None) -> Dict[str, float]:
+    tokenizer = build_tokenizer(cfg.tokenizer_path, num_bins=cfg.model.num_bins)
+    mesh = create_mesh(cfg.train.mesh)
+    train_sets, val_sets = build_datasets(cfg, tokenizer)
+
+    model = Vid2Seq(cfg.model)
+    rng = jax.random.PRNGKey(cfg.train.seed)
+
+    # init (or import) parameters
+    d = cfg.data
+    dummy_video = jnp.zeros((1, d.max_feats, d.features_dim), jnp.float32)
+    dummy_inp = jnp.ones((1, 8), jnp.int32)
+    dummy_out = jnp.ones((1, 8), jnp.int32)
+    if init_params is None:
+        init_params = model.init(
+            {"params": rng, "dropout": rng}, dummy_video, dummy_inp,
+            jnp.ones_like(dummy_inp), dummy_out)["params"]
+    n_params = sum(int(np.prod(p.shape))
+                   for p in jax.tree_util.tree_leaves(init_params))
+    print(f"number of params: {n_params}")  # dvc.py:339-341
+
+    # data-parallel iterators: each host reads its shard
+    steps_per_epoch = sum(
+        len(EpochIterator(ds, cfg.train.batch_size, d,
+                          num_shards=jax.process_count(),
+                          shard_index=jax.process_index()))
+        for _, ds in train_sets)
+    tx = build_optimizer(cfg.train.optim, steps_per_epoch * cfg.train.epochs)
+    train_step = jax.jit(make_train_step(
+        model, tx, generative=cfg.train.generative,
+        denoising=cfg.train.denoising, genasr=cfg.train.genasr),
+        donate_argnums=(0,))
+
+    state = TrainState(init_params, tx.init(init_params), jnp.array(0))
+    ckpt = CheckpointManager(cfg.train.checkpoint.save_dir or "/tmp/vidchapters_ckpt",
+                             best_metric=cfg.train.checkpoint.best_metric,
+                             best_mode=cfg.train.checkpoint.best_mode,
+                             save_every_epochs=cfg.train.checkpoint.save_every_epochs)
+    if ckpt.has("last"):  # resume (dvc.py:354-361)
+        state = TrainState(*ckpt.restore("last", tuple(state)))
+        print(f"resumed from epoch {ckpt.meta('last').get('epoch')}")
+
+    log_path = Path(ckpt.dir) / "log.txt"
+    start_epoch = int(ckpt.meta("last").get("epoch", -1)) + 1
+    for epoch in range(start_epoch, cfg.train.epochs):
+        logger = MetricLogger()
+        for name, ds in train_sets:
+            it = EpochIterator(ds, cfg.train.batch_size, d,
+                               seed=cfg.train.seed,
+                               num_shards=jax.process_count(),
+                               shard_index=jax.process_index())
+            it.set_epoch(epoch)
+            for batch in logger.log_every(it, cfg.train.print_freq,
+                                          f"Epoch [{epoch}] {name}"):
+                arrays = {k: jnp.asarray(v) for k, v in batch.items()
+                          if isinstance(v, np.ndarray)}
+                state, metrics = train_step(state, arrays, rng)
+                logger.update(**{k: float(v) for k, v in metrics.items()})
+                if not np.isfinite(float(metrics["total_loss"])):
+                    raise RuntimeError("Loss is not finite, stopping training")
+
+        epoch_stats = {f"train_{k}": v for k, v in logger.global_averages().items()}
+
+        if (epoch + 1) % cfg.train.eval_every_epochs == 0:
+            for name, ds, ref_path in val_sets:
+                it = EpochIterator(ds, cfg.train.eval_batch_size, d,
+                                   shuffle=False, drop_last=False,
+                                   num_shards=jax.process_count(),
+                                   shard_index=jax.process_index())
+                preds, metrics = evaluate(model, state.params, it, tokenizer,
+                                          cfg.generation, cfg.model.num_bins,
+                                          references=[ref_path])
+                epoch_stats.update({f"{name}_{k}": v for k, v in metrics.items()})
+                if is_main_process():
+                    pred_path = Path(ckpt.dir) / f"{name}_val_preds_e{epoch}.json"
+                    with open(pred_path, "w") as f:
+                        json.dump({"results": preds}, f)
+                ckpt.maybe_save_best(tuple(state), epoch, metrics)
+
+        ckpt.save_last(tuple(state), epoch)
+        if is_main_process():
+            with open(log_path, "a") as f:
+                f.write(json.dumps({"epoch": epoch, **epoch_stats}) + "\n")
+
+    # final eval with the best checkpoint (dvc.py:447-464)
+    final_metrics: Dict[str, float] = {}
+    if ckpt.has("best"):
+        state = TrainState(*ckpt.restore("best", tuple(state)))
+    for name, ds, ref_path in val_sets:
+        it = EpochIterator(ds, cfg.train.eval_batch_size, d, shuffle=False,
+                           drop_last=False)
+        _, metrics = evaluate(model, state.params, it, tokenizer,
+                              cfg.generation, cfg.model.num_bins,
+                              references=[ref_path])
+        final_metrics.update({f"{name}_{k}": v for k, v in metrics.items()})
+    return final_metrics
+
+
+if __name__ == "__main__":
+    import argparse
+
+    from vidchapters_tpu.config import load_config
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", required=True, help="experiment json")
+    a = p.parse_args()
+    cfg = load_config(ExperimentConfig, a.config)
+    print(main(cfg))
