@@ -64,15 +64,17 @@ def main() -> None:
     }
     step_rng = jax.random.PRNGKey(1)
 
-    # warmup / compile
+    # warmup / compile; fetch a scalar to the host — on the axon remote
+    # platform block_until_ready returns before execution finishes, so a
+    # value fetch is the only reliable barrier
     state, metrics = train_step(state, batch_dict, step_rng)
-    jax.block_until_ready(metrics)
+    float(metrics["total_loss"])
 
     n_steps = 10
     t0 = time.perf_counter()
     for _ in range(n_steps):
         state, metrics = train_step(state, batch_dict, step_rng)
-    jax.block_until_ready(metrics)
+    float(metrics["total_loss"])  # serializes the whole step chain
     dt = time.perf_counter() - t0
 
     videos_per_sec = batch * n_steps / dt
