@@ -1,0 +1,109 @@
+"""SentencePiece-unigram tokenizer: wire-format parsing + Viterbi segmentation,
+tested against a synthesized spiece.model protobuf."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from vidchapters_tpu.data.tokenizer import (
+    SentencePieceUnigramTokenizer,
+    _parse_spm_pieces,
+)
+
+
+def _varint(n: int) -> bytes:
+    out = b""
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out += bytes([b | 0x80])
+        else:
+            out += bytes([b])
+            return out
+
+
+def _piece(text: str, score: float, ptype: int = 1) -> bytes:
+    body = b""
+    enc = text.encode("utf-8")
+    body += b"\x0a" + _varint(len(enc)) + enc        # field 1 (piece)
+    body += b"\x15" + struct.pack("<f", score)        # field 2 (score)
+    body += b"\x18" + _varint(ptype)                  # field 3 (type)
+    return b"\x0a" + _varint(len(body)) + body        # ModelProto field 1
+
+
+def make_spm_model(path, pieces):
+    data = b"".join(_piece(*p) for p in pieces)
+    # append an unknown top-level field (e.g. trainer spec) to test skipping
+    junk = b"trainer"
+    data += b"\x12" + _varint(len(junk)) + junk
+    path.write_bytes(data)
+
+
+PIECES = [
+    ("<pad>", 0.0, 3),    # CONTROL
+    ("</s>", 0.0, 3),     # CONTROL
+    ("<unk>", 0.0, 2),    # UNKNOWN
+    ("▁the", -1.0, 1),
+    ("▁cat", -2.0, 1),
+    ("▁ca", -4.0, 1),
+    ("t", -3.0, 1),
+    ("▁", -5.0, 1),
+    ("c", -6.0, 1),
+    ("a", -6.0, 1),
+    ("▁dog", -2.5, 1),
+    ("s", -3.5, 1),
+]
+
+
+@pytest.fixture
+def spm(tmp_path):
+    p = tmp_path / "spiece.model"
+    make_spm_model(p, PIECES)
+    return SentencePieceUnigramTokenizer(str(p), num_bins=100, extra_ids=4)
+
+
+def test_parse_pieces(tmp_path):
+    p = tmp_path / "m.model"
+    make_spm_model(p, PIECES)
+    parsed = _parse_spm_pieces(p.read_bytes())
+    assert len(parsed) == len(PIECES)
+    assert parsed[3][0] == "▁the"
+    assert parsed[3][1] == pytest.approx(-1.0)
+    assert parsed[2][2] == 2  # UNKNOWN type
+
+
+def test_vocab_layout(spm):
+    # 12 pieces + 4 extra ids + 100 time tokens
+    assert len(spm) == 12 + 4 + 100
+    assert spm.text_vocab_size == 16
+    assert spm.sentinel_id(0) == 15
+    assert spm.time_token_id(0) == 16
+
+
+def test_viterbi_prefers_high_scores(spm):
+    # "the cat" -> ▁the + ▁cat (best path), not ▁ca + t
+    ids = spm.encode("the cat")
+    assert ids == [3, 4]
+    # "cats" -> ▁cat + s beats ▁ca + t + s
+    assert spm.encode("cats") == [4, 11]
+
+
+def test_unknown_char_fallback(spm):
+    ids = spm.encode("the x")
+    assert ids[0] == 3
+    assert 2 in ids  # unk for 'x'
+
+
+def test_decode_roundtrip(spm):
+    ids = spm.encode("the cat")
+    assert spm.decode(ids) == "the cat"
+    # control pieces are skipped in decode
+    assert spm.decode([0, 1] + ids) == "the cat"
+
+
+def test_time_tokens_with_spm(spm):
+    ids = spm.encode("<time=3> the cat")
+    assert ids[0] == spm.time_token_id(3)
+    assert spm.decode(ids).startswith("<time=3>")
