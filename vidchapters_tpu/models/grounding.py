@@ -217,6 +217,16 @@ class MomentDETR(nn.Module):
             "pred_spans": spans[-1],
             "saliency_scores": saliency,
         }
+        if cfg.contrastive_align_loss:  # model.py:85-90,168-176
+            txt_mem = memory[:, vid_len:vid_len + src_txt.shape[1]]
+            norm = lambda x: x / (jnp.linalg.norm(x, axis=-1, keepdims=True)
+                                  + 1e-6)
+            out["proj_queries"] = norm(nn.Dense(
+                cfg.contrastive_hdim, name="contrastive_query_proj")(hs[-1]))
+            out["proj_txt_mem"] = norm(nn.Dense(
+                cfg.contrastive_hdim, name="contrastive_txt_proj")(txt_mem))
+            out["proj_vid_mem"] = norm(nn.Dense(
+                cfg.contrastive_hdim, name="contrastive_vid_proj")(vid_mem))
         if cfg.aux_loss:
             out["aux_outputs"] = [
                 {"pred_logits": logits[i], "pred_spans": spans[i]}
@@ -309,6 +319,26 @@ def grounding_loss(outputs: Dict[str, Array], targets: Dict[str, Array],
     for i, aux in enumerate(outputs.get("aux_outputs", [])):
         total = total + layer_losses(aux["pred_logits"], aux["pred_spans"],
                                      prefix=f"aux{i}_")
+
+    if cfg.contrastive_align_loss and "proj_queries" in outputs:
+        # NCE between matched queries and text tokens (model.py:305-322)
+        q_proj = outputs["proj_queries"]  # [B, Q, h]
+        t_proj = outputs["proj_txt_mem"]  # [B, Lt, h]
+        logits_nce = jnp.einsum("bqh,bth->bqt", q_proj, t_proj).sum(2) / 0.07
+        assign = _match_batch(outputs["pred_logits"], outputs["pred_spans"],
+                              tgt_spans, tgt_valid, cfg, exact=exact_match)
+        b, q = logits_nce.shape
+        safe = jnp.where(assign >= 0, assign, 0)
+        vmask = (assign >= 0) & tgt_valid
+        pos_map = jnp.zeros((b, q), bool)
+        pos_map = jax.vmap(lambda f, a, v: f.at[jnp.where(v, a, q)].set(
+            True, mode="drop"))(pos_map, safe, vmask)
+        pos_term = jnp.where(pos_map, logits_nce, 0.0).sum(1)
+        num_pos = jnp.maximum(pos_map.sum(1), 1)
+        neg_term = jax.nn.logsumexp(logits_nce, axis=1)
+        loss_nce = (-pos_term / num_pos + neg_term).mean()
+        losses["loss_contrastive_align"] = loss_nce
+        total = total + loss_nce
 
     if "saliency_pos_labels" in targets:
         s = outputs["saliency_scores"]  # [B, L]
