@@ -319,6 +319,144 @@ class LSTMCaptioner(nn.Module):
         return toks.T, lps.T
 
 
+class DSACaptioner(nn.Module):
+    """LSTM with deformable soft attention (LSTMDSACaptioner,
+    CaptioningHead/LSTM_DSA.py:16-270): each step deformably samples
+    heads x levels x points clip vectors around the event's reference point
+    (offsets conditioned on [h_state ; query]), pools them with additive
+    attention against the LSTM state, and feeds [word ; pooled ; query] to
+    the LSTM. Explicit params so lax.scan bodies stay leak-free.
+    """
+
+    cfg: PDVCConfig
+
+    def setup(self):
+        cfg = self.cfg
+        h = cfg.rnn_size
+        v = cfg.vocab_size + 1
+        d = cfg.hidden_dim
+        m, L, p = cfg.cap_nheads, cfg.cap_num_feature_levels, cfg.cap_dec_n_points
+        self.d_head = d // m
+        att_hid = h
+        init = nn.initializers.uniform(0.1)
+        xavier = nn.initializers.xavier_uniform()
+        self.embedding = self.param("embedding", init, (v, h), jnp.float32)
+        # deformable sampling: value projection + offsets from [h ; query]
+        self.w_value = self.param("w_value", xavier, (d, d), jnp.float32)
+        self.b_value = self.param("b_value", nn.initializers.zeros, (d,),
+                                  jnp.float32)
+        self.w_offset = self.param("w_offset", nn.initializers.zeros,
+                                   (h + d, m * L * p), jnp.float32)
+        self.b_offset = self.param("b_offset", nn.initializers.zeros,
+                                   (m * L * p,), jnp.float32)
+        # additive attention
+        self.w_ctx2att = self.param("w_ctx2att", xavier,
+                                    (self.d_head, att_hid), jnp.float32)
+        self.w_h2att = self.param("w_h2att", xavier, (h, att_hid), jnp.float32)
+        self.w_alpha = self.param("w_alpha", xavier, (att_hid, 1), jnp.float32)
+        # LSTM over [word ; pooled-clip(d) ; query(d)] (input_dim = 2 * d)
+        in_dim = h + 2 * d
+        self.w_x = self.param("w_x", xavier, (in_dim, 4 * h), jnp.float32)
+        self.w_h = self.param("w_h", xavier, (h, 4 * h), jnp.float32)
+        self.logit_w = self.param("logit_w", init, (h, v), jnp.float32)
+        self.logit_b = self.param("logit_b", nn.initializers.zeros, (v,),
+                                  jnp.float32)
+
+    def _cell(self, state, x):
+        h_prev, c_prev = state
+        gates = x @ self.w_x + h_prev @ self.w_h
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        c = jax.nn.sigmoid(f) * c_prev + jax.nn.sigmoid(i) * jnp.tanh(g)
+        h = jax.nn.sigmoid(o) * jnp.tanh(c)
+        return (h, c), h
+
+    def _attend(self, h_state, query, reference_points, value,
+                spatial_shapes):
+        """One step of deformable soft attention -> pooled clip feature [N, d]."""
+        from vidchapters_tpu.ops.deformable_attention import (
+            deformable_sampling_1d,
+        )
+
+        cfg = self.cfg
+        m, L, p = cfg.cap_nheads, cfg.cap_num_feature_levels, cfg.cap_dec_n_points
+        n = query.shape[0]
+        joint = jnp.concatenate([h_state, query], axis=-1)
+        offsets = (joint @ self.w_offset + self.b_offset).reshape(n, m, L, p)
+        shapes_arr = jnp.asarray(spatial_shapes[:L], jnp.float32)
+        loc = (reference_points[:, None, :L, None]
+               + offsets / shapes_arr[None, None, :, None])  # [N, m, L, p]
+        samples = deformable_sampling_1d(value, tuple(spatial_shapes[:L]),
+                                         loc[:, None])
+        # samples: [N, 1, m, L, p, d_head] -> [N, m, L*p, d_head]
+        samples = samples[:, 0].reshape(n, m, L * p, self.d_head)
+        att = jnp.tanh(samples @ self.w_ctx2att
+                       + (h_state @ self.w_h2att)[:, None, None, :])
+        alpha = jax.nn.softmax((att @ self.w_alpha)[..., 0], axis=-1)
+        pooled = jnp.einsum("nms,nmsd->nmd", alpha, samples)
+        return pooled.reshape(n, m * self.d_head)
+
+    def _prep_value(self, memory, memory_mask):
+        cfg = self.cfg
+        m = cfg.cap_nheads
+        value = memory @ self.w_value + self.b_value
+        value = value * memory_mask[..., None].astype(value.dtype)
+        n, s, d = value.shape
+        return value.reshape(n, s, m, self.d_head)
+
+    def teacher_forced_logprobs(self, feats: Array, seq: Array,
+                                reference_points: Array, memory: Array,
+                                memory_mask: Array,
+                                spatial_shapes: Tuple[int, ...]) -> Array:
+        """feats [N, C] (event queries); reference_points [N, L] (per-level
+        normalized centers); memory [N, S, C]. Returns [N, L_seq-1, V+1]."""
+        n = feats.shape[0]
+        value = self._prep_value(memory, memory_mask)
+        emb = self.embedding[seq[:, :-1]]
+        h0 = (jnp.zeros((n, self.cfg.rnn_size)),
+              jnp.zeros((n, self.cfg.rnn_size)))
+
+        def body(state, x_t):
+            pooled = self._attend(state[0], feats, reference_points, value,
+                                  spatial_shapes)
+            inp = jnp.concatenate([x_t, pooled, feats], axis=-1)
+            state, h = self._cell(state, inp)
+            return state, jax.nn.log_softmax(h @ self.logit_w + self.logit_b,
+                                             axis=-1)
+
+        _, logps = jax.lax.scan(body, h0, jnp.swapaxes(emb, 0, 1))
+        return jnp.swapaxes(logps, 0, 1)
+
+    __call__ = teacher_forced_logprobs
+
+    def greedy_sample(self, feats: Array, reference_points: Array,
+                      memory: Array, memory_mask: Array,
+                      spatial_shapes: Tuple[int, ...], max_len: int
+                      ) -> Tuple[Array, Array]:
+        n = feats.shape[0]
+        value = self._prep_value(memory, memory_mask)
+        h0 = (jnp.zeros((n, self.cfg.rnn_size)),
+              jnp.zeros((n, self.cfg.rnn_size)))
+
+        def body(carry, _):
+            state, tok, alive = carry
+            pooled = self._attend(state[0], feats, reference_points, value,
+                                  spatial_shapes)
+            xt = self.embedding[tok]
+            inp = jnp.concatenate([xt, pooled, feats], axis=-1)
+            state, h = self._cell(state, inp)
+            logp = jax.nn.log_softmax(h @ self.logit_w + self.logit_b, axis=-1)
+            nxt = jnp.argmax(logp, axis=-1).astype(jnp.int32)
+            lp = jnp.take_along_axis(logp, nxt[:, None], axis=-1)[:, 0]
+            nxt = jnp.where(alive, nxt, 0)
+            lp = jnp.where(alive, lp, 0.0)
+            alive = alive & (nxt > 0)
+            return (state, nxt, alive), (nxt, lp)
+
+        init = (h0, jnp.zeros(n, jnp.int32), jnp.ones(n, bool))
+        _, (toks, lps) = jax.lax.scan(body, init, None, length=max_len)
+        return toks.T, lps.T
+
+
 # ---------------------------------------------------------------------------
 # Full PDVC model
 # ---------------------------------------------------------------------------

@@ -128,6 +128,38 @@ def deformable_attention_1d(
     return acc.reshape(n, lq, m * d).astype(value.dtype)
 
 
+def deformable_sampling_1d(value: Array, spatial_shapes: Sequence[int],
+                           sampling_locations: Array) -> Array:
+    """Sampled (not attention-summed) values: the ``return_value=True`` mode
+    of the reference fallback (ms_deform_attn_func.py:66-67), used by the
+    LSTM-DSA caption head's additive attention
+    (CaptioningHead/LSTM_DSA.py:236-258).
+
+    value [N, S, M, D]; sampling_locations [N, Lq, M, L, P] ->
+    samples [N, Lq, M, L, P, D].
+    """
+    n, s, m, d = value.shape
+    _, lq, _, L, p = sampling_locations.shape
+    levels = _split_levels(value, spatial_shapes)
+    per_level = []
+    for lid, t_l in enumerate(spatial_shapes):
+        v = jnp.moveaxis(levels[lid], 1, 2)  # [N, M, T, D]
+        loc = sampling_locations[:, :, :, lid]  # [N, Lq, M, P]
+        x0, x1, w0, w1 = _lerp_indices(loc, t_l)
+
+        def one(v_nm, x0_nm, x1_nm, w0_nm, w1_nm):
+            s0 = v_nm[x0_nm]  # [Lq, P, D]
+            s1 = v_nm[x1_nm]
+            return w0_nm[..., None] * s0 + w1_nm[..., None] * s1
+
+        per_b = jax.vmap(one, in_axes=(0,) * 5, out_axes=0)
+        both = jax.vmap(per_b, in_axes=(0,) * 5, out_axes=0)
+        tr = lambda x: jnp.transpose(x, (0, 2, 1, 3))  # -> [N, M, Lq, P]
+        samp = both(v, tr(x0), tr(x1), tr(w0), tr(w1))  # [N, M, Lq, P, D]
+        per_level.append(jnp.transpose(samp, (0, 2, 1, 3, 4)))
+    return jnp.stack(per_level, axis=3)  # [N, Lq, M, L, P, D]
+
+
 # ---------------------------------------------------------------------------
 # Pallas kernel: fused interpolation-matrix build + level matmul in VMEM
 # ---------------------------------------------------------------------------
