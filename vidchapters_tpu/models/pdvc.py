@@ -479,6 +479,9 @@ class PDVC(nn.Module):
             "query_embed", nn.initializers.normal(1.0),
             (cfg.num_queries, cfg.hidden_dim * 2), jnp.float32)
         self.reference_points_proj = nn.Dense(1, name="reference_points")
+        # two-stage / GT-proposal path (deformable_transformer.py:137-143)
+        self.pos_trans = nn.Dense(cfg.hidden_dim * 2, name="pos_trans")
+        self.pos_trans_norm = nn.LayerNorm(epsilon=1e-5, name="pos_trans_norm")
         # focal-init class bias (pdvc.py:71-74), single foreground class
         prior = 0.01
         self.class_heads = [
@@ -526,17 +529,57 @@ class PDVC(nn.Module):
 
     # -- decoder with iterative refinement ----------------------------------
 
+    def _proposal_pos_embed(self, proposals_unact: Array,
+                            num_pos_feats: int = 256) -> Array:
+        """Sine embedding of (center, length) proposal logits
+        (deformable_transformer.py:64-78)."""
+        temperature, scale = 10000.0, 2 * math.pi
+        dim_t = jnp.arange(num_pos_feats, dtype=jnp.float32)
+        dim_t = temperature ** (2 * (dim_t // 2) / num_pos_feats)
+        pos = jax.nn.sigmoid(proposals_unact) * scale
+        pos = pos[..., None] / dim_t  # [B, Q, 2, 256]
+        pos = jnp.stack([jnp.sin(pos[..., 0::2]), jnp.cos(pos[..., 1::2])],
+                        axis=-1)
+        return pos.reshape(pos.shape[0], pos.shape[1], -1)
+
     def decode(self, memory: Array, mask_flat: Array,
                spatial_shapes: Tuple[int, ...], valid_ratios: Array,
-               deterministic: bool = True) -> Tuple[Array, Array, Array]:
+               deterministic: bool = True,
+               proposals: Optional[Array] = None,
+               proposals_mask: Optional[Array] = None
+               ) -> Tuple[Array, Array, Array]:
+        """Learned-query decoding, or the two-stage GT-proposal path when
+        ``proposals`` [B, Q, 2] (center, length, in (0,1)) is given
+        (pdvc.py:141-151, prepare_decoder_input_proposal)."""
         cfg = self.cfg
         b = memory.shape[0]
+        if proposals is not None:
+            unact = inverse_sigmoid(proposals)
+            pos_out = self.pos_trans_norm(self.pos_trans(
+                self._proposal_pos_embed(unact, cfg.hidden_dim // 2 * 2)))
+            query_pos, tgt = jnp.split(pos_out, 2, axis=-1)
+            reference = proposals[..., :1]
+            init_reference = reference
+            query_mask = (proposals_mask.astype(jnp.int32)
+                          if proposals_mask is not None
+                          else jnp.ones(proposals.shape[:2], jnp.int32))
+            return self._run_decoder(tgt, query_pos, reference, query_mask,
+                                     memory, mask_flat, spatial_shapes,
+                                     valid_ratios, deterministic)
         qe = jnp.broadcast_to(self.query_embed[None],
                               (b,) + self.query_embed.shape)
         query_pos, tgt = jnp.split(qe, 2, axis=-1)
         reference = jax.nn.sigmoid(self.reference_points_proj(query_pos))  # [B, Q, 1]
         init_reference = reference
         query_mask = jnp.ones((b, cfg.num_queries), jnp.int32)
+        return self._run_decoder(tgt, query_pos, reference, query_mask,
+                                 memory, mask_flat, spatial_shapes,
+                                 valid_ratios, deterministic)
+
+    def _run_decoder(self, tgt, query_pos, reference, query_mask, memory,
+                     mask_flat, spatial_shapes, valid_ratios, deterministic):
+        cfg = self.cfg
+        init_reference = reference
 
         hs_layers = []
         ref_layers = []
@@ -590,6 +633,12 @@ class PDVC(nn.Module):
         feats = out["hs"][-1].reshape(-1, self.cfg.hidden_dim)
         dummy = jnp.zeros((feats.shape[0], 2), jnp.int32)
         self.captioner.teacher_forced_logprobs(feats, dummy)
+        # touch the two-stage proposal projections
+        b = vf.shape[0]
+        props = jnp.full((b, 1, 2), 0.5, jnp.float32)
+        self.pos_trans_norm(self.pos_trans(
+            self._proposal_pos_embed(inverse_sigmoid(props),
+                                     self.cfg.hidden_dim // 2 * 2)))
         return out
 
     # -- caption heads -------------------------------------------------------
