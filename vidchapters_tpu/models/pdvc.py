@@ -273,21 +273,41 @@ class LSTMCaptioner(nn.Module):
         h = self.cfg.rnn_size
         return (jnp.zeros((n, h)), jnp.zeros((n, h)))
 
-    def teacher_forced_logprobs(self, feats: Array, seq: Array) -> Array:
+    def teacher_forced_logprobs(self, feats: Array, seq: Array,
+                                ss_prob: float = 0.0,
+                                rng: Optional[Array] = None) -> Array:
         """feats [N, C]; seq [N, L] ([0, w1..wk, 0, pad...]). Returns
         per-step log-probs [N, L-1, V+1] predicting seq[:, 1:] (LSTM.py:57-85
-        convention: input at step i is seq[:, i])."""
-        emb = self.embedding[seq[:, :-1]]  # [N, L-1, H]
-        feats_b = jnp.broadcast_to(feats[:, None],
-                                   (feats.shape[0], emb.shape[1], feats.shape[-1]))
-        inputs = jnp.concatenate([emb, feats_b], axis=-1)
+        convention: input at step i is seq[:, i]).
 
-        def body(state, x_t):
-            state, h = self._cell(state, x_t)
-            return state, self._logprobs(h)
+        ``ss_prob`` > 0 enables scheduled sampling (LSTM.py:66-77 / the ramp
+        at PDVC/train.py:193-197): from step 1 on, each example's input token
+        is, with that probability, sampled from the previous step's predicted
+        distribution instead of the ground truth.
+        """
+        n, l = seq.shape
+        use_ss = ss_prob > 0.0 and rng is not None
 
-        _, logps = jax.lax.scan(body, self._init_state(seq.shape[0]),
-                                jnp.swapaxes(inputs, 0, 1))
+        def body(carry, step):
+            state, prev_logp, step_rng = carry
+            gt_tok = seq[:, step]
+            if use_ss:
+                step_rng, flip_key, samp_key = jax.random.split(step_rng, 3)
+                flip = (jax.random.uniform(flip_key, (n,)) < ss_prob) & (step >= 1)
+                sampled = jax.random.categorical(samp_key, prev_logp, axis=-1)
+                tok = jnp.where(flip, sampled.astype(jnp.int32), gt_tok)
+            else:
+                tok = gt_tok
+            xt = self.embedding[tok]
+            inp = jnp.concatenate([xt, feats], axis=-1)
+            state, h = self._cell(state, inp)
+            logp = self._logprobs(h)
+            return (state, logp, step_rng), logp
+
+        init = (self._init_state(n),
+                jnp.zeros((n, self.cfg.vocab_size + 1)),
+                rng if rng is not None else jax.random.PRNGKey(0))
+        _, logps = jax.lax.scan(body, init, jnp.arange(l - 1))
         return jnp.swapaxes(logps, 0, 1)  # [N, L-1, V+1]
 
     def __call__(self, feats: Array, seq: Array) -> Array:

@@ -1,0 +1,130 @@
+"""Grounding training orchestrator (moment_detr train.py equivalent).
+
+Epoch loop with AdamW/StepLR, eval every ``eval_every`` epochs, early stop
+when MR-full-mAP stops improving for ``early_stop_patience`` epochs
+(train.py:155-179), ``best``/``last`` checkpoints (160-208), and a final
+inference pass with the best weights (277-288).
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vidchapters_tpu.config import GroundingConfig
+from vidchapters_tpu.data.grounding_dataset import GroundingDataset, grounding_collate
+from vidchapters_tpu.models.grounding import MomentDETR
+from vidchapters_tpu.runtime.checkpoint import CheckpointManager
+from vidchapters_tpu.runtime.meters import MetricLogger
+from vidchapters_tpu.train.grounding_train import (
+    GroundingTrainState,
+    build_grounding_optimizer,
+    evaluate_grounding,
+    make_grounding_infer,
+    make_grounding_train_step,
+)
+
+
+def batches(dataset: GroundingDataset, batch_size: int, max_v_l: int,
+            max_spans: int, shuffle: bool, seed: int,
+            text_featurizer=None):
+    order = np.arange(len(dataset))
+    rng = np.random.default_rng(seed)
+    if shuffle:
+        rng.shuffle(order)
+    for s in range(0, len(order) - batch_size + 1, batch_size):
+        batch = grounding_collate([dataset[int(i)] for i in order[s:s + batch_size]],
+                                  max_v_l, max_spans)
+        if text_featurizer is not None:
+            batch["query_tokens"] = text_featurizer(batch["query"])
+        yield batch
+
+
+def main(train_jsonl: str, val_jsonl: str, v_feat_dirs: List[str],
+         cfg: GroundingConfig, save_dir: str,
+         text_encoder=None, text_params=None, clip_tokenizer=None,
+         n_epochs: int = 50, batch_size: int = 32, lr: float = 1e-4,
+         max_spans: int = 5, eval_every: int = 5,
+         early_stop_patience: int = 10, seed: int = 0,
+         max_train_batches: Optional[int] = None) -> Dict[str, float]:
+    train_ds = GroundingDataset(train_jsonl, v_feat_dirs, train=True,
+                                max_v_l=cfg.max_v_l, clip_len=cfg.clip_length)
+    val_ds = GroundingDataset(val_jsonl, v_feat_dirs, train=False,
+                              max_v_l=cfg.max_v_l, clip_len=cfg.clip_length)
+    from vidchapters_tpu.utils.io import load_jsonl
+
+    ground_truth = load_jsonl(val_jsonl)
+
+    model = MomentDETR(cfg)
+    tokenize = (lambda qs: np.asarray(clip_tokenizer(qs))) if clip_tokenizer else None
+
+    first = next(batches(train_ds, min(batch_size, len(train_ds)), cfg.max_v_l,
+                         max_spans, False, seed, tokenize))
+    rng = jax.random.PRNGKey(seed)
+    if text_encoder is not None:
+        src_txt = text_encoder.apply({"params": text_params},
+                                     jnp.asarray(first["query_tokens"]),
+                                     return_tokens=True)
+        txt_mask = (jnp.asarray(first["query_tokens"]) != 0).astype(jnp.int32)
+    else:
+        src_txt = jnp.asarray(first["query_feat"])
+        txt_mask = jnp.asarray(first["query_mask"])
+    params = model.init(rng, src_txt, txt_mask,
+                        jnp.asarray(first["video_feat"]),
+                        jnp.asarray(first["video_mask"]))["params"]
+
+    steps_per_epoch = max(len(train_ds) // batch_size, 1)
+    tx = build_grounding_optimizer(lr=lr, steps_per_epoch=steps_per_epoch)
+    train_step = jax.jit(make_grounding_train_step(model, text_encoder,
+                                                   text_params, tx, cfg))
+    infer = make_grounding_infer(model, text_encoder, text_params)
+    state = GroundingTrainState(params, tx.init(params), jnp.array(0))
+    ckpt = CheckpointManager(save_dir, best_metric="MR-full-mAP")
+
+    best_epoch = -1
+    log_path = Path(save_dir) / "log.txt"
+    for epoch in range(n_epochs):
+        logger = MetricLogger()
+        for bi, batch in enumerate(batches(train_ds, batch_size, cfg.max_v_l,
+                                           max_spans, True, seed + epoch,
+                                           tokenize)):
+            if max_train_batches and bi >= max_train_batches:
+                break
+            arrays = {k: jnp.asarray(v) for k, v in batch.items()
+                      if isinstance(v, np.ndarray)}
+            state, metrics = train_step(state, arrays, rng)
+            logger.update(loss=float(metrics["total"]))
+        stats = {"epoch": epoch, **logger.global_averages()}
+
+        if (epoch + 1) % eval_every == 0 or epoch == n_epochs - 1:
+            _, metrics = evaluate_grounding(
+                infer, state.params,
+                batches(val_ds, min(batch_size, len(val_ds)), cfg.max_v_l,
+                        max_spans, False, 0, tokenize),
+                ground_truth, tokenizer=None if tokenize is None else clip_tokenizer)
+            stats.update(metrics["brief"])
+            if ckpt.maybe_save_best((state.params,), epoch, metrics["brief"]):
+                best_epoch = epoch
+            elif early_stop_patience > 0 and epoch - best_epoch >= early_stop_patience:
+                print(f"early stop at epoch {epoch} (best {best_epoch})")
+                ckpt.save_last((state.params,), epoch)
+                break
+        ckpt.save_last((state.params,), epoch)
+        with open(log_path, "a") as f:
+            f.write(json.dumps(stats) + "\n")
+
+    if ckpt.has("best"):
+        (params,) = ckpt.restore("best", (state.params,))
+    else:
+        params = state.params
+    _, final_metrics = evaluate_grounding(
+        infer, params,
+        batches(val_ds, min(batch_size, len(val_ds)), cfg.max_v_l, max_spans,
+                False, 0, tokenize),
+        ground_truth, tokenizer=None if tokenize is None else clip_tokenizer)
+    return dict(final_metrics["brief"])
