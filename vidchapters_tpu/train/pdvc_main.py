@@ -1,0 +1,120 @@
+"""PDVC training orchestrator (PDVC/train.py equivalent).
+
+Epoch loop with the PDVC recipe (Adam, StepLR decay every
+``lr_drop_epochs``), scheduled-sampling probability ramp
+(PDVC/train.py:193-197: +0.05 every 5 epochs after epoch 20, capped 0.25),
+eval each epoch, best checkpoint on METEOR + SODA (train.py:286-289), and
+``info.json`` carrying options + metric histories for exact resume
+(train.py:43-60,264-347).
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vidchapters_tpu.config import PDVCConfig, to_dict
+from vidchapters_tpu.data.pdvc_dataset import PDVCDataset, Translator, pdvc_collate
+from vidchapters_tpu.models.pdvc import PDVC
+from vidchapters_tpu.runtime.checkpoint import CheckpointManager
+from vidchapters_tpu.runtime.meters import MetricLogger
+from vidchapters_tpu.train.pdvc_train import (
+    PDVCTrainState,
+    build_pdvc_optimizer,
+    evaluate_pdvc,
+    make_pdvc_infer,
+    make_pdvc_train_step,
+)
+
+
+def scheduled_sampling_prob(epoch: int, start: int = 20, inc_every: int = 5,
+                            inc: float = 0.05, max_prob: float = 0.25) -> float:
+    """PDVC/train.py:193-197 ramp."""
+    if epoch < start:
+        return 0.0
+    return min(inc * ((epoch - start) // inc_every + 1), max_prob)
+
+
+def main(train_json: str, val_json: str, features_path, cfg: PDVCConfig,
+         save_dir: str, translator: Optional[Translator] = None,
+         n_epochs: int = 5, batch_size: int = 2, lr: float = 1e-4,
+         lr_drop_epochs: int = 8, max_events: int = 10, seed: int = 0,
+         self_iou: bool = False) -> Dict[str, float]:
+    from vidchapters_tpu.utils.io import load_json
+
+    if translator is None:
+        train_data = load_json(train_json)
+        translator = Translator.build(
+            [s for a in train_data.values() for s in a["sentences"]])
+        # vocab size must match the configured caption head
+        assert len(translator) <= cfg.vocab_size, \
+            (len(translator), cfg.vocab_size)
+    train_ds = PDVCDataset(train_json, features_path, translator, cfg,
+                           max_events=max_events)
+    val_ds = PDVCDataset(val_json, features_path, translator, cfg,
+                         max_events=max_events)
+
+    model = PDVC(cfg)
+    first = pdvc_collate([train_ds[0]])
+    rng = jax.random.PRNGKey(seed)
+    params = model.init({"params": rng}, jnp.asarray(first["video"]),
+                        jnp.asarray(first["video_mask"]),
+                        method=model.init_all)["params"]
+
+    steps_per_epoch = max(len(train_ds) // batch_size, 1)
+    tx = build_pdvc_optimizer(lr=lr, lr_drop_step=lr_drop_epochs,
+                              steps_per_epoch=steps_per_epoch)
+    train_step = jax.jit(make_pdvc_train_step(model, tx, cfg,
+                                              self_iou=self_iou))
+    infer = make_pdvc_infer(model, cfg)
+    state = PDVCTrainState(params, tx.init(params), jnp.array(0))
+    ckpt = CheckpointManager(save_dir, best_metric="meteor_soda")
+
+    info_path = Path(save_dir) / "info.json"
+    histories: List[dict] = []
+    np_rng = np.random.default_rng(seed)
+    for epoch in range(n_epochs):
+        logger = MetricLogger()
+        order = np_rng.permutation(len(train_ds))
+        for s in range(0, len(order) - batch_size + 1, batch_size):
+            batch = pdvc_collate([train_ds[int(i)] for i in order[s:s + batch_size]])
+            arrays = {k: jnp.asarray(v) for k, v in batch.items()
+                      if isinstance(v, np.ndarray)}
+            state, metrics = train_step(state, arrays, rng)
+            logger.update(loss=float(metrics["total"]))
+
+        def val_batches():
+            for s in range(0, len(val_ds), batch_size):
+                yield pdvc_collate([val_ds[i] for i in
+                                    range(s, min(s + batch_size, len(val_ds)))])
+
+        _, metrics = evaluate_pdvc(infer, state.params, val_batches(),
+                                   translator, references=[val_json])
+        # model-best on METEOR + SODA (PDVC/train.py:286-289)
+        metrics["meteor_soda"] = (metrics.get("METEOR", 0.0)
+                                  + metrics.get("soda_c", 0.0))
+        stats = {"epoch": epoch, **logger.global_averages(), **metrics}
+        histories.append(stats)
+        ckpt.maybe_save_best((state.params,), epoch, metrics)
+        ckpt.save_last((state.params,), epoch)
+        info_path.write_text(json.dumps({
+            "opt": to_dict(cfg), "histories": histories}, indent=1))
+
+    if ckpt.has("best"):
+        (best_params,) = ckpt.restore("best", (state.params,))
+    else:
+        best_params = state.params
+
+    def val_batches():
+        for s in range(0, len(val_ds), batch_size):
+            yield pdvc_collate([val_ds[i] for i in
+                                range(s, min(s + batch_size, len(val_ds)))])
+
+    _, final_metrics = evaluate_pdvc(infer, best_params, val_batches(),
+                                     translator, references=[val_json])
+    return final_metrics
