@@ -1,0 +1,131 @@
+"""Zero-shot baseline runners over DVC-format datasets.
+
+Script-level equivalents of zs_speechvcg.py / zs_visualvcg.py / zs_vcgr.py:
+iterate a dataset's annotation json (+ ASR pickle / features dir), produce
+predictions, and score — speech/visual chapter generation with eval_dvc +
+SODA, grounding with the zero-shot recall metrics (zs_vcgr.py:20-48).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, List, Optional, Tuple
+
+import numpy as np
+
+from vidchapters_tpu.data.dvc_dataset import SubtitleSource
+from vidchapters_tpu.utils.io import load_json
+from vidchapters_tpu.zeroshot.grounding import (
+    clip_grounding_spans,
+    evaluate_predictions,
+    random_grounding_spans,
+)
+from vidchapters_tpu.zeroshot.speech_vcg import (
+    first_sentence_titler,
+    speech_chapters,
+)
+from vidchapters_tpu.zeroshot.visual_vcg import (
+    feature_shot_detection,
+    shots_from_boundaries,
+    visual_chapters,
+)
+
+
+def run_speech_vcg(ann_json: str, subtitles_path: str,
+                   titler: Callable = first_sentence_titler,
+                   references: Optional[List] = None
+                   ) -> Tuple[Dict, Dict[str, float]]:
+    """zs_speechvcg equivalent: TextTiling + title per section."""
+    data = load_json(ann_json)
+    subs = SubtitleSource(subtitles_path)
+    results = {}
+    for vid, ann in data.items():
+        sub = subs.get(vid)
+        results[vid] = (speech_chapters(sub, float(ann["duration"]),
+                                        titler=titler) if sub else [])
+    metrics = _score_dvc(results, references or [ann_json])
+    return results, metrics
+
+
+def run_visual_vcg(ann_json: str, features_path,
+                   captioner: Callable[[str, float], str],
+                   shot_threshold: float = 0.3,
+                   references: Optional[List] = None
+                   ) -> Tuple[Dict, Dict[str, float]]:
+    """zs_visualvcg equivalent on precomputed frame features:
+    feature-based shot detection + ``captioner(vid, midpoint_sec)``."""
+    from vidchapters_tpu.data.features import FeatureSource
+
+    data = load_json(ann_json)
+    feats = FeatureSource(features_path, max_feats=10 ** 9)
+    results = {}
+    for vid, ann in data.items():
+        duration = float(ann["duration"])
+        f = feats.raw(vid[-11:])
+        # assume 1 feature per second (the reference's 1-FPS features)
+        times = [min(i, duration) for i in range(len(f))]
+        bounds = feature_shot_detection(f, times, threshold=shot_threshold)
+        shots = shots_from_boundaries(bounds, duration)
+        results[vid] = visual_chapters(
+            shots, captioner=lambda t, _vid=vid: captioner(_vid, t))
+    metrics = _score_dvc(results, references or [ann_json])
+    return results, metrics
+
+
+def run_vcgr(ann_json: str, features_path=None, text_embed_fn=None,
+             subtitles_path: Optional[str] = None, mode: str = "clip",
+             threshold: float = 0.05, seed: int = 0
+             ) -> Tuple[Dict, Dict[str, float]]:
+    """zs_vcgr equivalent.
+
+    mode="clip": ``text_embed_fn(titles) -> [N, D]`` against frame features;
+    mode="bert": ``text_embed_fn(texts) -> [N, D]`` for titles AND ASR lines;
+    mode="random": random spans.
+    """
+    data = load_json(ann_json)
+    subs = SubtitleSource(subtitles_path) if subtitles_path else None
+    feats = None
+    if features_path is not None:
+        from vidchapters_tpu.data.features import FeatureSource
+
+        feats = FeatureSource(features_path, max_feats=10 ** 9)
+    rng = np.random.default_rng(seed)
+    results = {}
+    for vid, ann in data.items():
+        duration = float(ann["duration"])
+        queries = ann["sentences"]
+        gt = ann["timestamps"]
+        sub = subs.get(vid) if subs else None
+        if mode == "random":
+            starts = sub["start"] if sub else None
+            ends = sub["end"] if sub else None
+            pred = random_grounding_spans(len(queries), duration, starts,
+                                          ends, rng)
+        elif mode == "bert":
+            if not sub or not sub["text"]:
+                pred = random_grounding_spans(len(queries), duration, rng=rng)
+            else:
+                from vidchapters_tpu.zeroshot.grounding import (
+                    bert_grounding_spans,
+                )
+
+                q = text_embed_fn(queries)
+                a = text_embed_fn(sub["text"])
+                pred = bert_grounding_spans(q, a, sub["start"], sub["end"])
+        else:  # clip
+            f = feats.raw(vid[-11:])
+            times = [float(i) for i in range(len(f))]
+            q = text_embed_fn(queries)
+            pred = clip_grounding_spans(q, f, times, duration,
+                                        threshold=threshold)
+        results[vid] = {"pred": pred, "gt": gt}
+    return results, evaluate_predictions(results)
+
+
+def _score_dvc(results: Dict, references: List) -> Dict[str, float]:
+    from vidchapters_tpu.evals.dvc import eval_dvc
+    from vidchapters_tpu.evals.soda import eval_soda
+
+    submission = {"results": results}
+    metrics = dict(eval_dvc(submission, references))
+    metrics.update(eval_soda(submission, references))
+    return metrics
