@@ -6,6 +6,8 @@ from vidchapters_tpu.evals.meteor import Meteor
 from vidchapters_tpu.evals.dvc import eval_dvc
 from vidchapters_tpu.evals.soda import eval_soda
 from vidchapters_tpu.evals.captioning import COCOEvalCap, eval_vc
+from vidchapters_tpu.evals.moment import eval_submission
+from vidchapters_tpu.evals.para import eval_para
 
 __all__ = [
     "PTBTokenizer",
@@ -17,4 +19,6 @@ __all__ = [
     "eval_soda",
     "COCOEvalCap",
     "eval_vc",
+    "eval_submission",
+    "eval_para",
 ]
