@@ -115,3 +115,18 @@ def test_eval_soda_empty_prediction_video():
     preds = {"results": {"vid1": PERFECT_PREDS["results"]["vid1"], "vid2": []}}
     out = eval_soda(preds, [GT])
     assert 0 <= out["soda_c"] < 1.0
+
+
+def test_soda_types_a_b_d():
+    from vidchapters_tpu.evals.soda import SODAEvaluator
+
+    ev = SODAEvaluator()
+    preds = {vid: PERFECT_PREDS["results"][vid] for vid in GT}
+    for soda_type, tious in (("a", [0.3, 0.5, 0.7, 0.9]), ("b", None),
+                             ("d", None)):
+        out = ev.evaluate(preds, [GT], list(GT), soda_type=soda_type,
+                          tious=tious)
+        assert 0.0 < out["f1"] <= 1.0, (soda_type, out)
+    # soda-d on perfect localization is exactly 1 (pure IoU alignment)
+    out_d = ev.evaluate(preds, [GT], list(GT), soda_type="d")
+    assert out_d["f1"] == pytest.approx(1.0, abs=1e-6)

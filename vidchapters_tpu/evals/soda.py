@@ -18,7 +18,7 @@ semantics on non-overflowing inputs.
 from __future__ import annotations
 
 import json
-from typing import Dict, List, Sequence, Tuple, Union
+from typing import Dict, List, Optional, Sequence, Tuple, Union
 
 import numpy as np
 
@@ -106,23 +106,50 @@ class SODAEvaluator:
             rows.append(seg)
         return np.array(rows)
 
+    @staticmethod
+    def _assignment_score(iou_m: np.ndarray, score_m: np.ndarray,
+                          soda_type: str) -> float:
+        """One (pred, gt) matrix pair -> optimal alignment score
+        (soda.py:130-149): a/b = DP on IoU, sum of caption scores at the
+        matched pairs; c = DP on IoU x score; d = DP value on IoU alone."""
+        if soda_type == "c":
+            max_score, _ = chased_dp_assignment(iou_m * score_m)
+            return max_score
+        max_score, pairs = chased_dp_assignment(iou_m)
+        if soda_type == "d":
+            return max_score
+        if not pairs:
+            return 0.0
+        rows, cols = zip(*pairs)
+        return float(score_m[list(rows), list(cols)].sum())
+
     def evaluate(
         self,
         predictions: Dict[str, List[dict]],
         ground_truths: List[dict],
         gt_vids: Sequence[str],
+        soda_type: str = "c",
+        tious: Optional[Sequence[float]] = None,
     ) -> Dict[str, List[float]]:
-        p_best, r_best, f_best = [], [], []
+        """SODA types a/b/c/d (soda.py:30-45): "a" averages F over the given
+        tIoU thresholds (IoU below threshold zeroed); "b"/"c"/"d" use a
+        single 0.0 threshold."""
+        tious = list(tious) if tious is not None else [0.0]
+        n_t = len(tious)
+        p_best = [[] for _ in range(n_t)]
+        r_best = [[] for _ in range(n_t)]
+        f_best = [[] for _ in range(n_t)]
         for vid in gt_vids:
             props = sorted(predictions.get(vid, []), key=lambda x: x["timestamp"][0])
             pred_ts = [p["timestamp"] for p in props]
             pred_sents = self._tokenize_sents([p["sentence"] for p in props])
             if not pred_sents:
-                p_best.append(0.0)
-                r_best.append(0.0)
-                f_best.append(0.0)
+                for i in range(n_t):
+                    p_best[i].append(0.0)
+                    r_best[i].append(0.0)
+                    f_best[i].append(0.0)
                 continue
-            cand = []
+            cand = [[] for _ in range(n_t)]
             for gt in ground_truths:
                 if vid not in gt:
                     continue
@@ -132,21 +159,25 @@ class SODAEvaluator:
                 gold_ts = [gold["timestamps"][k] for k in order]
                 gold_sents = self._tokenize_sents([gold["sentences"][k] for k in order])
                 iou_m = np.array([[soda_iou(p, g) for p in pred_ts] for g in gold_ts])
-                score_m = self._score_matrix(pred_sents, gold_sents)
-                max_score, _ = chased_dp_assignment(iou_m * score_m)
-                n_g, n_p = iou_m.shape
-                p = max_score / n_p
-                r = max_score / n_g
-                f = 2 * p * r / (p + r) if p + r > 0 else 0.0
-                cand.append((p, r, f))
-            best = max(cand, key=lambda x: x[2]) if cand else (0.0, 0.0, 0.0)
-            p_best.append(best[0])
-            r_best.append(best[1])
-            f_best.append(best[2])
+                score_m = (self._score_matrix(pred_sents, gold_sents)
+                           if soda_type != "d" else np.zeros_like(iou_m))
+                for i, t in enumerate(tious):
+                    iou_t = np.where(iou_m >= t, iou_m, 0.0)
+                    max_score = self._assignment_score(iou_t, score_m, soda_type)
+                    n_g, n_p = iou_m.shape
+                    p = max_score / n_p
+                    r = max_score / n_g
+                    f = 2 * p * r / (p + r) if p + r > 0 else 0.0
+                    cand[i].append((p, r, f))
+            for i in range(n_t):
+                best = max(cand[i], key=lambda x: x[2]) if cand[i] else (0.0, 0.0, 0.0)
+                p_best[i].append(best[0])
+                r_best[i].append(best[1])
+                f_best[i].append(best[2])
         return {
-            "precision": float(np.mean(p_best)) if p_best else 0.0,
-            "recall": float(np.mean(r_best)) if r_best else 0.0,
-            "f1": float(np.mean(f_best)) if f_best else 0.0,
+            "precision": float(np.mean([np.mean(x) for x in p_best])),
+            "recall": float(np.mean([np.mean(x) for x in r_best])),
+            "f1": float(np.mean([np.mean(x) for x in f_best])),
         }
 
 
