@@ -130,3 +130,11 @@ def test_soda_types_a_b_d():
     # soda-d on perfect localization is exactly 1 (pure IoU alignment)
     out_d = ev.evaluate(preds, [GT], list(GT), soda_type="d")
     assert out_d["f1"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_eval_dvc_2018_version():
+    out = eval_dvc(PERFECT_PREDS, [GT], seed=0, version="2018")
+    assert out["Recall"] == pytest.approx(1.0)
+    # no navigation metrics in the 2018 scorer
+    assert not any(k.endswith("s") and k.startswith("Recall@") for k in out)
+    assert "CIDEr" in out

@@ -65,12 +65,19 @@ class DVCEvaluator:
         max_proposals: int = 1000,
         no_lang_eval: bool = False,
         seed: Optional[int] = None,
+        version: str = "2021",
     ):
         self.gts = ground_truths
         self.preds = {vid: props[:max_proposals] for vid, props in predictions.items()}
         self.tious = list(tious)
         self.distances = list(distances)
         self.no_lang_eval = no_lang_eval
+        # densevid_eval3 carries both scorer generations: the 2018 variant
+        # uses a fixed garbage string and no navigation metrics
+        # (evaluate2018.py vs evaluate2021.py)
+        self.version = version
+        if version == "2018":
+            self.distances = []
         self.rng = random.Random(seed)
         self.tokenizer = PTBTokenizer()
         self.scorers = [
@@ -143,7 +150,9 @@ class DVCEvaluator:
                             added = True
                 if not added:  # garbage-string control for unmatched preds
                     cur_res[uid] = [{"caption": remove_nonascii(pred["sentence"])}]
-                    cur_gts[uid] = [{"caption": _random_garbage(self.rng)}]
+                    garbage = ("abc123!@#" if self.version == "2018"
+                               else _random_garbage(self.rng))
+                    cur_gts[uid] = [{"caption": garbage}]
                     vid2capid[vid].append(uid)
                     uid += 1
 
@@ -200,13 +209,18 @@ def eval_dvc(
     verbose: bool = False,
     no_lang_eval: bool = False,
     seed: Optional[int] = None,
+    version: str = "2021",
 ) -> Dict[str, float]:
-    """Top-level API matching dvc_eval.eval_dvc (eval_dvc.py:311-334)."""
+    """Top-level API matching dvc_eval.eval_dvc (eval_dvc.py:311-334);
+    ``version`` selects the densevid_eval3 2018/2021 scorer variants."""
     del verbose
     sub = _load(submission)
     gts = [_load(r) for r in references]
+    if version == "2018":
+        distances = ()
     evaluator = DVCEvaluator(gts, sub["results"], tious, distances,
-                             max_proposals_per_video, no_lang_eval, seed)
+                             max_proposals_per_video, no_lang_eval, seed,
+                             version=version)
     score = evaluator.evaluate()
 
     out: Dict[str, float] = {}
