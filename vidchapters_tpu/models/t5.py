@@ -32,6 +32,10 @@ Array = jax.Array
 
 NEG_INF = -1e9  # large-negative additive mask (safe in bf16)
 
+# gradient checkpointing of each T5 block during training; disable on chips
+# with HBM to spare for ~25% fewer recomputed FLOPs
+REMAT_BLOCKS = True
+
 
 def _apply_dropout(module: nn.Module, x: Array, rate: float,
                    deterministic: bool) -> Array:
@@ -328,7 +332,8 @@ class T5Stack(nn.Module):
                        self_key_mask=self_key_mask,
                        cross_key_mask=cross_key_mask)[0]
 
-        if not deterministic:  # remat each block to fit long-seq training
+        if not deterministic and REMAT_BLOCKS:
+            # remat each block to fit long-seq training on small-HBM chips
             body = nn.checkpoint(body)
         for blk in self.blocks:
             x = body(blk, x, self_bias, attention_mask, enc_out, enc_mask)

@@ -118,9 +118,10 @@ def nucleus_sample(fns: DecodeFns, enc_out: Array, enc_mask: Array,
         sorted_logits = jnp.sort(logits, axis=-1)[:, ::-1]
         sorted_probs = jax.nn.softmax(sorted_logits, axis=-1)
         cum = jnp.cumsum(sorted_probs, axis=-1)
-        # keep smallest set with cumulative prob >= top_p (always keep top-1)
-        cutoff_mask = cum - sorted_probs >= top_p
-        threshold = jnp.min(jnp.where(cutoff_mask, sorted_logits, jnp.inf), axis=-1)
+        # keep the smallest prefix reaching top_p (top-1 always kept):
+        # a position stays if the mass BEFORE it is still < top_p
+        kept = (cum - sorted_probs) < top_p
+        threshold = jnp.min(jnp.where(kept, sorted_logits, jnp.inf), axis=-1)
         return jnp.where(logits < threshold[:, None], NEG_INF, logits)
 
     def body(state):
