@@ -108,6 +108,7 @@ class WhisperAttention(nn.Module):
                                scores, NEG_INF)
         probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
         out = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+        self.sow("intermediates", "attn_probs", probs.astype(jnp.float32))
         return self.out(self._merge(out)), cache
 
     def precompute_kv(self, kv: Array) -> Dict[str, Array]:
