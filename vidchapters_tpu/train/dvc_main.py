@@ -111,9 +111,16 @@ def main(cfg: ExperimentConfig,
                                num_shards=jax.process_count(),
                                shard_index=jax.process_index())
             it.set_epoch(epoch)
+            from vidchapters_tpu.parallel.sharding import batch_sharding
+
+            n_data = mesh.devices.shape[0]
+            shard = (batch_sharding(mesh)
+                     if cfg.train.batch_size % max(n_data, 1) == 0 else None)
             for batch in logger.log_every(it, cfg.train.print_freq,
                                           f"Epoch [{epoch}] {name}"):
-                arrays = {k: jnp.asarray(v) for k, v in batch.items()
+                arrays = {k: (jax.device_put(v, shard) if shard is not None
+                              else jnp.asarray(v))
+                          for k, v in batch.items()
                           if isinstance(v, np.ndarray)}
                 state, metrics = train_step(state, arrays, rng)
                 logger.update(**{k: float(v) for k, v in metrics.items()})
