@@ -1,0 +1,122 @@
+"""Fused attention Pallas kernel: forward + gradients vs the dense reference."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vidchapters_tpu.ops.fused_attention import (
+    BLOCK_Q,
+    fused_attention,
+    fused_attention_padded,
+)
+
+B, H, D = 2, 3, 16
+NEG = -1e9
+
+
+def dense_reference(q, k, v, bias, key_mask):
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32)
+    scores = scores + bias.astype(jnp.float32)
+    scores = jnp.where(key_mask[:, None, None, :] > 0, scores, NEG)
+    probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+
+
+def make_inputs(rng, lq):
+    q = jnp.asarray(rng.normal(size=(B, H, lq, D)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, H, lq, D)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, H, lq, D)), jnp.float32)
+    bias = jnp.asarray(rng.normal(size=(1, H, lq, lq)), jnp.float32)
+    mask = np.ones((B, lq), np.int32)
+    mask[0, -lq // 4:] = 0
+    return q, k, v, bias, jnp.asarray(mask)
+
+
+def test_forward_matches_dense(rng):
+    q, k, v, bias, mask = make_inputs(rng, BLOCK_Q * 2)
+    out = fused_attention(q, k, v, bias, mask, True)
+    ref = dense_reference(q, k, v, bias, mask)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5,
+                               atol=2e-5)
+
+
+def test_forward_padded_odd_length(rng):
+    lq = BLOCK_Q + 37
+    q, k, v, bias, mask = make_inputs(rng, lq)
+    out = fused_attention_padded(q, k, v, bias, mask, True)
+    ref = dense_reference(q, k, v, bias, mask)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5,
+                               atol=2e-5)
+
+
+def test_gradients_match_dense(rng):
+    q, k, v, bias, mask = make_inputs(rng, BLOCK_Q)
+
+    def loss_fused(q, k, v, bias):
+        out = fused_attention(q, k, v, bias, mask, True)
+        return (out.astype(jnp.float32) ** 2).sum() * 0.5
+
+    def loss_dense(q, k, v, bias):
+        out = dense_reference(q, k, v, bias, mask)
+        return (out.astype(jnp.float32) ** 2).sum() * 0.5
+
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    gd = jax.grad(loss_dense, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    for name, a, b in zip("qkvb", gf, gd):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-4,
+                                   atol=5e-4, err_msg=f"grad {name}")
+
+
+def test_gradients_padded(rng):
+    lq = BLOCK_Q + 11
+    q, k, v, bias, mask = make_inputs(rng, lq)
+
+    def loss_fused(q, k, v, bias):
+        out = fused_attention_padded(q, k, v, bias, mask, True)
+        return (out.astype(jnp.float32) ** 2).sum() * 0.5
+
+    def loss_dense(q, k, v, bias):
+        out = dense_reference(q, k, v, bias, mask)
+        return (out.astype(jnp.float32) ** 2).sum() * 0.5
+
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    gd = jax.grad(loss_dense, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    for name, a, b in zip("qkvb", gf, gd):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-4,
+                                   atol=5e-4, err_msg=f"grad {name}")
+
+
+def test_t5_encoder_fused_matches_chunked(rng):
+    """Force the fused path inside the T5 stack (interpret mode on CPU) and
+    compare against the chunked implementation."""
+    import vidchapters_tpu.models.t5 as t5mod
+    from vidchapters_tpu.config import T5Config
+    from vidchapters_tpu.models.t5 import T5ForConditionalGeneration
+
+    cfg = T5Config(vocab_size=64, d_model=32, d_kv=8, d_ff=64, num_layers=1,
+                   num_decoder_layers=1, num_heads=4,
+                   relative_attention_num_buckets=8,
+                   relative_attention_max_distance=16, dtype="float32",
+                   dropout_rate=0.0, encoder_dropout=0.0, decoder_dropout=0.0)
+    model = T5ForConditionalGeneration(cfg)
+    ids = jnp.asarray(rng.integers(2, 64, (2, 600)), jnp.int32)
+    attn = jnp.ones((2, 600), jnp.int32).at[0, -50:].set(0)
+    params = model.init({"params": jax.random.PRNGKey(0)}, ids[:, :8],
+                        attn[:, :8], jnp.ones((2, 3), jnp.int32),
+                        jnp.ones((2, 3), jnp.int32))["params"]
+
+    old = t5mod.USE_FUSED_ATTENTION
+    try:
+        t5mod.USE_FUSED_ATTENTION = False
+        ref = model.apply({"params": params}, input_ids=ids,
+                          attention_mask=attn, method=model.encode)
+        t5mod.USE_FUSED_ATTENTION = True
+        fused = model.apply({"params": params}, input_ids=ids,
+                            attention_mask=attn, method=model.encode)
+    finally:
+        t5mod.USE_FUSED_ATTENTION = old
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)

@@ -35,6 +35,19 @@ NEG_INF = -1e9  # large-negative additive mask (safe in bf16)
 # gradient checkpointing of each T5 block during training; disable on chips
 # with HBM to spare for ~25% fewer recomputed FLOPs
 REMAT_BLOCKS = True
+# None = recompute everything; dots_with_no_batch_dims_saveable keeps matmul
+# outputs resident (faster, more memory)
+REMAT_POLICY = None
+
+# fused-attention Pallas kernel for long-sequence self-attention:
+# True / False / None (auto: only on TPU backends)
+USE_FUSED_ATTENTION = None
+
+
+def _fused_attention_enabled() -> bool:
+    if USE_FUSED_ATTENTION is not None:
+        return USE_FUSED_ATTENTION
+    return jax.default_backend() not in ("cpu", "gpu")
 
 
 def _apply_dropout(module: nn.Module, x: Array, rate: float,
@@ -156,9 +169,22 @@ class T5Attention(nn.Module):
         else:
             k = self._split(self.k(kv))
             v = self._split(self.v(kv))
-        use_chunked = (cache is None and q.shape[2] > self.CHUNK
-                       and q.shape[2] * k.shape[2] > 512 * 512)
-        if use_chunked:
+        large = (cache is None and q.shape[2] > self.CHUNK
+                 and q.shape[2] * k.shape[2] > 512 * 512)
+        use_fused = (large and _fused_attention_enabled()
+                     and (dropout_rate == 0.0 or deterministic)
+                     and bias is not None and bias.shape[0] == 1
+                     and key_mask is not None)
+        use_chunked = large and not use_fused
+        if use_fused:
+            from vidchapters_tpu.ops.fused_attention import (
+                fused_attention_padded,
+            )
+
+            out = fused_attention_padded(
+                q, k, v, bias, key_mask,
+                jax.default_backend() == "cpu")  # interpret off-TPU
+        elif use_chunked:
             out = self._chunked_attention(q, k, v, bias, key_mask,
                                           dropout_rate, deterministic)
         else:
@@ -333,8 +359,10 @@ class T5Stack(nn.Module):
                        cross_key_mask=cross_key_mask)[0]
 
         if not deterministic and REMAT_BLOCKS:
-            # remat each block to fit long-seq training on small-HBM chips
-            body = nn.checkpoint(body)
+            # remat each block to fit long-seq training on small-HBM chips;
+            # the policy saves MXU outputs and recomputes only cheap
+            # elementwise work, cutting the recompute tax of plain remat
+            body = nn.checkpoint(body, policy=REMAT_POLICY)
         for blk in self.blocks:
             x = body(blk, x, self_bias, attention_mask, enc_out, enc_mask)
         x = self.final_norm(x)

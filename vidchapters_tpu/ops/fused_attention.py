@@ -1,0 +1,293 @@
+"""Fused bias-aware attention Pallas kernel (T5 encoder hot path).
+
+Computes softmax(q k^T + bias + key-mask) v without ever materializing the
+[B, H, L, L] score tensor in HBM: the kernel holds one query block plus the
+full K/V for its (batch, head) program in VMEM (K/V are [L, 64] — hundreds
+of KB at T5-base shapes, far under the 16 MB budget), so a plain blockwise
+softmax suffices; no online-softmax bookkeeping is needed.
+
+A custom VJP supplies the backward pass as two more Pallas kernels:
+- dq/dk/dv over a (B, H) grid, accumulating dk/dv in VMEM scratch across
+  query blocks (the col2im-style transposed matmuls);
+- dbias over an (H, nQ) grid, accumulating the score gradients over the
+  batch (T5's relative-position bias is learned and batch-broadcast, so its
+  gradient is the batch-sum of dS).
+
+Used for encoder self-attention when attention dropout is off (the
+reference trains Vid2Seq with encoder dropout 0, model/vid2seq.py:30-37);
+other paths keep the chunked/dense implementations.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+NEG_INF = -1e9
+BLOCK_Q = 128
+
+
+def _pad_to(x: Array, size: int, axis: int) -> Array:
+    pad = size - x.shape[axis]
+    if pad <= 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths)
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, out_ref, lse_ref):
+    # q_ref [1,1,bq,D]; k/v [1,1,Lk,D]; bias [1,1,bq,Lk]; mask [1,Lk]
+    q = q_ref[0, 0].astype(jnp.float32)
+    k = k_ref[0, 0].astype(jnp.float32)
+    v = v_ref[0, 0]
+    scores = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
+    scores = scores + bias_ref[0, 0].astype(jnp.float32)
+    valid = mask_ref[0][None, :] > 0
+    scores = jnp.where(valid, scores, NEG_INF)
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    e = jnp.exp(scores - m)
+    s = jnp.sum(e, axis=-1, keepdims=True)
+    probs = (e / s).astype(v.dtype)
+    out_ref[0, 0] = jnp.dot(probs, v, preferred_element_type=jnp.float32
+                            ).astype(out_ref.dtype)
+    lse_ref[0, 0] = (m + jnp.log(s))[:, 0]
+
+
+def _fused_forward(q, k, v, bias, key_mask, interpret=False):
+    b, h, lq, d = q.shape
+    lk = k.shape[2]
+    nq = lq // BLOCK_Q
+    bias_b = bias.shape[0]  # 1 (broadcast) or b
+
+    out, lse = pl.pallas_call(
+        _fwd_kernel,
+        grid=(b, h, nq),
+        in_specs=[
+            pl.BlockSpec((1, 1, BLOCK_Q, d), lambda i, j, n: (i, j, n, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, lk, d), lambda i, j, n: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, lk, d), lambda i, j, n: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, BLOCK_Q, lk),
+                         lambda i, j, n: (0 if bias_b == 1 else i, j, n, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lk), lambda i, j, n: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, BLOCK_Q, d), lambda i, j, n: (i, j, n, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, BLOCK_Q), lambda i, j, n: (i, j, n),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, h, lq, d), q.dtype),
+            jax.ShapeDtypeStruct((b, h, lq), jnp.float32),
+        ),
+        interpret=interpret,
+    )(q, k, v, bias, key_mask)
+    return out, lse
+
+
+# ---------------------------------------------------------------------------
+# backward
+# ---------------------------------------------------------------------------
+
+
+def _bwd_dqkv_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, lse_ref,
+                     dout_ref, delta_ref, dq_ref, dk_ref, dv_ref,
+                     *, n_q_blocks: int):
+    k = k_ref[0, 0].astype(jnp.float32)
+    v = v_ref[0, 0].astype(jnp.float32)
+    valid = mask_ref[0][None, :] > 0
+    dk_ref[0, 0] = jnp.zeros_like(dk_ref[0, 0])
+    dv_ref[0, 0] = jnp.zeros_like(dv_ref[0, 0])
+
+    def body(n, _):
+        q_blk = q_ref[0, 0, pl.ds(n * BLOCK_Q, BLOCK_Q)].astype(jnp.float32)
+        bias_blk = bias_ref[0, 0, pl.ds(n * BLOCK_Q, BLOCK_Q)].astype(jnp.float32)
+        lse_blk = lse_ref[0, 0, pl.ds(n * BLOCK_Q, BLOCK_Q)]
+        dout_blk = dout_ref[0, 0, pl.ds(n * BLOCK_Q, BLOCK_Q)].astype(jnp.float32)
+        delta_blk = delta_ref[0, 0, pl.ds(n * BLOCK_Q, BLOCK_Q)]
+        scores = jnp.dot(q_blk, k.T, preferred_element_type=jnp.float32)
+        scores = scores + bias_blk
+        scores = jnp.where(valid, scores, NEG_INF)
+        p = jnp.exp(scores - lse_blk[:, None])
+        dp = jnp.dot(dout_blk, v.T, preferred_element_type=jnp.float32)
+        ds = p * (dp - delta_blk[:, None])
+        dq_ref[0, 0, pl.ds(n * BLOCK_Q, BLOCK_Q)] = jnp.dot(
+            ds, k, preferred_element_type=jnp.float32).astype(dq_ref.dtype)
+        dk_ref[0, 0] += jnp.dot(ds.T, q_blk,
+                                preferred_element_type=jnp.float32
+                                ).astype(dk_ref.dtype)
+        dv_ref[0, 0] += jnp.dot(p.T, dout_blk,
+                                preferred_element_type=jnp.float32
+                                ).astype(dv_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, n_q_blocks, body, 0)
+
+
+def _bwd_dbias_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, lse_ref,
+                      dout_ref, delta_ref, dbias_ref, *, batch: int):
+    dbias_ref[0, 0] = jnp.zeros_like(dbias_ref[0, 0])
+
+    def body(b, _):
+        q_blk = q_ref[b, 0].astype(jnp.float32)
+        k = k_ref[b, 0].astype(jnp.float32)
+        v = v_ref[b, 0].astype(jnp.float32)
+        valid = mask_ref[b][None, :] > 0
+        scores = jnp.dot(q_blk, k.T, preferred_element_type=jnp.float32)
+        scores = scores + bias_ref[0, 0].astype(jnp.float32)
+        scores = jnp.where(valid, scores, NEG_INF)
+        p = jnp.exp(scores - lse_ref[b, 0][:, None])
+        dp = jnp.dot(dout_ref[b, 0].astype(jnp.float32), v.T,
+                     preferred_element_type=jnp.float32)
+        ds = p * (dp - delta_ref[b, 0][:, None])
+        dbias_ref[0, 0] += ds.astype(dbias_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, batch, body, 0)
+
+
+def _fused_backward(q, k, v, bias, key_mask, out, lse, dout, interpret=False):
+    b, h, lq, d = q.shape
+    lk = k.shape[2]
+    nq = lq // BLOCK_Q
+    bias_b = bias.shape[0]
+    delta = jnp.sum(dout.astype(jnp.float32) * out.astype(jnp.float32),
+                    axis=-1)  # [b, h, lq]
+
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dqkv_kernel, n_q_blocks=nq),
+        grid=(b, h),
+        in_specs=[
+            pl.BlockSpec((1, 1, lq, d), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, lk, d), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, lk, d), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, lq, lk),
+                         lambda i, j: (0 if bias_b == 1 else i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lk), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, lq), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, lq, d), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, lq), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, lq, d), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, lk, d), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, lk, d), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct(q.shape, jnp.float32),
+            jax.ShapeDtypeStruct(k.shape, jnp.float32),
+            jax.ShapeDtypeStruct(v.shape, jnp.float32),
+        ),
+        interpret=interpret,
+    )(q, k, v, bias, key_mask, lse, dout, delta)
+
+    dbias = pl.pallas_call(
+        functools.partial(_bwd_dbias_kernel, batch=b),
+        grid=(h, nq),
+        in_specs=[
+            pl.BlockSpec((b, 1, BLOCK_Q, d), lambda j, n: (0, j, n, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, 1, lk, d), lambda j, n: (0, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, 1, lk, d), lambda j, n: (0, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, BLOCK_Q, lk), lambda j, n: (0, j, n, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, lk), lambda j, n: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, 1, BLOCK_Q), lambda j, n: (0, j, n),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, 1, BLOCK_Q, d), lambda j, n: (0, j, n, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, 1, BLOCK_Q), lambda j, n: (0, j, n),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, BLOCK_Q, lk), lambda j, n: (0, j, n, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, h, lq, lk), jnp.float32),
+        interpret=interpret,
+    )(q, k, v, bias, key_mask, lse, dout, delta)
+    if bias_b != 1:
+        # batched bias: per-batch gradient equals dS directly; recompute via
+        # XLA (rare path — T5's bias is always broadcast)
+        raise NotImplementedError("fused attention expects broadcast bias")
+    return dq, dk, dv, dbias
+
+
+# ---------------------------------------------------------------------------
+# public op with custom VJP
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def fused_attention(q: Array, k: Array, v: Array, bias: Array,
+                    key_mask: Array, interpret: bool = False) -> Array:
+    """softmax(q k^T + bias + mask) v.
+
+    q/k/v [B, H, L, D] (L multiple of 128 — use ``fused_attention_padded``
+    otherwise); bias [1, H, L, L]; key_mask [B, L] int (1 = valid).
+    """
+    out, _ = _fused_forward(q, k, v, bias, key_mask, interpret)
+    return out
+
+
+def _fa_fwd(q, k, v, bias, key_mask, interpret):
+    out, lse = _fused_forward(q, k, v, bias, key_mask, interpret)
+    return out, (q, k, v, bias, key_mask, out, lse)
+
+
+def _fa_bwd(interpret, res, dout):
+    q, k, v, bias, key_mask, out, lse = res
+    dq, dk, dv, dbias = _fused_backward(q, k, v, bias, key_mask, out, lse,
+                                        dout, interpret)
+    return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype),
+            dbias.astype(bias.dtype), None)
+
+
+fused_attention.defvjp(_fa_fwd, _fa_bwd)
+
+
+def fused_attention_padded(q: Array, k: Array, v: Array, bias: Array,
+                           key_mask: Array, interpret: bool = False) -> Array:
+    """Wrapper padding L up to a BLOCK_Q multiple (padded keys masked out,
+    padded query rows sliced off)."""
+    lq = q.shape[2]
+    lp = ((lq + BLOCK_Q - 1) // BLOCK_Q) * BLOCK_Q
+    if lp != lq:
+        q = _pad_to(q, lp, 2)
+        k = _pad_to(k, lp, 2)
+        v = _pad_to(v, lp, 2)
+        bias = _pad_to(_pad_to(bias, lp, 2), lp, 3)
+        key_mask = _pad_to(key_mask, lp, 1)
+    out = fused_attention(q, k, v, bias, key_mask, interpret)
+    return out[:, :, :lq]
