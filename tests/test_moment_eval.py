@@ -89,3 +89,23 @@ def test_eval_submission_qid_mismatch():
         eval_submission(PERFECT[:1], GT, match_number=True)
     out = eval_submission(PERFECT[:1], GT, match_number=False)
     assert out["brief"]["MR-full-mAP"] == pytest.approx(100.0)
+
+
+def test_postprocessor_detr():
+    from vidchapters_tpu.train.postprocessing import PostProcessorDETR
+
+    post = PostProcessorDETR(clip_length=2, min_ts_val=0, max_ts_val=150,
+                             min_w_l=2, max_w_l=60,
+                             move_window_method="left")
+    lines = [{"qid": 1, "pred_relevant_windows": [
+        [3.1, 3.9, 0.9],       # too short -> extended to >= 2 then rounded
+        [-5.0, 200.0, 0.8],    # clipped to [0, 150], too long -> 60
+        [10.0, 30.0, 0.7],     # untouched except rounding
+    ]}]
+    out = post(lines)[0]["pred_relevant_windows"]
+    for st, ed, score in out:
+        assert st % 2 == 0 and ed % 2 == 0  # multiples of clip_length
+        assert 0 <= st <= ed <= 150
+        assert (ed - st) <= 60 + 1e-6
+    assert out[0][1] - out[0][0] >= 2
+    assert out[2][:2] == [10.0, 30.0]
