@@ -124,3 +124,16 @@ def test_vc_train_and_eval_end_to_end(vc_data, rng):
                                    max_input_tokens=cfg.max_input_tokens)
     assert len(results) == 2
     assert "CIDEr" in metrics and "METEOR" in metrics
+
+
+def test_evaluate_vc_with_captioner(vc_data):
+    from vidchapters_tpu.train.vc_train import evaluate_vc_with_captioner
+    from vidchapters_tpu.data.vc_dataset import VideoCaptioningDataset
+
+    ann_path, fdir, sp, cfg = vc_data
+    ds = VideoCaptioningDataset(ann_path, fdir, training=False, cfg=cfg,
+                                subtitles_path=sp)
+    results, metrics = evaluate_vc_with_captioner(
+        ds, captioner=lambda clip, asr: "A generated caption.")
+    assert len(results) == 2
+    assert "CIDEr" in metrics

@@ -72,6 +72,22 @@ def make_vc_train_step(model: Vid2Seq, tx) -> Callable:
     return train_step
 
 
+def evaluate_vc_with_captioner(dataset, captioner) -> Tuple[Dict, Dict[str, float]]:
+    """Zero-shot VC eval with any captioner (the BLIP-2 / LLaMA dispatch of
+    vc.py:109-154,268-283): ``captioner(video_clip, asr_text) -> str``."""
+    from vidchapters_tpu.evals.captioning import eval_vc
+
+    results = {}
+    uid = 0
+    for idx in range(len(dataset)):
+        ex = dataset[idx]
+        for clip, asr, gt in zip(ex["video"], ex["input_text"],
+                                 ex["output_text"]):
+            results[uid] = {"sentence": captioner(clip, asr), "gt": gt}
+            uid += 1
+    return results, (eval_vc(results) if results else {})
+
+
 def evaluate_vc(model: Vid2Seq, params, dataset, tokenizer,
                 gen: GenerationConfig, max_input_tokens: int = 256,
                 batch_clips: int = 16, seed: int = 0
