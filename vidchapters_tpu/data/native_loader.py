@@ -10,7 +10,7 @@ Falls back cleanly (``is_available``) when no compiler is present.
 from __future__ import annotations
 
 import ctypes
-import os
+
 import subprocess
 from pathlib import Path
 from typing import Optional, Sequence

@@ -13,10 +13,10 @@ video_dataset.py:17-151) becomes fixed-size padding: boxes/captions padded to
 
 from __future__ import annotations
 
-import json
-import re
+
+
 from collections import Counter, defaultdict
-from typing import Dict, Iterator, List, Optional, Sequence
+from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 

@@ -14,7 +14,7 @@ dataset/dvc_dataset.py:126-142).
 
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import numpy as np
 

@@ -17,7 +17,7 @@ Reference semantics:
 from __future__ import annotations
 
 import re
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, List, Sequence
 
 _TIME_TOKEN_RE = re.compile(r"\<time\=(\d+)\>")
 # split on whitespace except inside a broken-up time token (dvc.py:187)

@@ -47,7 +47,7 @@ def main(args=None) -> list:
     import jax.numpy as jnp
 
     from vidchapters_tpu.config import GenerationConfig, Vid2SeqConfig
-    from vidchapters_tpu.data.dvc_dataset import SubtitleSource
+
     from vidchapters_tpu.data.features import subsample_or_pad
     from vidchapters_tpu.data.time_tokens import (
         build_time_text_sequence,

@@ -17,7 +17,7 @@ pycocoevalcap: ``compute_score(gts, res) -> (corpus_score, [segment_scores])``.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Sequence, Tuple
 
 try:
     from nltk.stem.porter import PorterStemmer

@@ -17,8 +17,8 @@ per-query AP here is vectorized enough not to need one).
 from __future__ import annotations
 
 import copy
-from collections import OrderedDict, defaultdict
-from typing import Dict, List, Optional, Sequence, Tuple
+from collections import OrderedDict
+from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 

@@ -9,7 +9,7 @@ stopword-profile heuristic so the pipeline runs fully offline.
 from __future__ import annotations
 
 from collections import Counter
-from typing import Callable, Dict, Iterable, List, Optional
+from typing import Callable, Dict, Iterable, Optional
 
 # tiny stopword profiles for the most common languages in VidChapters-7M
 _PROFILES = {

@@ -15,9 +15,9 @@ is planned, and HF/whisperx backends can be wrapped where installed.
 from __future__ import annotations
 
 import os
-import pickle
+
 from pathlib import Path
-from typing import Callable, Dict, Iterable, List, Optional
+from typing import Callable, Dict, Iterable
 
 import numpy as np
 

@@ -14,11 +14,11 @@ frame arrays (tests, or upstream decode services). The per-video output is
 
 from __future__ import annotations
 
-import os
+
 import shutil
 import subprocess
 from pathlib import Path
-from typing import Callable, Iterator, Optional, Sequence
+from typing import Callable, Optional, Sequence
 
 import numpy as np
 

@@ -16,7 +16,7 @@ Behavioral ports of preproc/:
 from __future__ import annotations
 
 import re
-from typing import Dict, Iterable, List, Optional, Tuple
+from typing import Dict, Iterable, List, Optional
 
 from vidchapters_tpu.evals.ptb import ptb_tokenize_sentence
 

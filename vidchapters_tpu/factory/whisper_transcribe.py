@@ -42,7 +42,7 @@ class JaxWhisperTranscriber:
         import jax
         import jax.numpy as jnp
 
-        from vidchapters_tpu.ops.decoding import greedy_decode, make_decode_fns
+        from vidchapters_tpu.ops.decoding import make_decode_fns
 
         self.model = model
         self.params = params

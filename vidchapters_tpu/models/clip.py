@@ -17,7 +17,7 @@ Weight import supports both the OpenAI ``clip`` pip state_dict layout and HF
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Any, Dict, Mapping, Optional, Tuple
+from typing import Any, Dict, Mapping, Optional
 
 import flax.linen as nn
 import jax

@@ -11,7 +11,7 @@ the prefix-conditioned caption loss / greedy sampling used by PDVC.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Any, Dict, Mapping, Optional, Tuple
+from typing import Any, Dict, Mapping, Optional
 
 import flax.linen as nn
 import jax

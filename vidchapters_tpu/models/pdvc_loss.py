@@ -21,7 +21,7 @@ Targets are padded: boxes [B, T, 2] (center, length, normalized), valid
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -9,7 +9,7 @@ are already CLIP features [B, T, 768].
 
 from __future__ import annotations
 
-from typing import Any
+
 
 import flax.linen as nn
 import jax

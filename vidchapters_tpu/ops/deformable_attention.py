@@ -31,7 +31,7 @@ from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
+
 
 Array = jax.Array
 

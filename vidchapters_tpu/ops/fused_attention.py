@@ -21,11 +21,11 @@ other paths keep the chunked/dense implementations.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+
 
 import jax
 import jax.numpy as jnp
-import numpy as np
+
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -50,13 +50,13 @@ def _pad_to(x: Array, size: int, axis: int) -> Array:
 
 
 def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, out_ref, lse_ref):
-    # q_ref [1,1,bq,D]; k/v [1,1,Lk,D]; bias [1,1,bq,Lk]; mask [1,Lk]
+    # q_ref [1,1,bq,D]; k/v [1,1,Lk,D]; bias [1,1,bq,Lk]; mask [B,Lk] (full)
     q = q_ref[0, 0].astype(jnp.float32)
     k = k_ref[0, 0].astype(jnp.float32)
     v = v_ref[0, 0]
     scores = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
     scores = scores + bias_ref[0, 0].astype(jnp.float32)
-    valid = mask_ref[0][None, :] > 0
+    valid = mask_ref[pl.program_id(0)][None, :] > 0
     scores = jnp.where(valid, scores, NEG_INF)
     m = jnp.max(scores, axis=-1, keepdims=True)
     e = jnp.exp(scores - m)
@@ -86,7 +86,9 @@ def _fused_forward(q, k, v, bias, key_mask, interpret=False):
             pl.BlockSpec((1, 1, BLOCK_Q, lk),
                          lambda i, j, n: (0 if bias_b == 1 else i, j, n, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, lk), lambda i, j, n: (i, 0),
+            # full mask block: a (1, Lk) block violates the (8, 128) sublane
+            # divisibility rule at some shapes; row-indexed by program_id
+            pl.BlockSpec((b, lk), lambda i, j, n: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
@@ -114,7 +116,7 @@ def _bwd_dqkv_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, lse_ref,
                      *, n_q_blocks: int):
     k = k_ref[0, 0].astype(jnp.float32)
     v = v_ref[0, 0].astype(jnp.float32)
-    valid = mask_ref[0][None, :] > 0
+    valid = mask_ref[pl.program_id(0)][None, :] > 0
     dk_ref[0, 0] = jnp.zeros_like(dk_ref[0, 0])
     dv_ref[0, 0] = jnp.zeros_like(dv_ref[0, 0])
 
@@ -186,7 +188,7 @@ def _fused_backward(q, k, v, bias, key_mask, out, lse, dout, interpret=False):
             pl.BlockSpec((1, 1, lq, lk),
                          lambda i, j: (0 if bias_b == 1 else i, j, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, lk), lambda i, j: (i, 0),
+            pl.BlockSpec((b, lk), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, lq), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),

@@ -13,8 +13,8 @@ result is, for each target slot, its assigned query (or -1 when invalid).
 
 from __future__ import annotations
 
-import functools
-from typing import Tuple
+
+
 
 import jax
 import jax.numpy as jnp

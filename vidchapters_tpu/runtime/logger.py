@@ -9,7 +9,7 @@ opt.json + code.zip per run).
 from __future__ import annotations
 
 import logging
-import os
+
 import sys
 import time
 from pathlib import Path

@@ -11,7 +11,7 @@ all-reduced gradients (SURVEY.md §2.8).
 from __future__ import annotations
 
 import os
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import jax
 import numpy as np

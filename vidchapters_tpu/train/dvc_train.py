@@ -26,7 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from vidchapters_tpu.config import ExperimentConfig, GenerationConfig
+from vidchapters_tpu.config import GenerationConfig
 from vidchapters_tpu.models.vid2seq import Vid2Seq
 from vidchapters_tpu.ops.decoding import beam_search, greedy_decode, make_decode_fns, nucleus_sample
 from vidchapters_tpu.data.time_tokens import decode_chapter_sequence
@@ -167,6 +167,10 @@ def evaluate(model: Vid2Seq, params, data_iter, tokenizer,
         for i, vid in enumerate(batch["video_id"]):
             results[vid] = decode_chapter_sequence(
                 texts[i], float(batch["duration"][i]), num_bins)
+    # merge per-host shards (the pickled all_gather at dvc.py:214-215)
+    from vidchapters_tpu.runtime.collectives import gather_results
+
+    results = gather_results(results)
     metrics: Dict[str, float] = {}
     if references:
         from vidchapters_tpu.evals.dvc import eval_dvc

@@ -14,7 +14,7 @@ averages gradients.
 
 from __future__ import annotations
 
-import functools
+
 from typing import Any, Callable, Dict, List, NamedTuple, Optional, Tuple
 
 import jax

@@ -10,7 +10,7 @@ optional hook) or, with ``random_title``, a random ASR line from the section
 
 from __future__ import annotations
 
-from typing import Callable, Dict, List, Optional, Sequence
+from typing import Callable, Dict, List, Optional
 
 import numpy as np
 

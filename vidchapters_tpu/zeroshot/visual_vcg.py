@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import shutil
 import subprocess
-from typing import Callable, List, Optional, Sequence, Tuple
+from typing import Callable, List, Sequence, Tuple
 
 import numpy as np
 
