@@ -42,3 +42,17 @@ def test_pdvc_main_end_to_end(tmp_path):
     info = json.loads((tmp_path / "ckpt" / "info.json").read_text())
     assert len(info["histories"]) == 2
     assert info["opt"]["hidden_dim"] == 64
+
+
+def test_transfer_params():
+    from vidchapters_tpu.train.pdvc_main import transfer_params
+
+    src = {"a": np.ones((3, 4)), "b": {"c": np.full((2,), 7.0),
+                                       "q": np.ones((5, 8))}}
+    tgt = {"a": np.zeros((3, 4)), "b": {"c": np.zeros((2,)),
+                                        "q": np.zeros((9, 8))}}  # query grow
+    out = transfer_params(src, tgt, verbose=False)
+    np.testing.assert_array_equal(out["a"], src["a"])
+    np.testing.assert_array_equal(out["b"]["c"], src["b"]["c"])
+    # mismatched query embedding keeps the fresh target init
+    np.testing.assert_array_equal(out["b"]["q"], tgt["b"]["q"])

@@ -40,6 +40,29 @@ def scheduled_sampling_prob(epoch: int, start: int = 20, inc_every: int = 5,
     return min(inc * ((epoch - start) // inc_every + 1), max_prob)
 
 
+def transfer_params(src: dict, tgt: dict, verbose: bool = True) -> dict:
+    """Cross-dataset checkpoint surgery (PDVC/train.py:100-125): copy every
+    leaf whose shape matches; keep the target's fresh init where query
+    count / caption vocab / count-head sizes differ."""
+    import jax
+
+    flat_src = dict(jax.tree_util.tree_flatten_with_path(src)[0])
+    out = []
+    skipped = []
+    for path, leaf in jax.tree_util.tree_flatten_with_path(tgt)[0]:
+        s = flat_src.get(path)
+        if s is not None and np.shape(s) == np.shape(leaf):
+            out.append(s)
+        else:
+            out.append(leaf)
+            skipped.append("/".join(str(p) for p in path))
+    if verbose and skipped:
+        print(f"transfer_params: kept fresh init for {len(skipped)} leaves "
+              f"(e.g. {skipped[:3]})")
+    structure = jax.tree_util.tree_structure(tgt)
+    return jax.tree_util.tree_unflatten(structure, out)
+
+
 def main(train_json: str, val_json: str, features_path, cfg: PDVCConfig,
          save_dir: str, translator: Optional[Translator] = None,
          n_epochs: int = 5, batch_size: int = 2, lr: float = 1e-4,
@@ -77,8 +100,15 @@ def main(train_json: str, val_json: str, features_path, cfg: PDVCConfig,
 
     info_path = Path(save_dir) / "info.json"
     histories: List[dict] = []
+    start_epoch = 0
+    if ckpt.has("last"):  # info.json-style exact resume (PDVC/train.py:46-60)
+        state = PDVCTrainState(*ckpt.restore("last", tuple(state)))
+        start_epoch = int(ckpt.meta("last").get("epoch", -1)) + 1
+        if info_path.exists():
+            histories = json.loads(info_path.read_text()).get("histories", [])
+        print(f"resumed PDVC training at epoch {start_epoch}")
     np_rng = np.random.default_rng(seed)
-    for epoch in range(n_epochs):
+    for epoch in range(start_epoch, n_epochs):
         logger = MetricLogger()
         order = np_rng.permutation(len(train_ds))
         for s in range(0, len(order) - batch_size + 1, batch_size):
