@@ -45,6 +45,18 @@ def create_logger(name: str = "vidchapters", log_file: Optional[str] = None,
     return logger
 
 
+def make_summary_writer(logdir: str):
+    """Optional TensorBoard writer (the reference logs via tensorboardX /
+    SummaryWriter, moment_detr train.py:106, PDVC/train.py:37). Returns None
+    when no tensorboard backend is importable."""
+    try:
+        from torch.utils.tensorboard import SummaryWriter
+
+        return SummaryWriter(logdir)
+    except Exception:
+        return None
+
+
 def build_save_folder(root: str, run_name: str, config: Any = None,
                       snapshot_code_dir: Optional[str] = None) -> Path:
     """Create ``root/run_name-YYYYmmdd-HHMMSS`` with config.json (+code.zip)."""
