@@ -64,7 +64,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, out_ref, lse_ref):
     probs = (e / s).astype(v.dtype)
     out_ref[0, 0] = jnp.dot(probs, v, preferred_element_type=jnp.float32
                             ).astype(out_ref.dtype)
-    lse_ref[0, 0] = (m + jnp.log(s))[:, 0]
+    lse_ref[0, 0, 0] = (m + jnp.log(s))[:, 0]
 
 
 def _fused_forward(q, k, v, bias, key_mask, interpret=False):
@@ -94,12 +94,14 @@ def _fused_forward(q, k, v, bias, key_mask, interpret=False):
         out_specs=(
             pl.BlockSpec((1, 1, BLOCK_Q, d), lambda i, j, n: (i, j, n, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, BLOCK_Q), lambda i, j, n: (i, j, n),
+            # [B, H, nQ, BLOCK_Q]: keep the last dim un-blocked (Mosaic
+            # requires blocked last dims to pair with 8-divisible sublanes)
+            pl.BlockSpec((1, 1, 1, BLOCK_Q), lambda i, j, n: (i, j, n, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((b, h, lq, d), q.dtype),
-            jax.ShapeDtypeStruct((b, h, lq), jnp.float32),
+            jax.ShapeDtypeStruct((b, h, nq, BLOCK_Q), jnp.float32),
         ),
         interpret=interpret,
     )(q, k, v, bias, key_mask)
@@ -123,9 +125,9 @@ def _bwd_dqkv_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, lse_ref,
     def body(n, _):
         q_blk = q_ref[0, 0, pl.ds(n * BLOCK_Q, BLOCK_Q)].astype(jnp.float32)
         bias_blk = bias_ref[0, 0, pl.ds(n * BLOCK_Q, BLOCK_Q)].astype(jnp.float32)
-        lse_blk = lse_ref[0, 0, pl.ds(n * BLOCK_Q, BLOCK_Q)]
+        lse_blk = lse_ref[0, 0, n]
         dout_blk = dout_ref[0, 0, pl.ds(n * BLOCK_Q, BLOCK_Q)].astype(jnp.float32)
-        delta_blk = delta_ref[0, 0, pl.ds(n * BLOCK_Q, BLOCK_Q)]
+        delta_blk = delta_ref[0, 0, n]
         scores = jnp.dot(q_blk, k.T, preferred_element_type=jnp.float32)
         scores = scores + bias_blk
         scores = jnp.where(valid, scores, NEG_INF)
@@ -157,10 +159,10 @@ def _bwd_dbias_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, lse_ref,
         scores = jnp.dot(q_blk, k.T, preferred_element_type=jnp.float32)
         scores = scores + bias_ref[0, 0].astype(jnp.float32)
         scores = jnp.where(valid, scores, NEG_INF)
-        p = jnp.exp(scores - lse_ref[b, 0][:, None])
+        p = jnp.exp(scores - lse_ref[b, 0, 0][:, None])
         dp = jnp.dot(dout_ref[b, 0].astype(jnp.float32), v.T,
                      preferred_element_type=jnp.float32)
-        ds = p * (dp - delta_ref[b, 0][:, None])
+        ds = p * (dp - delta_ref[b, 0, 0][:, None])
         dbias_ref[0, 0] += ds.astype(dbias_ref.dtype)
         return 0
 
@@ -173,7 +175,7 @@ def _fused_backward(q, k, v, bias, key_mask, out, lse, dout, interpret=False):
     nq = lq // BLOCK_Q
     bias_b = bias.shape[0]
     delta = jnp.sum(dout.astype(jnp.float32) * out.astype(jnp.float32),
-                    axis=-1)  # [b, h, lq]
+                    axis=-1).reshape(b, h, nq, BLOCK_Q)
 
     dq, dk, dv = pl.pallas_call(
         functools.partial(_bwd_dqkv_kernel, n_q_blocks=nq),
@@ -190,11 +192,11 @@ def _fused_backward(q, k, v, bias, key_mask, out, lse, dout, interpret=False):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((b, lk), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, lq), lambda i, j: (i, j, 0),
+            pl.BlockSpec((1, 1, nq, BLOCK_Q), lambda i, j: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, lq, d), lambda i, j: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, lq), lambda i, j: (i, j, 0),
+            pl.BlockSpec((1, 1, nq, BLOCK_Q), lambda i, j: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
@@ -227,11 +229,11 @@ def _fused_backward(q, k, v, bias, key_mask, out, lse, dout, interpret=False):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((b, lk), lambda j, n: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((b, 1, BLOCK_Q), lambda j, n: (0, j, n),
+            pl.BlockSpec((b, 1, 1, BLOCK_Q), lambda j, n: (0, j, n, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((b, 1, BLOCK_Q, d), lambda j, n: (0, j, n, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((b, 1, BLOCK_Q), lambda j, n: (0, j, n),
+            pl.BlockSpec((b, 1, 1, BLOCK_Q), lambda j, n: (0, j, n, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, 1, BLOCK_Q, lk), lambda j, n: (0, j, n, 0),
