@@ -55,6 +55,14 @@ class JaxWhisperTranscriber:
 
         fns = make_decode_fns(model, params, max_decode_len)
 
+        # openai-whisper style suppression: never emit task/language/sot
+        # control tokens or <|notimestamps|> mid-transcription
+        vocab = getattr(model.cfg, "vocab_size", 51865)
+        suppress = np.zeros(vocab, np.float32)
+        for t in range(SOT, min(NO_TIMESTAMPS + 1, vocab)):
+            suppress[t] = -1e9
+        suppress_j = jnp.asarray(suppress)
+
         def _decode(params, enc, prefix):
             # run the forced prefix through the cache, then greedy-continue
             batch = enc.shape[0]
@@ -65,11 +73,12 @@ class JaxWhisperTranscriber:
                 logits, cache = fns.step(tokens[:, i], cache, jnp.asarray(i),
                                          None)
             seqs = [tokens]
-            cur = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            cur = jnp.argmax(logits + suppress_j, axis=-1).astype(jnp.int32)
 
             def body(carry, i):
                 cur, cache, done = carry
                 logits, cache = fns.step(cur, cache, p_len + i, None)
+                logits = logits + suppress_j
                 nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
                 nxt = jnp.where(done, EOT, nxt)
                 done = done | (nxt == EOT)
