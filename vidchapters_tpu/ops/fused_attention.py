@@ -49,7 +49,7 @@ def _pad_to(x: Array, size: int, axis: int) -> Array:
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, out_ref, lse_ref):
+def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, out_ref):
     # q_ref [1,1,bq,D]; k/v [1,1,Lk,D]; bias [1,1,bq,Lk]; mask [B,Lk] (full)
     q = q_ref[0, 0].astype(jnp.float32)
     k = k_ref[0, 0].astype(jnp.float32)
@@ -64,7 +64,6 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, out_ref, lse_ref):
     probs = (e / s).astype(v.dtype)
     out_ref[0, 0] = jnp.dot(probs, v, preferred_element_type=jnp.float32
                             ).astype(out_ref.dtype)
-    lse_ref[0, 0, 0] = (m + jnp.log(s))[:, 0]
 
 
 def _fused_forward(q, k, v, bias, key_mask, interpret=False):
@@ -73,7 +72,7 @@ def _fused_forward(q, k, v, bias, key_mask, interpret=False):
     nq = lq // BLOCK_Q
     bias_b = bias.shape[0]  # 1 (broadcast) or b
 
-    out, lse = pl.pallas_call(
+    out = pl.pallas_call(
         _fwd_kernel,
         grid=(b, h, nq),
         in_specs=[
@@ -91,21 +90,13 @@ def _fused_forward(q, k, v, bias, key_mask, interpret=False):
             pl.BlockSpec((b, lk), lambda i, j, n: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=(
-            pl.BlockSpec((1, 1, BLOCK_Q, d), lambda i, j, n: (i, j, n, 0),
-                         memory_space=pltpu.VMEM),
-            # [B, H, nQ, BLOCK_Q]: keep the last dim un-blocked (Mosaic
-            # requires blocked last dims to pair with 8-divisible sublanes)
-            pl.BlockSpec((1, 1, 1, BLOCK_Q), lambda i, j, n: (i, j, n, 0),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((b, h, lq, d), q.dtype),
-            jax.ShapeDtypeStruct((b, h, nq, BLOCK_Q), jnp.float32),
-        ),
+        out_specs=pl.BlockSpec((1, 1, BLOCK_Q, d),
+                               lambda i, j, n: (i, j, n, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h, lq, d), q.dtype),
         interpret=interpret,
     )(q, k, v, bias, key_mask)
-    return out, lse
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -113,8 +104,8 @@ def _fused_forward(q, k, v, bias, key_mask, interpret=False):
 # ---------------------------------------------------------------------------
 
 
-def _bwd_dqkv_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, lse_ref,
-                     dout_ref, delta_ref, dq_ref, dk_ref, dv_ref,
+def _bwd_dqkv_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, out_ref,
+                     dout_ref, dq_ref, dk_ref, dv_ref,
                      *, n_q_blocks: int):
     k = k_ref[0, 0].astype(jnp.float32)
     v = v_ref[0, 0].astype(jnp.float32)
@@ -125,13 +116,15 @@ def _bwd_dqkv_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, lse_ref,
     def body(n, _):
         q_blk = q_ref[0, 0, pl.ds(n * BLOCK_Q, BLOCK_Q)].astype(jnp.float32)
         bias_blk = bias_ref[0, 0, pl.ds(n * BLOCK_Q, BLOCK_Q)].astype(jnp.float32)
-        lse_blk = lse_ref[0, 0, n]
+        out_blk = out_ref[0, 0, pl.ds(n * BLOCK_Q, BLOCK_Q)].astype(jnp.float32)
         dout_blk = dout_ref[0, 0, pl.ds(n * BLOCK_Q, BLOCK_Q)].astype(jnp.float32)
-        delta_blk = delta_ref[0, 0, n]
         scores = jnp.dot(q_blk, k.T, preferred_element_type=jnp.float32)
         scores = scores + bias_blk
         scores = jnp.where(valid, scores, NEG_INF)
-        p = jnp.exp(scores - lse_blk[:, None])
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        e = jnp.exp(scores - m)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)
+        delta_blk = jnp.sum(dout_blk * out_blk, axis=-1)
         dp = jnp.dot(dout_blk, v.T, preferred_element_type=jnp.float32)
         ds = p * (dp - delta_blk[:, None])
         dq_ref[0, 0, pl.ds(n * BLOCK_Q, BLOCK_Q)] = jnp.dot(
@@ -147,8 +140,8 @@ def _bwd_dqkv_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, lse_ref,
     jax.lax.fori_loop(0, n_q_blocks, body, 0)
 
 
-def _bwd_dbias_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, lse_ref,
-                      dout_ref, delta_ref, dbias_ref, *, batch: int):
+def _bwd_dbias_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, out_ref,
+                      dout_ref, dbias_ref, *, batch: int):
     dbias_ref[0, 0] = jnp.zeros_like(dbias_ref[0, 0])
 
     def body(b, _):
@@ -159,23 +152,25 @@ def _bwd_dbias_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, lse_ref,
         scores = jnp.dot(q_blk, k.T, preferred_element_type=jnp.float32)
         scores = scores + bias_ref[0, 0].astype(jnp.float32)
         scores = jnp.where(valid, scores, NEG_INF)
-        p = jnp.exp(scores - lse_ref[b, 0, 0][:, None])
-        dp = jnp.dot(dout_ref[b, 0].astype(jnp.float32), v.T,
-                     preferred_element_type=jnp.float32)
-        ds = p * (dp - delta_ref[b, 0, 0][:, None])
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        e = jnp.exp(scores - m)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)
+        dout_blk = dout_ref[b, 0].astype(jnp.float32)
+        delta_blk = jnp.sum(dout_blk * out_ref[b, 0].astype(jnp.float32),
+                            axis=-1)
+        dp = jnp.dot(dout_blk, v.T, preferred_element_type=jnp.float32)
+        ds = p * (dp - delta_blk[:, None])
         dbias_ref[0, 0] += ds.astype(dbias_ref.dtype)
         return 0
 
     jax.lax.fori_loop(0, batch, body, 0)
 
 
-def _fused_backward(q, k, v, bias, key_mask, out, lse, dout, interpret=False):
+def _fused_backward(q, k, v, bias, key_mask, out, dout, interpret=False):
     b, h, lq, d = q.shape
     lk = k.shape[2]
     nq = lq // BLOCK_Q
     bias_b = bias.shape[0]
-    delta = jnp.sum(dout.astype(jnp.float32) * out.astype(jnp.float32),
-                    axis=-1).reshape(b, h, nq, BLOCK_Q)
 
     dq, dk, dv = pl.pallas_call(
         functools.partial(_bwd_dqkv_kernel, n_q_blocks=nq),
@@ -192,11 +187,9 @@ def _fused_backward(q, k, v, bias, key_mask, out, lse, dout, interpret=False):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((b, lk), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, nq, BLOCK_Q), lambda i, j: (i, j, 0, 0),
-                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, lq, d), lambda i, j: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, nq, BLOCK_Q), lambda i, j: (i, j, 0, 0),
+            pl.BlockSpec((1, 1, lq, d), lambda i, j: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
@@ -213,7 +206,7 @@ def _fused_backward(q, k, v, bias, key_mask, out, lse, dout, interpret=False):
             jax.ShapeDtypeStruct(v.shape, jnp.float32),
         ),
         interpret=interpret,
-    )(q, k, v, bias, key_mask, lse, dout, delta)
+    )(q, k, v, bias, key_mask, out, dout)
 
     dbias = pl.pallas_call(
         functools.partial(_bwd_dbias_kernel, batch=b),
@@ -229,18 +222,16 @@ def _fused_backward(q, k, v, bias, key_mask, out, lse, dout, interpret=False):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((b, lk), lambda j, n: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((b, 1, 1, BLOCK_Q), lambda j, n: (0, j, n, 0),
-                         memory_space=pltpu.VMEM),
             pl.BlockSpec((b, 1, BLOCK_Q, d), lambda j, n: (0, j, n, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((b, 1, 1, BLOCK_Q), lambda j, n: (0, j, n, 0),
+            pl.BlockSpec((b, 1, BLOCK_Q, d), lambda j, n: (0, j, n, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, 1, BLOCK_Q, lk), lambda j, n: (0, j, n, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((1, h, lq, lk), jnp.float32),
         interpret=interpret,
-    )(q, k, v, bias, key_mask, lse, dout, delta)
+    )(q, k, v, bias, key_mask, out, dout)
     if bias_b != 1:
         # batched bias: per-batch gradient equals dS directly; recompute via
         # XLA (rare path — T5's bias is always broadcast)
@@ -261,18 +252,17 @@ def fused_attention(q: Array, k: Array, v: Array, bias: Array,
     q/k/v [B, H, L, D] (L multiple of 128 — use ``fused_attention_padded``
     otherwise); bias [1, H, L, L]; key_mask [B, L] int (1 = valid).
     """
-    out, _ = _fused_forward(q, k, v, bias, key_mask, interpret)
-    return out
+    return _fused_forward(q, k, v, bias, key_mask, interpret)
 
 
 def _fa_fwd(q, k, v, bias, key_mask, interpret):
-    out, lse = _fused_forward(q, k, v, bias, key_mask, interpret)
-    return out, (q, k, v, bias, key_mask, out, lse)
+    out = _fused_forward(q, k, v, bias, key_mask, interpret)
+    return out, (q, k, v, bias, key_mask, out)
 
 
 def _fa_bwd(interpret, res, dout):
-    q, k, v, bias, key_mask, out, lse = res
-    dq, dk, dv, dbias = _fused_backward(q, k, v, bias, key_mask, out, lse,
+    q, k, v, bias, key_mask, out = res
+    dq, dk, dv, dbias = _fused_backward(q, k, v, bias, key_mask, out,
                                         dout, interpret)
     return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype),
             dbias.astype(bias.dtype), None)
