@@ -137,3 +137,28 @@ def test_evaluate_vc_with_captioner(vc_data):
         ds, captioner=lambda clip, asr: "A generated caption.")
     assert len(results) == 2
     assert "CIDEr" in metrics
+
+
+@pytest.mark.slow
+def test_vc_main_end_to_end(vc_data):
+    from vidchapters_tpu.train.vc_main import main
+
+    ann_path, fdir, sp, cfg = vc_data
+    t5 = T5Config(vocab_size=32200, d_model=32, d_kv=8, d_ff=64, num_layers=1,
+                  num_decoder_layers=1, num_heads=4,
+                  relative_attention_num_buckets=8,
+                  relative_attention_max_distance=16, dtype="float32",
+                  dropout_rate=0.0, encoder_dropout=0.0, decoder_dropout=0.0)
+    vit = TemporalViTConfig(num_features=8, embed_dim=8, depth=1, num_heads=2,
+                            mlp_dim=16, dtype="float32")
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as save_dir:
+        metrics = main(ann_path, ann_path, fdir,
+                       Vid2SeqConfig(t5=t5, vit=vit), cfg, save_dir,
+                       subtitles_path=sp, n_epochs=1, batch_size=1,
+                       generation=GenerationConfig(num_beams=1, max_length=8))
+        assert "CIDEr" in metrics
+        import os
+
+        assert os.path.exists(os.path.join(save_dir, "log.txt"))

@@ -1,0 +1,98 @@
+"""VC (chapter titles with GT boundaries) training orchestrator.
+
+The vc.py:178-330 equivalent: per-epoch clip-level training with tokenization
+in the loop, COCO-captioning eval, best checkpoint on CIDEr, and optional
+DVC-checkpoint import with time-token stripping (vc.py:304-308).
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vidchapters_tpu.config import DataConfig, GenerationConfig, Vid2SeqConfig
+from vidchapters_tpu.data.tokenizer import build_tokenizer
+from vidchapters_tpu.data.vc_dataset import VideoCaptioningDataset, vc_collate
+from vidchapters_tpu.models.vid2seq import Vid2Seq
+from vidchapters_tpu.runtime.checkpoint import CheckpointManager
+from vidchapters_tpu.runtime.meters import MetricLogger
+from vidchapters_tpu.train.dvc_train import TrainState
+from vidchapters_tpu.train.vc_train import (
+    evaluate_vc,
+    make_vc_train_step,
+    tokenize_batch,
+)
+
+
+def main(train_json: str, val_json: str, features_path,
+         model_cfg: Vid2SeqConfig, data_cfg: DataConfig, save_dir: str,
+         subtitles_path: Optional[str] = None, tokenizer_path: str = "",
+         n_epochs: int = 20, batch_size: int = 16, lr: float = 3e-4,
+         seed: int = 0, init_params=None,
+         generation: GenerationConfig = GenerationConfig(num_beams=4,
+                                                         max_length=32)
+         ) -> Dict[str, float]:
+    import optax
+
+    tokenizer = build_tokenizer(tokenizer_path, num_bins=model_cfg.num_bins)
+    train_ds = VideoCaptioningDataset(train_json, features_path, training=True,
+                                      cfg=data_cfg,
+                                      subtitles_path=subtitles_path)
+    val_ds = VideoCaptioningDataset(val_json, features_path, training=False,
+                                    cfg=data_cfg, subtitles_path=subtitles_path)
+
+    model = Vid2Seq(model_cfg)
+    rng = jax.random.PRNGKey(seed)
+    d = data_cfg
+    if init_params is None:
+        init_params = model.init(
+            {"params": rng, "dropout": rng},
+            jnp.zeros((1, d.max_feats, d.features_dim), jnp.float32),
+            jnp.ones((1, 8), jnp.int32), jnp.ones((1, 8), jnp.int32),
+            jnp.ones((1, 8), jnp.int32))["params"]
+
+    tx = optax.chain(optax.clip_by_global_norm(0.1), optax.adam(lr))
+    train_step = jax.jit(make_vc_train_step(model, tx))
+    state = TrainState(init_params, tx.init(init_params), jnp.array(0))
+    ckpt = CheckpointManager(save_dir, best_metric="CIDEr")
+    log_path = Path(save_dir) / "log.txt"
+
+    np_rng = np.random.default_rng(seed)
+    for epoch in range(n_epochs):
+        logger = MetricLogger()
+        order = np_rng.permutation(len(train_ds))
+        for s in range(0, len(order) - batch_size + 1, batch_size):
+            batch = vc_collate([train_ds.__getitem__(int(i), rng=np_rng)
+                                for i in order[s:s + batch_size]])
+            arrays = {
+                "video": jnp.asarray(batch["video"]),
+                "input_tokens": jnp.asarray(tokenize_batch(
+                    batch["input_text"], tokenizer, d.max_input_tokens)),
+                "output_tokens": jnp.asarray(tokenize_batch(
+                    batch["output_text"], tokenizer, d.max_output_tokens)),
+            }
+            state, metrics = train_step(state, arrays, rng)
+            logger.update(loss=float(metrics["loss"]))
+
+        _, metrics = evaluate_vc(model, state.params, val_ds, tokenizer,
+                                 generation,
+                                 max_input_tokens=d.max_input_tokens)
+        ckpt.maybe_save_best((state.params,), epoch, metrics)
+        ckpt.save_last((state.params,), epoch)
+        with open(log_path, "a") as f:
+            f.write(json.dumps({"epoch": epoch,
+                                **logger.global_averages(), **metrics}) + "\n")
+
+    if ckpt.has("best"):
+        (params,) = ckpt.restore("best", (state.params,))
+    else:
+        params = state.params
+    _, final_metrics = evaluate_vc(model, params, val_ds, tokenizer,
+                                   generation,
+                                   max_input_tokens=d.max_input_tokens)
+    return final_metrics
