@@ -253,9 +253,18 @@ def beam_search(fns: DecodeFns, enc_out: Array, enc_mask: Array,
         new_tokens = _gather_beams(token_idx, keep_idx, batch)
         src_beams = _gather_beams(beam_idx, keep_idx, batch)  # [B, K]
 
-        # reorder cache to follow surviving beams
+        # reorder cache to follow surviving beams. Cross-attention KV is
+        # identical across the beams of one example (it only depends on the
+        # encoder output), so skip it — reordering those multi-GB buffers
+        # every step dominates decode time otherwise.
         flat_src = (jnp.arange(batch)[:, None] * K + src_beams).reshape(-1)
-        cache = jax.tree_util.tree_map(lambda x: jnp.take(x, flat_src, axis=0), cache)
+
+        def reorder(path, x):
+            if any(getattr(k, "key", None) == "cross" for k in path):
+                return x
+            return jnp.take(x, flat_src, axis=0)
+
+        cache = jax.tree_util.tree_map_with_path(reorder, cache)
 
         return (i + 1, running_seqs, running_scores, finished_seqs,
                 finished_scores, finished_flags, new_tokens, cache)
