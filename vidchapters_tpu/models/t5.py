@@ -166,6 +166,25 @@ class T5Attention(nn.Module):
             cache = {"k": k, "v": v}
         elif cache is not None:  # precomputed cross-attention kv
             k, v = cache["k"], cache["v"]
+            if k.shape[0] != q.shape[0]:
+                # beam decoding with per-example (not per-beam) cross KV:
+                # group the beam axis instead of duplicating the KV buffers
+                b0 = k.shape[0]
+                group = q.shape[0] // b0
+                cfgh, dkv = self.cfg.num_heads, self.cfg.d_kv
+                qg = q.reshape(b0, group, cfgh, q.shape[2], dkv)
+                scores = jnp.einsum("bghqd,bhkd->bghqk", qg, k
+                                    ).astype(jnp.float32)
+                if bias is not None:
+                    scores = scores + bias.astype(jnp.float32)
+                if key_mask is not None:
+                    scores = jnp.where(
+                        key_mask[:, None, None, None, :].astype(bool),
+                        scores, NEG_INF)
+                probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+                out = jnp.einsum("bghqk,bhkd->bghqd", probs, v)
+                out = out.reshape(q.shape[0], cfgh, q.shape[2], dkv)
+                return self.o(self._merge(out)), cache
         else:
             k = self._split(self.k(kv))
             v = self._split(self.v(kv))
@@ -395,12 +414,13 @@ class T5Stack(nn.Module):
         pos = jnp.arange(max_len)[None, None, None, :]
         valid = pos <= cache_index
         self_bias = jnp.where(valid, bias_full, NEG_INF)
-        cross_bias = (1.0 - enc_mask.astype(jnp.float32))[:, None, None, :] * NEG_INF
         new_cache: Dict[str, Any] = {}
         for i, blk in enumerate(self.blocks):
-            x, c = blk(x, self_bias, None, cross_bias, 0.0, True,
-                       cache=cache[f"block_{i}"], cache_index=cache_index)
-            # cross-attn handled with cached kv: pass enc via cache
+            # cross-attention uses cached KV + the encoder key mask (the mask
+            # path supports per-example KV shared across beams)
+            x, c = blk(x, self_bias, None, None, 0.0, True,
+                       cache=cache[f"block_{i}"], cache_index=cache_index,
+                       cross_key_mask=enc_mask)
             new_cache[f"block_{i}"] = c
         x = self.final_norm(x)
         return x, new_cache

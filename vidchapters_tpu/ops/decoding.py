@@ -182,12 +182,11 @@ def beam_search(fns: DecodeFns, enc_out: Array, enc_mask: Array,
     batch, src_len = enc_out.shape[0], enc_out.shape[1]
     K = num_beams
 
-    # expand encoder state to beams: [B*K, ...]
-    enc_out_b = _flatten_beams(jnp.broadcast_to(
-        enc_out[:, None], (batch, K) + enc_out.shape[1:]))
-    enc_mask_b = _flatten_beams(jnp.broadcast_to(
-        enc_mask[:, None], (batch, K) + enc_mask.shape[1:]))
-    cache = fns.init_cache(batch * K, enc_out_b)
+    # self-attention caches live per beam ([B*K, ...]); cross-attention KV is
+    # beam-invariant, so it is built once per example and shared via the
+    # grouped cross-attention path (no [B*K, H, L, D] duplication)
+    cache = fns.init_cache(batch * K, enc_out)
+    enc_mask_b = enc_mask
 
     running_seqs = jnp.zeros((batch, K, max_length), jnp.int32)
     # only beam 0 is live initially; others start at -inf
