@@ -55,12 +55,19 @@ def main() -> None:
 
     state = TrainState(params=params, opt_state=tx.init(params),
                        step=jnp.array(0))
+    # denoising fields at their analytic static bounds (~0.8L in / ~0.3L out,
+    # data.dvc_dataset.denoise_length_bounds) — what the collate produces
+    from vidchapters_tpu.data.dvc_dataset import denoise_length_bounds
+
+    den_in, den_out = denoise_length_bounds(src)
     batch_dict = {
         "video": video,
         "input_tokens": input_tokens,
         "output_tokens": output_tokens,
-        "denoising_input_tokens": input_tokens,
-        "denoising_output_tokens": output_tokens[:, :128],
+        "denoising_input_tokens": jnp.asarray(
+            np_rng.integers(2, 32000, (batch, den_in)), jnp.int32),
+        "denoising_output_tokens": jnp.asarray(
+            np_rng.integers(2, 32000, (batch, den_out)), jnp.int32),
     }
     step_rng = jax.random.PRNGKey(1)
 

@@ -59,3 +59,17 @@ def test_span_corrupt_short_sequence(rng):
     corrupted, targets = span_corrupt([tok.eos_token_id], tok, rng=rng)
     assert list(corrupted) == [0]
     assert list(targets) == [tok.eos_token_id]
+
+
+def test_denoise_length_bounds_never_truncate(rng):
+    from vidchapters_tpu.data.dvc_dataset import denoise_length_bounds
+
+    tok = ByteLevelTokenizer()
+    for L in (10, 100, 500, 1000):
+        bound_in, bound_out = denoise_length_bounds(L)
+        for _ in range(30):
+            n = int(rng.integers(2, L + 1))
+            ids = rng.integers(3, 200, n)
+            corrupted, targets = span_corrupt(ids, tok, rng=rng)
+            assert len(corrupted) <= bound_in, (n, len(corrupted), bound_in)
+            assert len(targets) <= bound_out, (n, len(targets), bound_out)
