@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import typing
 from dataclasses import dataclass, field
 from pathlib import Path
 from typing import Any, Dict, List, Tuple
@@ -358,15 +359,22 @@ def _from_dict(cls: type, d: Any) -> Any:
     if not dataclasses.is_dataclass(cls):
         return d
     kwargs = {}
+    # PEP 563 (``from __future__ import annotations``) makes field.type a
+    # string — resolve to real types so nested dataclasses rebuild.
+    resolved = typing.get_type_hints(cls)
     hints = {f.name: f for f in dataclasses.fields(cls)}
     for k, v in d.items():
         if k not in hints:
             continue
-        f = hints[k]
-        ftype = f.type if isinstance(f.type, type) else None
-        if ftype is not None and dataclasses.is_dataclass(ftype):
+        ftype = resolved.get(k)
+        origin = typing.get_origin(ftype)
+        if dataclasses.is_dataclass(ftype):
             kwargs[k] = _from_dict(ftype, v)
-        elif isinstance(v, list) and f.name in ("input_buckets", "output_buckets"):
+        elif (origin is dict and isinstance(v, dict)
+              and dataclasses.is_dataclass(typing.get_args(ftype)[1])):
+            vcls = typing.get_args(ftype)[1]
+            kwargs[k] = {kk: _from_dict(vcls, vv) for kk, vv in v.items()}
+        elif origin is tuple and isinstance(v, list):
             kwargs[k] = tuple(v)
         else:
             kwargs[k] = v

@@ -128,3 +128,31 @@ def main(train_jsonl: str, val_jsonl: str, v_feat_dirs: List[str],
                 False, 0, tokenize),
         ground_truth, tokenizer=None if tokenize is None else clip_tokenizer)
     return dict(final_metrics["brief"])
+
+
+if __name__ == "__main__":  # moment_detr train.py CLI equivalent
+    import argparse
+
+    from vidchapters_tpu.config import load_config
+
+    p = argparse.ArgumentParser(description="Chapter-grounding (Moment-DETR) training")
+    p.add_argument("--train-jsonl", required=True)
+    p.add_argument("--val-jsonl", required=True)
+    p.add_argument("--v-feat-dirs", nargs="+", required=True)
+    p.add_argument("--save-dir", required=True)
+    p.add_argument("--config", default=None, help="GroundingConfig json (defaults used if omitted)")
+    p.add_argument("--epochs", type=int, default=50)
+    p.add_argument("--batch-size", type=int, default=32)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--max-spans", type=int, default=5)
+    p.add_argument("--eval-every", type=int, default=5)
+    p.add_argument("--early-stop-patience", type=int, default=10)
+    p.add_argument("--seed", type=int, default=0)
+    a = p.parse_args()
+    cfg = load_config(GroundingConfig, a.config) if a.config else GroundingConfig()
+    print(json.dumps(main(a.train_jsonl, a.val_jsonl, a.v_feat_dirs, cfg,
+                          a.save_dir, n_epochs=a.epochs,
+                          batch_size=a.batch_size, lr=a.lr,
+                          max_spans=a.max_spans, eval_every=a.eval_every,
+                          early_stop_patience=a.early_stop_patience,
+                          seed=a.seed)))

@@ -148,3 +148,30 @@ def main(train_json: str, val_json: str, features_path, cfg: PDVCConfig,
     _, final_metrics = evaluate_pdvc(infer, best_params, val_batches(),
                                      translator, references=[val_json])
     return final_metrics
+
+
+if __name__ == "__main__":  # PDVC train.py CLI equivalent
+    import argparse
+    import json as _json
+
+    from vidchapters_tpu.config import PDVCConfig, load_config
+
+    p = argparse.ArgumentParser(description="PDVC dense-captioning training")
+    p.add_argument("--train-json", required=True)
+    p.add_argument("--val-json", required=True)
+    p.add_argument("--features-path", required=True)
+    p.add_argument("--save-dir", required=True)
+    p.add_argument("--config", default=None, help="PDVCConfig json (defaults used if omitted)")
+    p.add_argument("--epochs", type=int, default=5)
+    p.add_argument("--batch-size", type=int, default=2)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--lr-drop-epochs", type=int, default=8)
+    p.add_argument("--max-events", type=int, default=10)
+    p.add_argument("--seed", type=int, default=0)
+    a = p.parse_args()
+    cfg = load_config(PDVCConfig, a.config) if a.config else PDVCConfig()
+    print(_json.dumps(main(a.train_json, a.val_json, a.features_path, cfg,
+                           a.save_dir, n_epochs=a.epochs,
+                           batch_size=a.batch_size, lr=a.lr,
+                           lr_drop_epochs=a.lr_drop_epochs,
+                           max_events=a.max_events, seed=a.seed)))

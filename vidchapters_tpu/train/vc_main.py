@@ -96,3 +96,36 @@ def main(train_json: str, val_json: str, features_path,
                                    generation,
                                    max_input_tokens=d.max_input_tokens)
     return final_metrics
+
+
+if __name__ == "__main__":  # vc.py CLI equivalent
+    import argparse
+    import json as _json
+
+    from vidchapters_tpu.config import (DataConfig, Vid2SeqConfig,
+                                        load_config)
+
+    p = argparse.ArgumentParser(description="Video-captioning (Vid2Seq) training")
+    p.add_argument("--train-json", required=True)
+    p.add_argument("--val-json", required=True)
+    p.add_argument("--features-path", required=True)
+    p.add_argument("--save-dir", required=True)
+    p.add_argument("--model-config", default=None, help="Vid2SeqConfig json")
+    p.add_argument("--data-config", default=None, help="DataConfig json")
+    p.add_argument("--subtitles-path", default=None)
+    p.add_argument("--tokenizer-path", default="")
+    p.add_argument("--epochs", type=int, default=20)
+    p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("--lr", type=float, default=3e-4)
+    p.add_argument("--seed", type=int, default=0)
+    a = p.parse_args()
+    model_cfg = (load_config(Vid2SeqConfig, a.model_config)
+                 if a.model_config else Vid2SeqConfig())
+    data_cfg = (load_config(DataConfig, a.data_config)
+                if a.data_config else DataConfig())
+    print(_json.dumps(main(a.train_json, a.val_json, a.features_path,
+                           model_cfg, data_cfg, a.save_dir,
+                           subtitles_path=a.subtitles_path,
+                           tokenizer_path=a.tokenizer_path,
+                           n_epochs=a.epochs, batch_size=a.batch_size,
+                           lr=a.lr, seed=a.seed)))
