@@ -73,3 +73,66 @@ def test_transcribe_end_to_end_tiny():
     assert set(out) == {"text", "start", "end"}
     # random model may emit no timestamp pairs; just require consistency
     assert len(out["text"]) == len(out["start"]) == len(out["end"])
+
+
+def test_compression_ratio_flags_repetition():
+    from vidchapters_tpu.factory.whisper_transcribe import compression_ratio
+
+    assert compression_ratio("") == 0.0
+    loopy = "the cat sat " * 60
+    normal = "chapters are segments of a longer video with titles"
+    assert compression_ratio(loopy) > 2.4
+    assert compression_ratio(normal) < 2.4
+
+
+def _tiny_transcriber(**kw):
+    cfg = WhisperConfig(vocab_size=TIMESTAMP_BEGIN + 1501, num_mel_bins=80,
+                        d_model=32, encoder_layers=1, decoder_layers=1,
+                        num_heads=4, d_ff=64, max_source_positions=1500,
+                        max_target_positions=64, dtype="float32")
+    model = Whisper(cfg)
+    rng = jax.random.PRNGKey(0)
+    import jax.numpy as jnp
+
+    mel = jnp.zeros((1, 80, 3000), jnp.float32)
+    toks = jnp.zeros((1, 4), jnp.int32)
+    params = model.init({"params": rng}, mel, toks)["params"]
+    return JaxWhisperTranscriber(model, params, max_decode_len=12, **kw)
+
+
+@pytest.mark.slow
+def test_greedy_decode_deterministic_and_scored():
+    tr = _tiny_transcriber(temperatures=(0.0,),
+                           compression_ratio_threshold=None,
+                           logprob_threshold=None)
+    mel = np.zeros((80, 3000), np.float32)
+    t1, lp1, nsp1 = tr._decode_window(mel, 0)
+    t2, lp2, nsp2 = tr._decode_window(mel, 1)  # different rng, temp=0
+    assert t1 == t2  # greedy ignores the key
+    assert lp1 == pytest.approx(lp2)
+    assert lp1 < 0.0  # a valid average logprob
+    assert 0.0 <= nsp1 <= 1.0
+
+
+@pytest.mark.slow
+def test_temperature_fallback_runs_sampled_path():
+    tr = _tiny_transcriber(temperatures=(1.0,),
+                           compression_ratio_threshold=None,
+                           logprob_threshold=None)
+    mel = np.zeros((80, 3000), np.float32)
+    ta, _, _ = tr._decode_window(mel, 0)
+    tb, _, _ = tr._decode_window(mel, 0)  # same window index -> same key
+    tc, _, _ = tr._decode_window(mel, 7)  # different key
+    assert ta == tb  # sampling is keyed, hence reproducible
+    assert isinstance(tc, list)
+
+
+@pytest.mark.slow
+def test_no_speech_windows_skipped():
+    tr = _tiny_transcriber(temperatures=(0.0,),
+                           compression_ratio_threshold=None,
+                           logprob_threshold=None,
+                           no_speech_threshold=-1.0)  # everything "silent"
+    audio = np.zeros(16000 * 31, np.float32)
+    out = tr.transcribe(audio)
+    assert out == {"text": [], "start": [], "end": []}

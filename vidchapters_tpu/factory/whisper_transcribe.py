@@ -1,10 +1,20 @@
 """Chunked Whisper transcription on TPU -> {text[], start[], end[]} pickles.
 
 The JAX counterpart of asr_extract/whisper_inference.py: 30-second windows
-are mel-transformed (factory.audio), batch-encoded, greedily decoded under
-jit with the KV cache, and segmented by Whisper's timestamp tokens
-(``<|t|>`` ids >= timestamp_begin, 0.02 s per step); the window then seeks
-to the last closed timestamp, reproducing openai-whisper's long-form loop.
+are mel-transformed (factory.audio), batch-encoded, decoded under jit with
+the KV cache, and segmented by Whisper's timestamp tokens (``<|t|>`` ids >=
+timestamp_begin, 0.02 s per step); the window then seeks to the last closed
+timestamp, reproducing openai-whisper's long-form loop.
+
+The reference relies on openai-whisper's default decode options
+(asr_extract/whisper_inference.py:48 calls ``model.transcribe`` bare), so
+the robustness ladder is reproduced here: greedy first, then temperature
+fallback (0.2 .. 1.0) whenever the output compresses too well
+(gzip ratio > 2.4, a repetition-loop detector) or scores too low
+(avg logprob < -1.0), and silent-window skipping via the ``<|nospeech|>``
+probability captured at the SOT step. One jitted program serves every
+temperature: sampling vs argmax is a traced select, so the fallback ladder
+costs zero recompiles.
 
 Token -> text detokenization needs Whisper's BPE vocab (a data file); pass
 any callable (e.g. a HF tokenizer's ``decode``) as ``decode_tokens``. Without
@@ -32,13 +42,30 @@ NO_TIMESTAMPS = 50363
 TIMESTAMP_BEGIN = 50364
 EOT = 50257
 LANG_EN = 50259
+NO_SPEECH = 50362
 TIME_PRECISION = 0.02
+
+
+def compression_ratio(text: str) -> float:
+    """Repetition detector: raw bytes / zlib bytes (whisper/utils.py)."""
+    import zlib
+
+    data = text.encode("utf-8")
+    if not data:
+        return 0.0
+    return len(data) / len(zlib.compress(data))
 
 
 class JaxWhisperTranscriber:
     def __init__(self, model, params, max_decode_len: int = 224,
                  language_token: int = LANG_EN,
-                 decode_tokens: Optional[Callable[[List[int]], str]] = None):
+                 decode_tokens: Optional[Callable[[List[int]], str]] = None,
+                 temperatures: Tuple[float, ...] = (0.0, 0.2, 0.4, 0.6,
+                                                    0.8, 1.0),
+                 compression_ratio_threshold: Optional[float] = 2.4,
+                 logprob_threshold: Optional[float] = -1.0,
+                 no_speech_threshold: Optional[float] = 0.6,
+                 seed: int = 0):
         import jax
         import jax.numpy as jnp
 
@@ -48,6 +75,11 @@ class JaxWhisperTranscriber:
         self.params = params
         self.max_decode_len = max_decode_len
         self.decode_tokens = decode_tokens
+        self.temperatures = temperatures
+        self.compression_ratio_threshold = compression_ratio_threshold
+        self.logprob_threshold = logprob_threshold
+        self.no_speech_threshold = no_speech_threshold
+        self._rng = jax.random.PRNGKey(seed)
         self.sot_sequence = [SOT, language_token, TRANSCRIBE]
 
         self._encode = jax.jit(
@@ -63,48 +95,102 @@ class JaxWhisperTranscriber:
             suppress[t] = -1e9
         suppress_j = jnp.asarray(suppress)
 
-        def _decode(params, enc, prefix):
-            # run the forced prefix through the cache, then greedy-continue
+        def _pick(logits, key, temperature):
+            """Greedy when temperature == 0, categorical otherwise — a traced
+            select, so one compiled program serves the whole fallback ladder."""
+            logits = logits + suppress_j
+            greedy = jnp.argmax(logits, axis=-1)
+            sampled = jax.random.categorical(
+                key, logits / jnp.maximum(temperature, 1e-6), axis=-1)
+            nxt = jnp.where(temperature > 0, sampled, greedy).astype(jnp.int32)
+            logp = jnp.take_along_axis(
+                jax.nn.log_softmax(logits, axis=-1), nxt[:, None], -1)[:, 0]
+            return nxt, logp
+
+        def _decode(params, enc, prefix, temperature, rng):
+            # run the forced prefix through the cache, then continue decoding;
+            # returns (sequence, sum_logprob, n_generated, no_speech_prob)
             batch = enc.shape[0]
             cache = fns.init_cache(batch, enc)
             tokens = prefix  # [B, P]
             p_len = tokens.shape[1]
+            no_speech = jnp.zeros((batch,), jnp.float32)
             for i in range(p_len):
                 logits, cache = fns.step(tokens[:, i], cache, jnp.asarray(i),
                                          None)
-            seqs = [tokens]
-            cur = jnp.argmax(logits + suppress_j, axis=-1).astype(jnp.int32)
+                if i == 0:  # whisper DecodingTask: P(<|nospeech|>) at SOT step
+                    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+                    no_speech = probs[:, NO_SPEECH] if NO_SPEECH < vocab \
+                        else jnp.zeros((batch,), jnp.float32)
+            cur, logp0 = _pick(logits, rng, temperature)
+            sum_lp = logp0
+            n_tok = jnp.ones((batch,), jnp.float32)
+            done0 = cur == EOT
 
             def body(carry, i):
-                cur, cache, done = carry
+                cur, cache, done, sum_lp, n_tok = carry
                 logits, cache = fns.step(cur, cache, p_len + i, None)
-                logits = logits + suppress_j
-                nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                nxt, logp = _pick(logits, jax.random.fold_in(rng, i),
+                                  temperature)
                 nxt = jnp.where(done, EOT, nxt)
+                sum_lp = sum_lp + jnp.where(done, 0.0, logp)
+                n_tok = n_tok + jnp.where(done, 0.0, 1.0)
                 done = done | (nxt == EOT)
-                return (nxt, cache, done), cur
+                return (nxt, cache, done, sum_lp, n_tok), cur
 
-            (last, _, _), outs = jax.lax.scan(
-                body, (cur, cache, cur == EOT),
+            (last, _, _, sum_lp, n_tok), outs = jax.lax.scan(
+                body, (cur, cache, done0, sum_lp, n_tok),
                 jnp.arange(max_decode_len - p_len - 1))
             gen = jnp.concatenate(
                 [jnp.swapaxes(outs, 0, 1), last[:, None]], axis=1)
-            return jnp.concatenate([tokens, gen], axis=1)
+            seq = jnp.concatenate([tokens, gen], axis=1)
+            return seq, sum_lp, n_tok, no_speech
 
         self._decode = jax.jit(_decode)
         self._jnp = jnp
 
-    def _decode_window(self, mel: np.ndarray) -> List[int]:
+    def _tokens_to_text(self, tokens: List[int]) -> str:
+        text_toks = [t for t in tokens if t < TIMESTAMP_BEGIN]
+        if self.decode_tokens is not None:
+            return self.decode_tokens(text_toks)
+        return " ".join(str(t) for t in text_toks)
+
+    def _decode_window(self, mel: np.ndarray, window_index: int = 0
+                       ) -> Tuple[List[int], float, float]:
+        """Temperature-fallback decode of one 30 s window
+        (openai-whisper ``transcribe`` decode_with_fallback).
+
+        Returns (tokens, avg_logprob, no_speech_prob)."""
+        import jax
+
         jnp = self._jnp
         enc = self._encode(self.params, jnp.asarray(mel[None]))
         prefix = jnp.asarray(np.asarray([self.sot_sequence], np.int32))
-        seq = np.asarray(self._decode(self.params, enc, prefix))[0]
-        toks = []
-        for t in seq[len(self.sot_sequence):]:
-            if t == EOT:
+        toks: List[int] = []
+        avg_lp, no_speech = 0.0, 0.0
+        for ti, temp in enumerate(self.temperatures):
+            key = jax.random.fold_in(self._rng, window_index * 131 + ti)
+            seq, sum_lp, n_tok, nsp = self._decode(
+                self.params, enc, prefix, jnp.float32(temp), key)
+            seq = np.asarray(seq)[0]
+            toks = []
+            for t in seq[len(self.sot_sequence):]:
+                if t == EOT:
+                    break
+                toks.append(int(t))
+            avg_lp = float(sum_lp[0]) / float(n_tok[0])
+            no_speech = float(nsp[0])
+            needs_fallback = False
+            if (self.compression_ratio_threshold is not None
+                    and compression_ratio(self._tokens_to_text(toks))
+                    > self.compression_ratio_threshold):
+                needs_fallback = True  # repetition loop
+            if (self.logprob_threshold is not None
+                    and avg_lp < self.logprob_threshold):
+                needs_fallback = True  # low confidence
+            if not needs_fallback:
                 break
-            toks.append(int(t))
-        return toks
+        return toks, avg_lp, no_speech
 
     def _segments_from_tokens(self, tokens: List[int], offset: float
                               ) -> Tuple[List[dict], float]:
@@ -142,12 +228,22 @@ class JaxWhisperTranscriber:
         """mono float32 16 kHz audio -> ``{text[], start[], end[]}``."""
         segments: List[dict] = []
         seek = 0
+        window_index = 0
         while seek < len(audio):
             window = audio[seek: seek + N_SAMPLES]
             if len(window) < SAMPLE_RATE // 2:
                 break
             mel = log_mel_spectrogram(window)
-            tokens = self._decode_window(mel)
+            tokens, avg_lp, no_speech = self._decode_window(mel, window_index)
+            window_index += 1
+            # whisper transcribe.py: silent window unless the logprob says
+            # there is actually confident content
+            if (self.no_speech_threshold is not None
+                    and no_speech > self.no_speech_threshold
+                    and not (self.logprob_threshold is not None
+                             and avg_lp > self.logprob_threshold)):
+                seek += N_SAMPLES
+                continue
             segs, advance = self._segments_from_tokens(
                 tokens, offset=seek / SAMPLE_RATE)
             segments.extend(segs)
