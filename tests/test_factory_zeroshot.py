@@ -236,3 +236,99 @@ def test_feature_shot_detection():
     assert shots == [(0.0, 5.0), (5.0, 10.0)]
     chapters = visual_chapters(shots, captioner=lambda t: f"shot at {t}")
     assert len(chapters) == 2
+
+
+# ---------------------------------------------------------------------------
+# audio loading + demo_asr jax backend
+# ---------------------------------------------------------------------------
+
+
+def test_load_audio_wav_resample_and_npy(tmp_path):
+    import wave
+
+    import numpy as np
+
+    from vidchapters_tpu.factory.audio import SAMPLE_RATE, load_audio
+
+    sr0 = 22050
+    t = np.arange(sr0) / sr0
+    sig = (0.5 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    pcm = (np.stack([sig, sig], 1) * 32767).astype(np.int16)
+    wav = tmp_path / "tone.wav"
+    with wave.open(str(wav), "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(sr0)
+        w.writeframes(pcm.tobytes())
+    audio = load_audio(str(wav))
+    assert audio.dtype == np.float32
+    assert abs(len(audio) - SAMPLE_RATE) < 2  # resampled to 16 kHz
+    assert abs(float(np.max(audio)) - 0.5) < 0.01
+
+    npy = tmp_path / "tone.npy"
+    np.save(npy, sig)
+    assert load_audio(str(npy)).shape == sig.shape
+
+
+def test_load_audio_needs_ffmpeg_message(tmp_path):
+    import shutil
+
+    import pytest as _pytest
+
+    from vidchapters_tpu.factory.audio import load_audio
+
+    if shutil.which("ffmpeg"):
+        _pytest.skip("ffmpeg present; error path not reachable")
+    with _pytest.raises(RuntimeError, match="ffmpeg"):
+        load_audio(str(tmp_path / "clip.mp4"))
+
+
+def test_demo_asr_cli_jax_backend(tmp_path, monkeypatch):
+    """Drive the demo_asr CLI with a tiny random model standing in for the
+    HF checkpoint (weights are not downloadable here)."""
+    import pickle
+    import wave
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vidchapters_tpu.demo import demo_asr
+    from vidchapters_tpu.factory.whisper_transcribe import TIMESTAMP_BEGIN
+    from vidchapters_tpu.models.whisper import Whisper, WhisperConfig
+
+    cfg = WhisperConfig(vocab_size=TIMESTAMP_BEGIN + 1501, num_mel_bins=80,
+                        d_model=32, encoder_layers=1, decoder_layers=1,
+                        num_heads=4, d_ff=64, max_source_positions=1500,
+                        max_target_positions=64, dtype="float32")
+    model = Whisper(cfg)
+    params = model.init({"params": jax.random.PRNGKey(0)},
+                        jnp.zeros((1, 80, 3000), jnp.float32),
+                        jnp.zeros((1, 4), jnp.int32))["params"]
+    monkeypatch.setattr("vidchapters_tpu.models.whisper.load_hf_whisper",
+                        lambda name: (model, params))
+
+    class _Tok:
+        def decode(self, ids):
+            return " ".join(str(i) for i in ids)
+
+    import transformers
+
+    monkeypatch.setattr(transformers.WhisperTokenizer, "from_pretrained",
+                        staticmethod(lambda name: _Tok()))
+
+    wav = tmp_path / "in.wav"
+    sig = (np.random.default_rng(0).normal(size=16000 * 2) * 0.05
+           ).astype(np.float32)
+    with wave.open(str(wav), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes((sig * 32767).astype(np.int16).tobytes())
+    out = tmp_path / "out.pkl"
+    demo_asr.main(["--video_path", str(wav), "--out", str(out),
+                   "--backend", "jax"])
+    result = pickle.load(open(out, "rb"))
+    assert "segments" in result
+    for seg in result["segments"]:
+        assert set(seg) == {"text", "start", "end"}

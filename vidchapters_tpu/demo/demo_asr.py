@@ -1,12 +1,15 @@
 """Single-video ASR demo: transcribe + align -> pickle.
 
 Counterpart of demo_asr.py:16-26 (whisper large-v2 transcribe -> whisperx
-align -> pickle). Backends, in priority order:
-- ``whisperx``/``whisper`` when installed (reference behavior);
-- HF transformers whisper pipeline with chunk timestamps;
-(the planned JAX whisper decoder will slot in here).
+align -> pickle). Backends:
+- ``jax`` (default): HF whisper weights converted to the JAX model,
+  chunked transcription with temperature fallback
+  (factory.whisper_transcribe), segments produced directly;
+- ``whisperx``: upstream whisper + whisperx when installed (reference
+  behavior);
+- ``hf``: transformers pipeline with chunk timestamps.
 
-Usage: python -m vidchapters_tpu.demo.demo_asr --video_path v.mp4 --out v.pkl
+Usage: python -m vidchapters_tpu.demo.demo_asr --video_path v.wav --out v.pkl
 """
 
 from __future__ import annotations
@@ -16,9 +19,28 @@ import argparse
 from vidchapters_tpu.utils.io import save_pickle
 
 
+def jax_transcribe(audio_path: str, model_name: str = "large-v2") -> dict:
+    """TPU-native path: HF weights -> JAX Whisper -> chunked decode."""
+    from transformers import WhisperTokenizer
+
+    from vidchapters_tpu.factory.audio import load_audio
+    from vidchapters_tpu.factory.whisper_transcribe import JaxWhisperTranscriber
+    from vidchapters_tpu.models.whisper import load_hf_whisper
+
+    hf_name = (model_name if "/" in model_name
+               else f"openai/whisper-{model_name}")
+    model, params = load_hf_whisper(hf_name)
+    tok = WhisperTokenizer.from_pretrained(hf_name)
+    tr = JaxWhisperTranscriber(model, params, decode_tokens=tok.decode)
+    out = tr.transcribe(load_audio(audio_path))
+    return {"segments": [
+        {"text": t, "start": s, "end": e}
+        for t, s, e in zip(out["text"], out["start"], out["end"])]}
+
+
 def transcribe(video_path: str, model_name: str = "large-v2",
-               device: str = "cpu") -> dict:
-    try:  # reference path: whisper + whisperx alignment
+               device: str = "cpu", backend: str = "jax") -> dict:
+    if backend == "whisperx":
         import whisper
         import whisperx
 
@@ -26,15 +48,14 @@ def transcribe(video_path: str, model_name: str = "large-v2",
         result = model.transcribe(video_path)
         align_model, metadata = whisperx.load_align_model(
             language_code=result["language"], device=device)
-        aligned = whisperx.align(result["segments"], align_model, metadata,
-                                 video_path, device)
-        return aligned
-    except ImportError:
-        pass
-    from vidchapters_tpu.factory.asr import make_hf_whisper_transcribe
+        return whisperx.align(result["segments"], align_model, metadata,
+                              video_path, device)
+    if backend == "hf":
+        from vidchapters_tpu.factory.asr import make_hf_whisper_transcribe
 
-    return make_hf_whisper_transcribe(f"openai/whisper-{model_name}",
-                                      device)(video_path)
+        return make_hf_whisper_transcribe(f"openai/whisper-{model_name}",
+                                          device)(video_path)
+    return jax_transcribe(video_path, model_name)
 
 
 def main(args=None) -> None:
@@ -43,10 +64,12 @@ def main(args=None) -> None:
     p.add_argument("--out", required=True)
     p.add_argument("--model", default="large-v2")
     p.add_argument("--device", default="cpu")
+    p.add_argument("--backend", default="jax",
+                   choices=["jax", "whisperx", "hf"])
     a = p.parse_args(args)
-    result = transcribe(a.video_path, a.model, a.device)
+    result = transcribe(a.video_path, a.model, a.device, a.backend)
     save_pickle(result, a.out)
-    print(f"wrote {a.out}")
+    print(f"wrote {a.out} ({len(result['segments'])} segments)")
 
 
 if __name__ == "__main__":

@@ -85,3 +85,48 @@ def log_mel_spectrogram(audio: np.ndarray, pad_to_chunk: bool = True
     log_spec = np.log10(np.maximum(mel, 1e-10))
     log_spec = np.maximum(log_spec, log_spec.max() - 8.0)
     return ((log_spec + 4.0) / 4.0).astype(np.float32)
+
+
+def load_audio(path: str, sr: int = SAMPLE_RATE) -> np.ndarray:
+    """File -> float32 mono audio at ``sr``.
+
+    The reference leans on ``whisper.load_audio`` (an ffmpeg subprocess,
+    demo_asr.py:18). Here: ``.npy`` arrays and PCM ``.wav`` load natively
+    (stdlib ``wave`` + linear resample), anything else shells out to ffmpeg
+    when available.
+    """
+    if path.endswith(".npy"):
+        audio = np.load(path).astype(np.float32)
+        return audio.mean(axis=1) if audio.ndim == 2 else audio
+    if path.endswith(".wav"):
+        import wave
+
+        with wave.open(path, "rb") as w:
+            n, width, rate = w.getnframes(), w.getsampwidth(), w.getframerate()
+            channels = w.getnchannels()
+            raw = w.readframes(n)
+        if width == 2:
+            audio = np.frombuffer(raw, np.int16).astype(np.float32) / 32768.0
+        elif width == 4:
+            audio = np.frombuffer(raw, np.int32).astype(np.float32) / 2**31
+        elif width == 1:
+            audio = (np.frombuffer(raw, np.uint8).astype(np.float32) - 128) / 128
+        else:
+            raise ValueError(f"unsupported wav sample width {width}")
+        if channels > 1:
+            audio = audio.reshape(-1, channels).mean(axis=1)
+        if rate != sr:
+            t = np.arange(int(len(audio) * sr / rate)) * (rate / sr)
+            audio = np.interp(t, np.arange(len(audio)), audio).astype(np.float32)
+        return audio
+    import shutil
+    import subprocess
+
+    if shutil.which("ffmpeg") is None:
+        raise RuntimeError(
+            f"loading {path} needs ffmpeg (not installed); provide .wav/.npy")
+    out = subprocess.run(
+        ["ffmpeg", "-nostdin", "-i", path, "-f", "s16le", "-ac", "1",
+         "-acodec", "pcm_s16le", "-ar", str(sr), "-"],
+        capture_output=True, check=True).stdout
+    return np.frombuffer(out, np.int16).astype(np.float32) / 32768.0

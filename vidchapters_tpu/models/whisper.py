@@ -329,3 +329,25 @@ def convert_hf_whisper(sd: Mapping[str, np.ndarray]) -> Dict[str, Any]:
         }
         i += 1
     return {"encoder": enc, "decoder": dec}
+
+
+def load_hf_whisper(name_or_path: str):
+    """HF WhisperForConditionalGeneration checkpoint -> (Whisper, params).
+
+    The demo/factory ASR entry (reference demo_asr.py:16 loads whisper
+    large-v2); weights come from the local HF cache — no downloads here.
+    """
+    from transformers import WhisperConfig as HFConfig
+    from transformers import WhisperForConditionalGeneration
+
+    hf = WhisperForConditionalGeneration.from_pretrained(name_or_path)
+    c: HFConfig = hf.config
+    cfg = WhisperConfig(
+        vocab_size=c.vocab_size, num_mel_bins=c.num_mel_bins,
+        max_source_positions=c.max_source_positions,
+        max_target_positions=c.max_target_positions,
+        d_model=c.d_model, encoder_layers=c.encoder_layers,
+        decoder_layers=c.decoder_layers,
+        num_heads=c.encoder_attention_heads, d_ff=c.encoder_ffn_dim)
+    sd = {k: v.numpy() for k, v in hf.state_dict().items()}
+    return Whisper(cfg), convert_hf_whisper(sd)
