@@ -6,6 +6,13 @@ import pytest
 import jax
 import jax.numpy as jnp
 
+import jax.numpy as _jnp
+
+
+def _seed0():
+    return _jnp.zeros((1, 1), _jnp.uint32)
+
+
 from vidchapters_tpu.ops.fused_attention import (
     BLOCK_Q,
     fused_attention,
@@ -36,7 +43,7 @@ def make_inputs(rng, lq):
 
 def test_forward_matches_dense(rng):
     q, k, v, bias, mask = make_inputs(rng, BLOCK_Q * 2)
-    out = fused_attention(q, k, v, bias, mask, True)
+    out = fused_attention(q, k, v, bias, mask, _seed0(), True)
     ref = dense_reference(q, k, v, bias, mask)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5,
                                atol=2e-5)
@@ -56,7 +63,7 @@ def test_gradients_match_dense(rng):
     q, k, v, bias, mask = make_inputs(rng, BLOCK_Q)
 
     def loss_fused(q, k, v, bias):
-        out = fused_attention(q, k, v, bias, mask, True)
+        out = fused_attention(q, k, v, bias, mask, _seed0(), True)
         return (out.astype(jnp.float32) ** 2).sum() * 0.5
 
     def loss_dense(q, k, v, bias):
@@ -120,3 +127,73 @@ def test_t5_encoder_fused_matches_chunked(rng):
         t5mod.USE_FUSED_ATTENTION = old
     np.testing.assert_allclose(np.asarray(fused), np.asarray(ref),
                                rtol=2e-4, atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# in-kernel recomputable dropout
+# ---------------------------------------------------------------------------
+
+
+def dense_reference_dropout(q, k, v, bias, key_mask, seed, rate):
+    from vidchapters_tpu.ops.fused_attention import _keep_scale
+
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32)
+    scores = scores + bias.astype(jnp.float32)
+    scores = jnp.where(key_mask[:, None, None, :] > 0, scores, NEG)
+    probs = jax.nn.softmax(scores, axis=-1)
+    lq, lk = probs.shape[2], probs.shape[3]
+    keep = jnp.stack([
+        jnp.stack([_keep_scale(seed[0, 0], b, h, 0, lq, lk, rate)
+                   for h in range(H)]) for b in range(B)])
+    return jnp.einsum("bhqk,bhkd->bhqd", (probs * keep).astype(q.dtype), v)
+
+
+def test_dropout_forward_matches_reference_mask(rng):
+    rate = 0.1
+    q, k, v, bias, mask = make_inputs(rng, BLOCK_Q * 2)
+    seed = jnp.full((1, 1), 12345, jnp.uint32)
+    out = fused_attention(q, k, v, bias, mask, seed, True, rate)
+    ref = dense_reference_dropout(q, k, v, bias, mask, seed, rate)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5,
+                               atol=2e-5)
+    # and it actually drops: fraction of zeroed probs ~ rate
+    nodrop = fused_attention(q, k, v, bias, mask, seed, True, 0.0)
+    assert not np.allclose(np.asarray(out), np.asarray(nodrop))
+
+
+def test_dropout_keep_fraction():
+    from vidchapters_tpu.ops.fused_attention import _keep_scale
+
+    rate = 0.25
+    keep = np.asarray(_keep_scale(jnp.uint32(99), 1, 2, 0, 256, 512, rate))
+    frac = (keep > 0).mean()
+    assert abs(frac - (1 - rate)) < 0.01
+    np.testing.assert_allclose(keep[keep > 0], 1.0 / (1 - rate), rtol=1e-6)
+    # deterministic: same args -> same mask
+    keep2 = np.asarray(_keep_scale(jnp.uint32(99), 1, 2, 0, 256, 512, rate))
+    np.testing.assert_array_equal(keep, keep2)
+    # different seed/batch/head -> different mask
+    assert (keep != np.asarray(
+        _keep_scale(jnp.uint32(100), 1, 2, 0, 256, 512, rate))).any()
+    assert (keep != np.asarray(
+        _keep_scale(jnp.uint32(99), 0, 2, 0, 256, 512, rate))).any()
+
+
+def test_dropout_gradients_match_reference_mask(rng):
+    rate = 0.15
+    q, k, v, bias, mask = make_inputs(rng, BLOCK_Q)
+    seed = jnp.full((1, 1), 777, jnp.uint32)
+
+    def loss_fused(q, k, v, bias):
+        out = fused_attention(q, k, v, bias, mask, seed, True, rate)
+        return (out.astype(jnp.float32) ** 2).sum() * 0.5
+
+    def loss_dense(q, k, v, bias):
+        out = dense_reference_dropout(q, k, v, bias, mask, seed, rate)
+        return (out.astype(jnp.float32) ** 2).sum() * 0.5
+
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    gd = jax.grad(loss_dense, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    for name, a, b in zip("qkvb", gf, gd):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-4,
+                                   atol=5e-4, err_msg=f"grad {name}")

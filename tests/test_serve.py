@@ -1,0 +1,105 @@
+"""Chapter-generation server: engine bucketing + HTTP surface on a live
+socket with a tiny random model."""
+
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vidchapters_tpu.config import (
+    DataConfig,
+    GenerationConfig,
+    T5Config,
+    TemporalViTConfig,
+    Vid2SeqConfig,
+)
+from vidchapters_tpu.data.tokenizer import build_tokenizer
+from vidchapters_tpu.models.vid2seq import Vid2Seq
+from vidchapters_tpu.serve import ChapterGenerator, _make_handler
+
+
+def _tiny_engine():
+    cfg = Vid2SeqConfig(
+        t5=T5Config(d_model=32, d_kv=8, d_ff=64, num_layers=1,
+                    num_decoder_layers=1, num_heads=4),
+        vit=TemporalViTConfig(num_features=8, embed_dim=16, depth=1,
+                              num_heads=4, mlp_dim=32))
+    d = DataConfig(max_feats=8, features_dim=16, max_input_tokens=64,
+                   input_buckets=(32, 64, 512))
+    model = Vid2Seq(cfg)
+    rng = jax.random.PRNGKey(0)
+    params = model.init(
+        {"params": rng, "dropout": rng},
+        jnp.zeros((1, 8, 16), jnp.float32), jnp.ones((1, 4), jnp.int32),
+        jnp.ones((1, 4), jnp.int32), jnp.ones((1, 4), jnp.int32))["params"]
+    tok = build_tokenizer("", num_bins=cfg.num_bins)
+    gen = GenerationConfig(num_beams=1, max_length=8)
+    return ChapterGenerator(model, params, tok, d, gen, cfg.num_bins)
+
+
+def test_buckets_clamped_to_max_input():
+    eng = _tiny_engine()
+    assert eng.buckets == [32, 64]  # 512 > max_input_tokens dropped
+    assert eng._bucket(10) == 32
+    assert eng._bucket(33) == 64
+    assert eng._bucket(999) == 64  # overflow truncates to the largest
+
+
+def test_generate_chapters_shapes_and_schema():
+    eng = _tiny_engine()
+    feats = np.random.default_rng(0).normal(size=(20, 16)).astype(np.float32)
+    asr = {"text": ["hello there"], "start": [0.5], "end": [3.0]}
+    chapters = eng.generate_chapters(feats, duration=30.0, asr=asr)
+    for ch in chapters:  # random model may emit none; schema must hold
+        assert set(ch) == {"sentence", "timestamp"}
+        s, e = ch["timestamp"]
+        assert 0.0 <= s <= e <= 30.0
+    # no-ASR path (video-only chapters, dvc_dataset eos-only input)
+    assert isinstance(eng.generate_chapters(feats, 30.0, None), list)
+
+
+@pytest.mark.slow
+def test_http_surface_end_to_end():
+    from http.server import ThreadingHTTPServer
+
+    eng = _tiny_engine()
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), _make_handler(eng))
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        def req(path, payload=None):
+            data = (json.dumps(payload).encode()
+                    if payload is not None else None)
+            r = urllib.request.Request(f"http://127.0.0.1:{port}{path}",
+                                       data=data)
+            try:
+                with urllib.request.urlopen(r, timeout=120) as resp:
+                    return resp.status, json.loads(resp.read())
+            except urllib.error.HTTPError as e:
+                return e.code, json.loads(e.read())
+
+        code, body = req("/healthz")
+        assert code == 200 and body["ok"] and body["buckets"] == [32, 64]
+
+        feats = np.zeros((10, 16)).tolist()
+        code, body = req("/v1/chapters",
+                         {"features": feats, "duration": 12.0,
+                          "asr": {"text": ["hi"], "start": [0.0],
+                                  "end": [2.0]}})
+        assert code == 200 and isinstance(body["chapters"], list)
+
+        code, body = req("/v1/chapters", {"features": [1.0], "duration": 5})
+        assert code == 400 and "frames, dim" in body["error"]
+        code, body = req("/v1/chapters", {"features": feats})
+        assert code == 400
+        code, body = req("/v1/nope", {})
+        assert code == 404
+    finally:
+        httpd.shutdown()

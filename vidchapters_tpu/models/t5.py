@@ -191,7 +191,6 @@ class T5Attention(nn.Module):
         large = (cache is None and q.shape[2] > self.CHUNK
                  and q.shape[2] * k.shape[2] > 512 * 512)
         use_fused = (large and _fused_attention_enabled()
-                     and (dropout_rate == 0.0 or deterministic)
                      and bias is not None and bias.shape[0] == 1
                      and key_mask is not None)
         use_chunked = large and not use_fused
@@ -200,9 +199,17 @@ class T5Attention(nn.Module):
                 fused_attention_padded,
             )
 
+            drop = 0.0 if deterministic else dropout_rate
+            seed = None
+            if drop > 0.0:
+                # in-kernel recomputable dropout: fwd and bwd rebuild the
+                # same keep mask from this scalar — no O(L^2) residual
+                seed = jax.random.bits(self.make_rng("dropout"), (1, 1),
+                                       jnp.uint32)
             out = fused_attention_padded(
                 q, k, v, bias, key_mask,
-                jax.default_backend() == "cpu")  # interpret off-TPU
+                jax.default_backend() == "cpu",  # interpret off-TPU
+                seed=seed, dropout_rate=drop)
         elif use_chunked:
             out = self._chunked_attention(q, k, v, bias, key_mask,
                                           dropout_rate, deterministic)

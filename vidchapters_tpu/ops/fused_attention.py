@@ -13,9 +13,11 @@ A custom VJP supplies the backward pass as two more Pallas kernels:
   batch (T5's relative-position bias is learned and batch-broadcast, so its
   gradient is the batch-sum of dS).
 
-Used for encoder self-attention when attention dropout is off (the
-reference trains Vid2Seq with encoder dropout 0, model/vid2seq.py:30-37);
-other paths keep the chunked/dense implementations.
+Attention-prob dropout runs *inside* the kernel: the keep mask is a
+murmur3-style hash of (seed, batch, head, absolute q/k position), so the
+backward kernels recompute the identical mask from the same scalars instead
+of saving an O(L^2) mask — residuals stay O(L * d) even in training, which
+is what lets whole-block rematerialisation be turned off.
 """
 
 from __future__ import annotations
@@ -45,11 +47,37 @@ def _pad_to(x: Array, size: int, axis: int) -> Array:
 
 
 # ---------------------------------------------------------------------------
+# recomputable dropout keep-mask (murmur3 finalizer over absolute positions)
+# ---------------------------------------------------------------------------
+
+
+def _keep_scale(seed, b, h, q0, block_q, lk, rate):
+    """[block_q, lk] f32 mask: keep / (1 - rate) or 0, deterministic in
+    (seed, b, h, absolute position) — recomputed identically in fwd + bwd."""
+    rows = jax.lax.broadcasted_iota(jnp.uint32, (block_q, lk), 0)
+    cols = jax.lax.broadcasted_iota(jnp.uint32, (block_q, lk), 1)
+    x = (rows + jnp.uint32(q0)) * jnp.uint32(lk) + cols
+    s = (seed
+         ^ (jnp.uint32(b) * jnp.uint32(0x9E3779B1))
+         ^ (jnp.uint32(h) * jnp.uint32(0x85EBCA6B)))
+    x = x ^ s
+    x = x * jnp.uint32(0xCC9E2D51)
+    x = x ^ (x >> 16)
+    x = x * jnp.uint32(0x85EBCA6B)
+    x = x ^ (x >> 13)
+    x = x * jnp.uint32(0xC2B2AE35)
+    x = x ^ (x >> 16)
+    thresh = jnp.uint32(min(int(rate * 2**32), 2**32 - 1))
+    return jnp.where(x >= thresh, 1.0 / (1.0 - rate), 0.0).astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
 # forward
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, out_ref):
+def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, mask_ref, out_ref,
+                *, dropout_rate: float):
     # q_ref [1,1,bq,D]; k/v [1,1,Lk,D]; bias [1,1,bq,Lk]; mask [B,Lk] (full)
     q = q_ref[0, 0].astype(jnp.float32)
     k = k_ref[0, 0].astype(jnp.float32)
@@ -61,21 +89,30 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, out_ref):
     m = jnp.max(scores, axis=-1, keepdims=True)
     e = jnp.exp(scores - m)
     s = jnp.sum(e, axis=-1, keepdims=True)
-    probs = (e / s).astype(v.dtype)
-    out_ref[0, 0] = jnp.dot(probs, v, preferred_element_type=jnp.float32
+    probs = e / s
+    if dropout_rate > 0.0:
+        probs = probs * _keep_scale(
+            seed_ref[0, 0], pl.program_id(0), pl.program_id(1),
+            pl.program_id(2) * BLOCK_Q, probs.shape[0], probs.shape[1],
+            dropout_rate)
+    out_ref[0, 0] = jnp.dot(probs.astype(v.dtype), v,
+                            preferred_element_type=jnp.float32
                             ).astype(out_ref.dtype)
 
 
-def _fused_forward(q, k, v, bias, key_mask, interpret=False):
+def _fused_forward(q, k, v, bias, key_mask, seed, dropout_rate,
+                   interpret=False):
     b, h, lq, d = q.shape
     lk = k.shape[2]
     nq = lq // BLOCK_Q
     bias_b = bias.shape[0]  # 1 (broadcast) or b
 
     out = pl.pallas_call(
-        _fwd_kernel,
+        functools.partial(_fwd_kernel, dropout_rate=dropout_rate),
         grid=(b, h, nq),
         in_specs=[
+            pl.BlockSpec((1, 1), lambda i, j, n: (0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, BLOCK_Q, d), lambda i, j, n: (i, j, n, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, lk, d), lambda i, j, n: (i, j, 0, 0),
@@ -95,7 +132,7 @@ def _fused_forward(q, k, v, bias, key_mask, interpret=False):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h, lq, d), q.dtype),
         interpret=interpret,
-    )(q, k, v, bias, key_mask)
+    )(seed, q, k, v, bias, key_mask)
     return out
 
 
@@ -104,12 +141,13 @@ def _fused_forward(q, k, v, bias, key_mask, interpret=False):
 # ---------------------------------------------------------------------------
 
 
-def _bwd_dqkv_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, out_ref,
-                     dout_ref, dq_ref, dk_ref, dv_ref,
-                     *, n_q_blocks: int):
+def _bwd_dqkv_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, mask_ref,
+                     out_ref, dout_ref, dq_ref, dk_ref, dv_ref,
+                     *, n_q_blocks: int, dropout_rate: float):
     k = k_ref[0, 0].astype(jnp.float32)
     v = v_ref[0, 0].astype(jnp.float32)
-    valid = mask_ref[pl.program_id(0)][None, :] > 0
+    batch_id, head_id = pl.program_id(0), pl.program_id(1)
+    valid = mask_ref[batch_id][None, :] > 0
     dk_ref[0, 0] = jnp.zeros_like(dk_ref[0, 0])
     dv_ref[0, 0] = jnp.zeros_like(dv_ref[0, 0])
 
@@ -124,15 +162,24 @@ def _bwd_dqkv_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, out_ref,
         m = jnp.max(scores, axis=-1, keepdims=True)
         e = jnp.exp(scores - m)
         p = e / jnp.sum(e, axis=-1, keepdims=True)
+        # delta = rowsum(dp_dropped . p_dropped) = rowsum(dout . out) holds
+        # with dropout too, since both factors carry the same keep mask
         delta_blk = jnp.sum(dout_blk * out_blk, axis=-1)
         dp = jnp.dot(dout_blk, v.T, preferred_element_type=jnp.float32)
+        pd = p
+        if dropout_rate > 0.0:
+            keep = _keep_scale(seed_ref[0, 0], batch_id, head_id,
+                               n * BLOCK_Q, BLOCK_Q, p.shape[1],
+                               dropout_rate)
+            dp = dp * keep
+            pd = p * keep
         ds = p * (dp - delta_blk[:, None])
         dq_ref[0, 0, pl.ds(n * BLOCK_Q, BLOCK_Q)] = jnp.dot(
             ds, k, preferred_element_type=jnp.float32).astype(dq_ref.dtype)
         dk_ref[0, 0] += jnp.dot(ds.T, q_blk,
                                 preferred_element_type=jnp.float32
                                 ).astype(dk_ref.dtype)
-        dv_ref[0, 0] += jnp.dot(p.T, dout_blk,
+        dv_ref[0, 0] += jnp.dot(pd.T, dout_blk,
                                 preferred_element_type=jnp.float32
                                 ).astype(dv_ref.dtype)
         return 0
@@ -140,8 +187,10 @@ def _bwd_dqkv_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, out_ref,
     jax.lax.fori_loop(0, n_q_blocks, body, 0)
 
 
-def _bwd_dbias_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, out_ref,
-                      dout_ref, dbias_ref, *, batch: int):
+def _bwd_dbias_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, mask_ref,
+                      out_ref, dout_ref, dbias_ref,
+                      *, batch: int, dropout_rate: float):
+    head_id, qblk_id = pl.program_id(0), pl.program_id(1)
     dbias_ref[0, 0] = jnp.zeros_like(dbias_ref[0, 0])
 
     def body(b, _):
@@ -159,6 +208,10 @@ def _bwd_dbias_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, out_ref,
         delta_blk = jnp.sum(dout_blk * out_ref[b, 0].astype(jnp.float32),
                             axis=-1)
         dp = jnp.dot(dout_blk, v.T, preferred_element_type=jnp.float32)
+        if dropout_rate > 0.0:
+            dp = dp * _keep_scale(seed_ref[0, 0], b, head_id,
+                                  qblk_id * BLOCK_Q,
+                                  p.shape[0], p.shape[1], dropout_rate)
         ds = p * (dp - delta_blk[:, None])
         dbias_ref[0, 0] += ds.astype(dbias_ref.dtype)
         return 0
@@ -166,16 +219,20 @@ def _bwd_dbias_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, out_ref,
     jax.lax.fori_loop(0, batch, body, 0)
 
 
-def _fused_backward(q, k, v, bias, key_mask, out, dout, interpret=False):
+def _fused_backward(q, k, v, bias, key_mask, seed, dropout_rate, out, dout,
+                    interpret=False):
     b, h, lq, d = q.shape
     lk = k.shape[2]
     nq = lq // BLOCK_Q
     bias_b = bias.shape[0]
 
     dq, dk, dv = pl.pallas_call(
-        functools.partial(_bwd_dqkv_kernel, n_q_blocks=nq),
+        functools.partial(_bwd_dqkv_kernel, n_q_blocks=nq,
+                          dropout_rate=dropout_rate),
         grid=(b, h),
         in_specs=[
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, lq, d), lambda i, j: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, lk, d), lambda i, j: (i, j, 0, 0),
@@ -206,12 +263,15 @@ def _fused_backward(q, k, v, bias, key_mask, out, dout, interpret=False):
             jax.ShapeDtypeStruct(v.shape, jnp.float32),
         ),
         interpret=interpret,
-    )(q, k, v, bias, key_mask, out, dout)
+    )(seed, q, k, v, bias, key_mask, out, dout)
 
     dbias = pl.pallas_call(
-        functools.partial(_bwd_dbias_kernel, batch=b),
+        functools.partial(_bwd_dbias_kernel, batch=b,
+                          dropout_rate=dropout_rate),
         grid=(h, nq),
         in_specs=[
+            pl.BlockSpec((1, 1), lambda j, n: (0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((b, 1, BLOCK_Q, d), lambda j, n: (0, j, n, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((b, 1, lk, d), lambda j, n: (0, j, 0, 0),
@@ -231,7 +291,7 @@ def _fused_backward(q, k, v, bias, key_mask, out, dout, interpret=False):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((1, h, lq, lk), jnp.float32),
         interpret=interpret,
-    )(q, k, v, bias, key_mask, out, dout)
+    )(seed, q, k, v, bias, key_mask, out, dout)
     if bias_b != 1:
         # batched bias: per-batch gradient equals dS directly; recompute via
         # XLA (rare path — T5's bias is always broadcast)
@@ -244,37 +304,46 @@ def _fused_backward(q, k, v, bias, key_mask, out, dout, interpret=False):
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
 def fused_attention(q: Array, k: Array, v: Array, bias: Array,
-                    key_mask: Array, interpret: bool = False) -> Array:
-    """softmax(q k^T + bias + mask) v.
+                    key_mask: Array, seed: Array,
+                    interpret: bool = False,
+                    dropout_rate: float = 0.0) -> Array:
+    """softmax(q k^T + bias + mask) v, with optional attention-prob dropout.
 
     q/k/v [B, H, L, D] (L multiple of 128 — use ``fused_attention_padded``
-    otherwise); bias [1, H, L, L]; key_mask [B, L] int (1 = valid).
+    otherwise); bias [1, H, L, L]; key_mask [B, L] int (1 = valid);
+    seed [1, 1] uint32 (ignored when dropout_rate == 0).
     """
-    return _fused_forward(q, k, v, bias, key_mask, interpret)
+    return _fused_forward(q, k, v, bias, key_mask, seed, dropout_rate,
+                          interpret)
 
 
-def _fa_fwd(q, k, v, bias, key_mask, interpret):
-    out = _fused_forward(q, k, v, bias, key_mask, interpret)
-    return out, (q, k, v, bias, key_mask, out)
+def _fa_fwd(q, k, v, bias, key_mask, seed, interpret, dropout_rate):
+    out = _fused_forward(q, k, v, bias, key_mask, seed, dropout_rate,
+                         interpret)
+    return out, (q, k, v, bias, key_mask, seed, out)
 
 
-def _fa_bwd(interpret, res, dout):
-    q, k, v, bias, key_mask, out = res
-    dq, dk, dv, dbias = _fused_backward(q, k, v, bias, key_mask, out,
-                                        dout, interpret)
+def _fa_bwd(interpret, dropout_rate, res, dout):
+    q, k, v, bias, key_mask, seed, out = res
+    dq, dk, dv, dbias = _fused_backward(q, k, v, bias, key_mask, seed,
+                                        dropout_rate, out, dout, interpret)
     return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype),
-            dbias.astype(bias.dtype), None)
+            dbias.astype(bias.dtype), None, None)
 
 
 fused_attention.defvjp(_fa_fwd, _fa_bwd)
 
 
 def fused_attention_padded(q: Array, k: Array, v: Array, bias: Array,
-                           key_mask: Array, interpret: bool = False) -> Array:
+                           key_mask: Array, interpret: bool = False,
+                           seed: Array | None = None,
+                           dropout_rate: float = 0.0) -> Array:
     """Wrapper padding L up to a BLOCK_Q multiple (padded keys masked out,
     padded query rows sliced off)."""
+    if seed is None:
+        seed = jnp.zeros((1, 1), jnp.uint32)
     lq = q.shape[2]
     lp = ((lq + BLOCK_Q - 1) // BLOCK_Q) * BLOCK_Q
     if lp != lq:
@@ -283,5 +352,6 @@ def fused_attention_padded(q: Array, k: Array, v: Array, bias: Array,
         v = _pad_to(v, lp, 2)
         bias = _pad_to(_pad_to(bias, lp, 2), lp, 3)
         key_mask = _pad_to(key_mask, lp, 1)
-    out = fused_attention(q, k, v, bias, key_mask, interpret)
+    out = fused_attention(q, k, v, bias, key_mask, seed, interpret,
+                          dropout_rate)
     return out[:, :, :lq]

@@ -116,5 +116,24 @@ class CheckpointManager:
     def restore(self, name: str, target: Any) -> Any:
         return self._restore_tree(name, target)
 
+    def restore_params(self, name: str, params_template: Any) -> Any:
+        """Restore only the leading params tree of a saved tuple.
+
+        Works against checkpoints saved as ``(params,)`` (vc/grounding
+        mains) and full ``(params, opt_state, step)`` train states
+        (dvc_main) — serving / transfer only needs the parameters.
+        """
+        try:
+            (params,) = self._restore_tree(name, (params_template,))
+            return params
+        except Exception:
+            if not _HAS_ORBAX:
+                raise
+        raw = ocp.StandardCheckpointer().restore((self.dir / name).absolute())
+        first = raw[0] if isinstance(raw, (list, tuple)) else raw
+        return jax.tree_util.tree_unflatten(
+            jax.tree_util.tree_structure(params_template),
+            jax.tree_util.tree_leaves(first))
+
     def has(self, name: str) -> bool:
         return (self.dir / name).exists() or Path(str(self.dir / name) + ".npz").exists()

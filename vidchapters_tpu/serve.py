@@ -1,0 +1,231 @@
+"""Persistent chapter-generation inference server.
+
+Production counterpart of the one-shot demo (reference demo_vid2seq.py:
+141-197 — ASR -> time+text tokens, encode, beam decode, ``<time=k>`` regex
+parse). The reference has no serving story; here a long-lived process keeps
+the jitted (encode -> beam) programs warm and answers JSON over HTTP:
+
+    POST /v1/chapters {"features": [[...]...], "duration": 120.0,
+                       "asr": {"text": [...], "start": [...], "end": [...]}}
+      -> {"chapters": [{"sentence": ..., "timestamp": [s, e]}], ...}
+    GET  /healthz -> {"ok": true, "buckets": [...]}
+
+TPU-minded design choices:
+- input lengths snap to ``DataConfig.input_buckets`` so the number of
+  compiled programs is bounded (one per bucket, compiled lazily on first
+  use and kept warm for the life of the process);
+- a single device lock serializes generation — requests queue in the
+  HTTP thread pool while one batch is on the chip;
+- features are subsampled/padded host-side to the static ``max_feats``.
+
+Usage:
+    python -m vidchapters_tpu.serve --config exp.json --ckpt /path/ckpt \
+        --port 8976
+(--ckpt omitted = randomly initialised weights: smoke/benchmark mode.)
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from vidchapters_tpu.config import (
+    DataConfig,
+    ExperimentConfig,
+    GenerationConfig,
+)
+from vidchapters_tpu.data.time_tokens import (
+    build_time_text_sequence,
+    decode_chapter_sequence,
+)
+
+
+class ChapterGenerator:
+    """Inference engine: (features, duration, asr) -> chapter list."""
+
+    def __init__(self, model, params, tokenizer, data_cfg: DataConfig,
+                 gen_cfg: GenerationConfig, num_bins: int, seed: int = 0):
+        import jax
+
+        from vidchapters_tpu.train.dvc_train import make_generate_fn
+
+        self.model = model
+        self.params = params
+        self.tokenizer = tokenizer
+        self.data_cfg = data_cfg
+        self.num_bins = num_bins
+        self.buckets = sorted(
+            {b for b in data_cfg.input_buckets
+             if b <= data_cfg.max_input_tokens}
+            | {data_cfg.max_input_tokens})
+        self._generate = make_generate_fn(model, gen_cfg)
+        self._rng = jax.random.PRNGKey(seed)
+        self._lock = threading.Lock()
+
+    def _bucket(self, n: int) -> int:
+        for b in self.buckets:
+            if n <= b:
+                return b
+        return self.buckets[-1]
+
+    def _input_tokens(self, asr: Optional[dict], duration: float) -> np.ndarray:
+        if not asr or not asr.get("text"):
+            return np.array([self.tokenizer.eos_token_id], np.int32)
+        ids = build_time_text_sequence(
+            asr["start"], asr["end"], asr["text"], duration, self.tokenizer,
+            self.num_bins, self.data_cfg.max_input_tokens,
+            filter_to_duration=True)
+        return np.asarray(ids, np.int32)
+
+    def generate_chapters(self, features: np.ndarray, duration: float,
+                          asr: Optional[dict] = None) -> List[Dict]:
+        """[T, D] float features + seconds + optional ASR -> chapters
+        ``[{"sentence": str, "timestamp": [start, end]}]``."""
+        import jax
+        import jax.numpy as jnp
+
+        from vidchapters_tpu.data.features import subsample_or_pad
+
+        video = subsample_or_pad(np.asarray(features, np.float32),
+                                 self.data_cfg.max_feats,
+                                 self.data_cfg.features_dim)
+        ids = self._input_tokens(asr, duration)
+        bucket = self._bucket(len(ids))
+        tokens = np.zeros(bucket, np.int32)
+        tokens[:min(len(ids), bucket)] = ids[:bucket]
+        with self._lock:
+            self._rng, sub = jax.random.split(self._rng)
+            seqs = self._generate(self.params, jnp.asarray(video[None]),
+                                  jnp.asarray(tokens[None]), sub)
+        text = self.tokenizer.batch_decode(np.asarray(seqs),
+                                           skip_special_tokens=True)[0]
+        return decode_chapter_sequence(text, float(duration), self.num_bins)
+
+    def warmup(self) -> None:
+        """Compile every bucket's program before serving traffic."""
+        for b in self.buckets:
+            asr = {"text": ["warmup"], "start": [0.0], "end": [1.0]}
+            feats = np.zeros((self.data_cfg.max_feats,
+                              self.data_cfg.features_dim), np.float32)
+            ids = self._input_tokens(asr, 10.0)
+            pad = np.zeros(b, np.int32)
+            pad[:len(ids)] = ids[:b]
+            import jax
+            import jax.numpy as jnp
+
+            self._rng, sub = jax.random.split(self._rng)
+            self._generate(self.params, jnp.asarray(feats[None]),
+                           jnp.asarray(pad[None]), sub)
+
+
+def _make_handler(engine: ChapterGenerator):
+    from http.server import BaseHTTPRequestHandler
+
+    class Handler(BaseHTTPRequestHandler):
+        def _reply(self, code: int, payload: dict) -> None:
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):  # noqa: N802 (http.server API)
+            if self.path == "/healthz":
+                self._reply(200, {"ok": True, "buckets": engine.buckets})
+            else:
+                self._reply(404, {"error": f"unknown path {self.path}"})
+
+        def do_POST(self):  # noqa: N802
+            if self.path != "/v1/chapters":
+                self._reply(404, {"error": f"unknown path {self.path}"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(n))
+                features = np.asarray(req["features"], np.float32)
+                if features.ndim != 2:
+                    raise ValueError("features must be [frames, dim]")
+                duration = float(req["duration"])
+            except (KeyError, ValueError, json.JSONDecodeError) as e:
+                self._reply(400, {"error": str(e)})
+                return
+            try:
+                chapters = engine.generate_chapters(
+                    features, duration, req.get("asr"))
+            except Exception as e:  # surface engine errors as 500s
+                self._reply(500, {"error": str(e)})
+                return
+            self._reply(200, {"chapters": chapters})
+
+        def log_message(self, fmt, *args):  # quiet access log
+            pass
+
+    return Handler
+
+
+def serve(engine: ChapterGenerator, host: str = "127.0.0.1",
+          port: int = 8976, warmup: bool = True):
+    """Blocking server loop. Returns the server object when interrupted."""
+    from http.server import ThreadingHTTPServer
+
+    if warmup:
+        engine.warmup()
+    httpd = ThreadingHTTPServer((host, port), _make_handler(engine))
+    print(f"serving chapters on http://{host}:{port} "
+          f"(buckets={engine.buckets})", flush=True)
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    return httpd
+
+
+def main(args=None) -> None:
+    import argparse
+
+    import jax
+    import jax.numpy as jnp
+
+    from vidchapters_tpu.config import load_config
+    from vidchapters_tpu.data.tokenizer import build_tokenizer
+    from vidchapters_tpu.models.vid2seq import Vid2Seq
+
+    p = argparse.ArgumentParser(description="Chapter-generation server")
+    p.add_argument("--config", required=True, help="ExperimentConfig json")
+    p.add_argument("--ckpt", default=None,
+                   help="checkpoint dir (best/last); omit for random init")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8976)
+    p.add_argument("--no-warmup", action="store_true")
+    a = p.parse_args(args)
+
+    cfg: ExperimentConfig = load_config(ExperimentConfig, a.config)
+    tokenizer = build_tokenizer(cfg.tokenizer_path,
+                                num_bins=cfg.model.num_bins)
+    model = Vid2Seq(cfg.model)
+    d = cfg.data
+    rng = jax.random.PRNGKey(0)
+    params = model.init(
+        {"params": rng, "dropout": rng},
+        jnp.zeros((1, d.max_feats, d.features_dim), jnp.float32),
+        jnp.ones((1, 8), jnp.int32), jnp.ones((1, 8), jnp.int32),
+        jnp.ones((1, 8), jnp.int32))["params"]
+    if a.ckpt:
+        from vidchapters_tpu.runtime.checkpoint import CheckpointManager
+
+        ckpt = CheckpointManager(a.ckpt)
+        name = "best" if ckpt.has("best") else "last"
+        params = ckpt.restore_params(name, params)
+        print(f"restored '{name}' from {a.ckpt}")
+
+    engine = ChapterGenerator(model, params, tokenizer, d, cfg.generation,
+                              cfg.model.num_bins)
+    serve(engine, a.host, a.port, warmup=not a.no_warmup)
+
+
+if __name__ == "__main__":
+    main()
