@@ -70,3 +70,54 @@ def test_dim_mismatch_errors(tmp_path, loader, rng):
     np.save(p, rng.normal(size=(5, 8)).astype(np.float32))
     with pytest.raises(IOError):
         loader.load(str(p), max_rows=5, dim=16)
+
+
+def test_feature_source_native_path_and_prefetch(tmp_path, rng):
+    """FeatureSource dir mode uses the C++ loader; prefetch warms the LRU;
+    output matches the numpy path bit-for-bit."""
+    from vidchapters_tpu.data.features import FeatureSource
+
+    ids = []
+    for i in range(3):
+        vid = f"vid{i:08d}"
+        arr = rng.normal(size=(150 + i, 8)).astype(np.float32)
+        np.save(tmp_path / f"{vid}.npy", arr)
+        ids.append(vid)
+
+    fs_native = FeatureSource(str(tmp_path), max_feats=100, features_dim=8,
+                              native=True)
+    fs_numpy = FeatureSource(str(tmp_path), max_feats=100, features_dim=8,
+                             native=False)
+    fs_native.prefetch(ids)
+    for vid in ids:
+        np.testing.assert_array_equal(fs_native(vid), fs_numpy(vid))
+    assert fs_native._native_loader().cache_entries() >= 1
+
+
+def test_epoch_iterator_prefetches_next_batch(tmp_path, rng):
+    import json as _json
+
+    from vidchapters_tpu.config import DataConfig
+    from vidchapters_tpu.data.dvc_dataset import (
+        DenseVideoCaptioningDataset,
+        EpochIterator,
+    )
+    from vidchapters_tpu.data.tokenizer import ByteLevelTokenizer
+
+    ann = {}
+    for i in range(4):
+        vid = f"vid{i:08d}xyz"
+        np.save(tmp_path / f"{vid[-11:]}.npy",
+                rng.normal(size=(30, 8)).astype(np.float32))
+        ann[vid] = {"duration": 20.0, "timestamps": [[0.0, 10.0]],
+                    "sentences": [f"part {i}"]}
+    cfg = DataConfig(max_feats=10, features_dim=8, max_input_tokens=32,
+                     max_output_tokens=16)
+    ds = DenseVideoCaptioningDataset(ann, str(tmp_path),
+                                     ByteLevelTokenizer(), cfg)
+    ds.features = type(ds.features)(str(tmp_path), 10, 8, native=True)
+    it = EpochIterator(ds, batch_size=2, cfg=cfg, shuffle=False)
+    batches = list(it)
+    assert len(batches) == 2
+    # after iterating, the native cache saw the prefetched files
+    assert ds.features._native_loader().cache_entries() >= 1

@@ -260,6 +260,20 @@ class EpochIterator:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
+    def _prefetch(self, idxs) -> None:
+        """Warm the native feature cache for a future batch (overlaps disk IO
+        with the device step; no-op when the C++ loader isn't built)."""
+        ds = self.dataset
+        features = getattr(ds, "features", None)
+        if features is None or not hasattr(features, "prefetch"):
+            return
+        vids = getattr(ds, "vids", None)
+        try:
+            if vids is not None:
+                features.prefetch([vids[int(i)][-11:] for i in idxs])
+        except Exception:
+            pass  # prefetch is best-effort
+
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         n = len(self.dataset)
         order = np.arange(n)
@@ -272,6 +286,8 @@ class EpochIterator:
             idxs = order[b * self.batch_size:(b + 1) * self.batch_size]
             if len(idxs) == 0:
                 break
+            self._prefetch(order[(b + 1) * self.batch_size:
+                                 (b + 2) * self.batch_size])
             examples = [self.dataset.__getitem__(int(i), rng=rng) for i in idxs]
             yield collate(examples, self.cfg.max_input_tokens,
                           self.cfg.max_output_tokens, self.max_denoise_out)

@@ -31,14 +31,23 @@ def subsample_or_pad(video: np.ndarray, max_feats: int,
 
 
 class FeatureSource:
-    """Uniform accessor over per-video .npy dirs or consolidated feature dicts."""
+    """Uniform accessor over per-video .npy dirs or consolidated feature dicts.
+
+    In directory mode the C++ loader (native/feature_loader.cpp: mmap npy
+    parse + threadpool LRU prefetch) serves ``__call__`` and ``prefetch`` when
+    built — ``native=False`` forces the pure-numpy path, ``native=True``
+    requires the library.
+    """
 
     def __init__(self, features_path: Union[str, Dict[str, np.ndarray]],
-                 max_feats: int = 100, features_dim: int = 768):
+                 max_feats: int = 100, features_dim: int = 768,
+                 native: Optional[bool] = None):
         self.max_feats = max_feats
         self.features_dim = features_dim
         self.features: Optional[Dict[str, np.ndarray]] = None
         self.dir_path: Optional[str] = None
+        self._native = None
+        self._native_opt = native
         if isinstance(features_path, dict):
             self.features = features_path
         elif os.path.isdir(features_path):
@@ -53,15 +62,51 @@ class FeatureSource:
                 loaded = torch.load(features_path, map_location="cpu")
                 self.features = {k: v.numpy() for k, v in loaded.items()}
 
+    def _native_loader(self):
+        """Lazy native loader: None if disabled/unbuilt."""
+        if self._native_opt is False or self.dir_path is None:
+            return None
+        if self._native is None:
+            try:
+                from vidchapters_tpu.data.native_loader import (
+                    NativeFeatureLoader,
+                    is_available,
+                )
+
+                if not is_available():
+                    raise RuntimeError("native loader not built")
+                self._native = NativeFeatureLoader()
+            except Exception:
+                if self._native_opt is True:
+                    raise
+                self._native = False  # sentinel: tried, unavailable
+        return self._native or None
+
+    def _path(self, video_id: str) -> str:
+        path = os.path.join(self.dir_path, video_id + ".mp4.npy")
+        if not os.path.exists(path):
+            path = os.path.join(self.dir_path, video_id + ".npy")
+        return path
+
     def raw(self, video_id: str) -> np.ndarray:
         if self.features is not None:
             assert video_id in self.features, video_id
             return np.asarray(self.features[video_id], dtype=np.float32)
-        path = os.path.join(self.dir_path, video_id + ".mp4.npy")
-        if not os.path.exists(path):
-            path = os.path.join(self.dir_path, video_id + ".npy")
+        path = self._path(video_id)
         assert os.path.exists(path), path
         return np.load(path).astype(np.float32)
 
+    def prefetch(self, video_ids) -> None:
+        """Warm the native LRU for upcoming ids (no-op without the lib)."""
+        loader = self._native_loader()
+        if loader is not None:
+            loader.prefetch([self._path(v) for v in video_ids])
+
     def __call__(self, video_id: str) -> np.ndarray:
+        loader = self._native_loader()
+        if loader is not None:
+            path = self._path(video_id)
+            if os.path.exists(path):
+                # C++ implements the same stride rule (parity-tested)
+                return loader.load(path, self.max_feats, self.features_dim)
         return subsample_or_pad(self.raw(video_id), self.max_feats, self.features_dim)
