@@ -67,3 +67,37 @@ def test_run_vcgr_modes(data):
     assert "Recall@1s" in m_bert
     _, m_rand = run_vcgr(ann_path, subtitles_path=subs_path, mode="random")
     assert "Recall@0.9" in m_rand
+
+
+def test_zeroshot_cli_speech_and_vcgr(tmp_path, dvc_fixture_paths=None):
+    """Drive the zs_*.py-equivalent CLI end-to-end on synthetic data."""
+    import json
+    import pickle
+
+    import numpy as np
+
+    from vidchapters_tpu.zeroshot.run import main
+
+    ann, asr = {}, {}
+    for i in range(2):
+        vid = f"video{i:02d}xyz"
+        ann[vid] = {"duration": 60.0,
+                    "timestamps": [[0.0, 30.0], [30.0, 60.0]],
+                    "sentences": ["first half", "second half"]}
+        asr[vid[-11:]] = {"text": ["alpha beta gamma delta"] * 6,
+                          "start": [float(10 * j) for j in range(6)],
+                          "end": [float(10 * j + 8) for j in range(6)]}
+    ann_p = tmp_path / "ann.json"
+    json.dump(ann, open(ann_p, "w"))
+    pickle.dump(asr, open(tmp_path / "asr.pkl", "wb"))
+
+    out = tmp_path / "preds.json"
+    main(["speech", "--ann", str(ann_p), "--subtitles",
+          str(tmp_path / "asr.pkl"), "--out", str(out)])
+    preds = json.load(open(out))["results"]
+    assert set(preds) == set(ann)
+
+    main(["vcgr", "--ann", str(ann_p), "--mode", "random",
+          "--out", str(tmp_path / "vcgr.json")])
+    vc = json.load(open(tmp_path / "vcgr.json"))
+    assert set(vc) == set(ann)

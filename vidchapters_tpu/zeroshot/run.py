@@ -129,3 +129,58 @@ def _score_dvc(results: Dict, references: List) -> Dict[str, float]:
     metrics = dict(eval_dvc(submission, references))
     metrics.update(eval_soda(submission, references))
     return metrics
+
+
+def main(args=None) -> None:
+    """CLI mirroring the reference's standalone zs_*.py scripts."""
+    import argparse
+    import json as _json
+
+    p = argparse.ArgumentParser(description="Zero-shot chaptering baselines")
+    sub = p.add_subparsers(dest="task", required=True)
+
+    sp = sub.add_parser("speech", help="TextTiling over ASR (zs_speechvcg.py)")
+    sp.add_argument("--ann", required=True, help="annotation json")
+    sp.add_argument("--subtitles", required=True, help="ASR pickle/dir")
+    sp.add_argument("--out", default=None, help="write predictions json here")
+    sp.add_argument("--no-score", action="store_true")
+
+    gp = sub.add_parser("vcgr", help="zero-shot grounding (zs_vcgr.py)")
+    gp.add_argument("--ann", required=True)
+    gp.add_argument("--mode", default="random",
+                    choices=["random", "clip", "bert"],
+                    help="clip/bert need embedding callables; see run_vcgr")
+    gp.add_argument("--features", default=None)
+    gp.add_argument("--subtitles", default=None)
+    gp.add_argument("--threshold", type=float, default=0.05)
+    gp.add_argument("--seed", type=int, default=0)
+    gp.add_argument("--out", default=None)
+
+    a = p.parse_args(args)
+    if a.task == "speech":
+        refs = None if a.no_score else [a.ann]
+        results, metrics = run_speech_vcg(a.ann, a.subtitles, references=refs)
+        if a.out:
+            with open(a.out, "w") as f:
+                _json.dump({"results": results}, f)
+        print(_json.dumps(metrics))
+    else:
+        if a.mode != "random":
+            p.error(f"mode {a.mode!r} needs an embedding callable; use the "
+                    "run_vcgr API directly (zs_vcgr.py clip/bert paths)")
+        results, metrics = run_vcgr(a.ann, features_path=a.features,
+                                    subtitles_path=a.subtitles, mode="random",
+                                    threshold=a.threshold, seed=a.seed)
+        if a.out:
+            serializable = {v: {"pred": [list(map(float, s))
+                                         for s in r["pred"]],
+                                "gt": [list(map(float, g))
+                                       for g in r["gt"]]}
+                            for v, r in results.items()}
+            with open(a.out, "w") as f:
+                _json.dump(serializable, f)
+        print(_json.dumps(metrics))
+
+
+if __name__ == "__main__":
+    main()
