@@ -384,7 +384,9 @@ class T5Stack(nn.Module):
                        self_key_mask=self_key_mask,
                        cross_key_mask=cross_key_mask)[0]
 
-        if not deterministic and REMAT_BLOCKS:
+        remat = (self.cfg.remat if getattr(self.cfg, "remat", None) is not None
+                 else REMAT_BLOCKS)
+        if not deterministic and remat:
             # remat each block to fit long-seq training on small-HBM chips;
             # the policy saves MXU outputs and recomputes only cheap
             # elementwise work, cutting the recompute tax of plain remat

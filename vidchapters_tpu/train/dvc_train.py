@@ -119,10 +119,20 @@ def make_train_step(model: Vid2Seq, tx: optax.GradientTransformation,
 
 
 def make_generate_fn(model: Vid2Seq, gen: GenerationConfig) -> Callable:
-    """jit'd generation: encode once, decode with static KV cache."""
+    """jit'd generation: encode once, decode with static KV cache.
+
+    Decode matmuls have few rows (batch x beams), so they are HBM-bound on
+    weight reads; per ``gen.param_dtype`` the f32 master weights are cast
+    once (XLA hoists the cast out of the decode loop), halving weight
+    traffic at bfloat16."""
+    cast_to = getattr(jnp, getattr(gen, "param_dtype", "float32"), None)
 
     @functools.partial(jax.jit, static_argnames=())
     def generate(params, video, input_tokens, rng):
+        if cast_to is not None and cast_to != jnp.float32:
+            params = jax.tree.map(
+                lambda x: x.astype(cast_to)
+                if x.dtype == jnp.float32 else x, params)
         attn = (input_tokens != 0).astype(jnp.int32)
         enc_out, enc_mask = model.apply(
             {"params": params}, video, input_tokens, attn,
