@@ -136,3 +136,31 @@ def test_no_speech_windows_skipped():
     audio = np.zeros(16000 * 31, np.float32)
     out = tr.transcribe(audio)
     assert out == {"text": [], "start": [], "end": []}
+
+
+@pytest.mark.slow
+def test_transcribe_batch_matches_single():
+    tr = _tiny_transcriber(temperatures=(0.0,),
+                           compression_ratio_threshold=None,
+                           logprob_threshold=None,
+                           no_speech_threshold=None)
+    rng = np.random.default_rng(0)
+    audio = (rng.normal(size=16000 * 31) * 0.05).astype(np.float32)
+    single = tr.transcribe(audio)
+    [batched] = tr.transcribe_batch([audio])
+    assert batched == single
+
+
+@pytest.mark.slow
+def test_transcribe_batch_multiple_lengths():
+    tr = _tiny_transcriber(temperatures=(0.0, 1.0),
+                           no_speech_threshold=None)
+    rng = np.random.default_rng(1)
+    audios = [(rng.normal(size=16000 * s) * 0.05).astype(np.float32)
+              for s in (8, 35, 61)]
+    outs = tr.transcribe_batch(audios)
+    assert len(outs) == 3
+    for out in outs:
+        assert set(out) == {"text", "start", "end"}
+        assert len(out["text"]) == len(out["start"]) == len(out["end"])
+    assert tr.transcribe_batch([]) == []

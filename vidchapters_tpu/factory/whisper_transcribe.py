@@ -96,12 +96,15 @@ class JaxWhisperTranscriber:
         suppress_j = jnp.asarray(suppress)
 
         def _pick(logits, key, temperature):
-            """Greedy when temperature == 0, categorical otherwise — a traced
-            select, so one compiled program serves the whole fallback ladder."""
+            """Greedy where temperature == 0, categorical otherwise — the
+            temperature is a per-element [B] vector and the choice a traced
+            select, so one compiled program serves the whole fallback ladder
+            even when only some batch elements are retrying."""
             logits = logits + suppress_j
             greedy = jnp.argmax(logits, axis=-1)
             sampled = jax.random.categorical(
-                key, logits / jnp.maximum(temperature, 1e-6), axis=-1)
+                key, logits / jnp.maximum(temperature, 1e-6)[:, None],
+                axis=-1)
             nxt = jnp.where(temperature > 0, sampled, greedy).astype(jnp.int32)
             logp = jnp.take_along_axis(
                 jax.nn.log_softmax(logits, axis=-1), nxt[:, None], -1)[:, 0]
@@ -171,7 +174,8 @@ class JaxWhisperTranscriber:
         for ti, temp in enumerate(self.temperatures):
             key = jax.random.fold_in(self._rng, window_index * 131 + ti)
             seq, sum_lp, n_tok, nsp = self._decode(
-                self.params, enc, prefix, jnp.float32(temp), key)
+                self.params, enc, prefix,
+                jnp.full((1,), temp, jnp.float32), key)
             seq = np.asarray(seq)[0]
             toks = []
             for t in seq[len(self.sot_sequence):]:
@@ -259,3 +263,105 @@ class JaxWhisperTranscriber:
             out["start"].append(float(seg["start"]))
             out["end"].append(float(seg["end"]))
         return out
+
+
+    # -- batched multi-video transcription -----------------------------------
+
+    def _gate(self, toks: List[int], avg_lp: float) -> bool:
+        """True when the decode needs a higher-temperature retry."""
+        if (self.compression_ratio_threshold is not None
+                and compression_ratio(self._tokens_to_text(toks))
+                > self.compression_ratio_threshold):
+            return True
+        return (self.logprob_threshold is not None
+                and avg_lp < self.logprob_threshold)
+
+    def transcribe_batch(self, audios: List[np.ndarray]) -> List[Dict[str, list]]:
+        """Lockstep batched long-form transcription of several videos.
+
+        All unfinished videos' current 30 s windows decode as ONE batch on
+        the chip each iteration (the production-throughput path for the
+        900k-video ASR sweep the reference shards per GPU,
+        asr_extract/whisper_inference.py). Per-element temperatures mean a
+        fallback retry for one video re-decodes the batch but only raises
+        that video's temperature; accepted elements keep their first
+        passing result. Per-video seek/skip semantics match ``transcribe``.
+        """
+        import jax
+
+        jnp = self._jnp
+        n = len(audios)
+        if n == 0:
+            return []
+        seeks = [0] * n
+        all_segments: List[List[dict]] = [[] for _ in range(n)]
+        window_index = 0
+        prefix = jnp.asarray(
+            np.repeat(np.asarray([self.sot_sequence], np.int32), n, axis=0))
+
+        def active(i):
+            return (seeks[i] < len(audios[i])
+                    and len(audios[i]) - seeks[i] >= SAMPLE_RATE // 2)
+
+        while any(active(i) for i in range(n)):
+            mels = np.stack([
+                log_mel_spectrogram(audios[i][seeks[i]:seeks[i] + N_SAMPLES])
+                if active(i) else np.zeros((80, N_SAMPLES // HOP_LENGTH),
+                                           np.float32)
+                for i in range(n)])
+            enc = self._encode(self.params, jnp.asarray(mels))
+            temps = np.zeros(n, np.float32)
+            accepted: List[Optional[tuple]] = [None] * n
+            for ti in range(len(self.temperatures)):
+                key = jax.random.fold_in(self._rng, window_index * 131 + ti)
+                seq, sum_lp, n_tok, nsp = self._decode(
+                    self.params, enc, prefix, jnp.asarray(temps), key)
+                seq = np.asarray(seq)
+                sum_lp, n_tok, nsp = (np.asarray(sum_lp), np.asarray(n_tok),
+                                      np.asarray(nsp))
+                retry = False
+                for i in range(n):
+                    if accepted[i] is not None or not active(i):
+                        continue
+                    toks = []
+                    for t in seq[i, len(self.sot_sequence):]:
+                        if t == EOT:
+                            break
+                        toks.append(int(t))
+                    avg = float(sum_lp[i]) / float(n_tok[i])
+                    if (not self._gate(toks, avg)
+                            or self.temperatures[ti] == self.temperatures[-1]):
+                        accepted[i] = (toks, avg, float(nsp[i]))
+                    else:
+                        nxt = self.temperatures[
+                            min(ti + 1, len(self.temperatures) - 1)]
+                        temps[i] = nxt
+                        retry = True
+                if not retry:
+                    break
+            window_index += 1
+            for i in range(n):
+                if not active(i):
+                    continue
+                toks, avg_lp, no_speech = accepted[i]
+                if (self.no_speech_threshold is not None
+                        and no_speech > self.no_speech_threshold
+                        and not (self.logprob_threshold is not None
+                                 and avg_lp > self.logprob_threshold)):
+                    seeks[i] += N_SAMPLES
+                    continue
+                segs, advance = self._segments_from_tokens(
+                    toks, offset=seeks[i] / SAMPLE_RATE)
+                all_segments[i].extend(segs)
+                seeks[i] += int(advance * SAMPLE_RATE) if advance > 0 \
+                    else N_SAMPLES
+
+        outs = []
+        for segments in all_segments:
+            out = {"text": [], "start": [], "end": []}
+            for seg in segments:
+                out["text"].append(self._tokens_to_text(seg["tokens"]).strip())
+                out["start"].append(float(seg["start"]))
+                out["end"].append(float(seg["end"]))
+            outs.append(out)
+        return outs
