@@ -164,3 +164,34 @@ def test_transcribe_batch_multiple_lengths():
         assert set(out) == {"text", "start", "end"}
         assert len(out["text"]) == len(out["start"]) == len(out["end"])
     assert tr.transcribe_batch([]) == []
+
+
+@pytest.mark.slow
+def test_run_batched_asr(tmp_path):
+    import pickle
+    import wave
+
+    from vidchapters_tpu.factory.asr import run_batched_asr
+
+    tr = _tiny_transcriber(temperatures=(0.0,),
+                           compression_ratio_threshold=None,
+                           logprob_threshold=None, no_speech_threshold=None)
+    rng = np.random.default_rng(0)
+    paths = []
+    for i in range(3):
+        p = tmp_path / f"vid{i}.wav"
+        sig = (rng.normal(size=16000 * 4) * 0.05).astype(np.float32)
+        with wave.open(str(p), "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(16000)
+            w.writeframes((sig * 32767).astype(np.int16).tobytes())
+        paths.append(str(p))
+    out_dir = tmp_path / "asr"
+    n = run_batched_asr(paths, str(out_dir), tr, batch_size=2)
+    assert n == 3
+    for i in range(3):
+        result = pickle.load(open(out_dir / f"vid{i}.pkl", "rb"))
+        assert set(result) == {"text", "start", "end"}
+    # idempotent: second sweep skips everything
+    assert run_batched_asr(paths, str(out_dir), tr, batch_size=2) == 0

@@ -112,3 +112,34 @@ def make_hf_whisper_transcribe(model_name: str = "openai/whisper-large-v2",
             if c.get("timestamp") and c["timestamp"][0] is not None]}
 
     return transcribe
+
+
+def run_batched_asr(audio_paths: Iterable[str], out_dir: str,
+                    transcriber, batch_size: int = 8,
+                    seed: int = 0) -> int:
+    """Batched idempotent ASR sweep: groups of ``batch_size`` audio files
+    decode window-lockstep on one chip (JaxWhisperTranscriber.transcribe_batch)
+    — the TPU-throughput version of ``run_sharded_asr``'s per-video loop
+    (asr_extract/whisper_inference.py batches via whisperx at batch 16).
+
+    Skips existing outputs so concurrent shards cooperate. Returns videos
+    processed by this job."""
+    from pathlib import Path
+
+    from vidchapters_tpu.factory.audio import load_audio
+    from vidchapters_tpu.utils.io import save_pickle
+
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    paths = list(audio_paths)
+    np.random.default_rng(seed).shuffle(paths)
+    todo = [p for p in paths if not (out / f"{Path(p).stem}.pkl").exists()]
+    done = 0
+    for s in range(0, len(todo), batch_size):
+        chunk = todo[s:s + batch_size]
+        audios = [load_audio(p) for p in chunk]
+        results = transcriber.transcribe_batch(audios)
+        for path, result in zip(chunk, results):
+            save_pickle(result, out / f"{Path(path).stem}.pkl")
+            done += 1
+    return done
