@@ -148,10 +148,39 @@ if __name__ == "__main__":  # moment_detr train.py CLI equivalent
     p.add_argument("--eval-every", type=int, default=5)
     p.add_argument("--early-stop-patience", type=int, default=10)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--clip-text-ckpt", default=None,
+                   help="OpenAI CLIP .pt for the frozen text tower; omitted "
+                        "= randomly initialised tower (smoke/debug only)")
     a = p.parse_args()
     cfg = load_config(GroundingConfig, a.config) if a.config else GroundingConfig()
+
+    # frozen CLIP text tower (moment_detr uses ViT-L/14 token features)
+    from vidchapters_tpu.data.clip_tokenizer import CLIPTokenizer
+    from vidchapters_tpu.models.clip import CLIPTextConfig, CLIPTextEncoder
+
+    tcfg = CLIPTextConfig(width=cfg.t_feat_dim, output_dim=cfg.t_feat_dim,
+                          heads=max(cfg.t_feat_dim // 64, 1),
+                          layers=12 if a.clip_text_ckpt else 1)
+    text_encoder = CLIPTextEncoder(tcfg)
+    tokenizer = CLIPTokenizer()
+    if a.clip_text_ckpt:
+        import torch
+
+        from vidchapters_tpu.models.clip import convert_openai_clip_text
+
+        sd = torch.load(a.clip_text_ckpt, map_location="cpu")
+        sd = sd.state_dict() if hasattr(sd, "state_dict") else sd
+        text_params = convert_openai_clip_text(
+            {k: v.numpy() for k, v in sd.items()})
+    else:
+        print("WARNING: no --clip-text-ckpt; random text tower (smoke mode)")
+        toks = jnp.asarray(tokenizer(["init"]))
+        text_params = text_encoder.init(jax.random.PRNGKey(0), toks)["params"]
+
     print(json.dumps(main(a.train_jsonl, a.val_jsonl, a.v_feat_dirs, cfg,
-                          a.save_dir, n_epochs=a.epochs,
+                          a.save_dir, text_encoder=text_encoder,
+                          text_params=text_params, clip_tokenizer=tokenizer,
+                          n_epochs=a.epochs,
                           batch_size=a.batch_size, lr=a.lr,
                           max_spans=a.max_spans, eval_every=a.eval_every,
                           early_stop_patience=a.early_stop_patience,
