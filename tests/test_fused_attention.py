@@ -197,3 +197,67 @@ def test_dropout_gradients_match_reference_mask(rng):
     for name, a, b in zip("qkvb", gf, gd):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-4,
                                    atol=5e-4, err_msg=f"grad {name}")
+
+
+# ---------------------------------------------------------------------------
+# bias-free rectangular attention (decoder cross-attention shape)
+# ---------------------------------------------------------------------------
+
+
+def make_cross_inputs(rng, lq, lk):
+    q = jnp.asarray(rng.normal(size=(B, H, lq, D)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, H, lk, D)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, H, lk, D)), jnp.float32)
+    mask = np.ones((B, lk), np.int32)
+    mask[0, -lk // 4:] = 0
+    return q, k, v, jnp.asarray(mask)
+
+
+def dense_reference_nobias(q, k, v, key_mask):
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32)
+    scores = jnp.where(key_mask[:, None, None, :] > 0, scores, NEG)
+    probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+
+
+def test_nobias_rectangular_forward(rng):
+    lq, lk = BLOCK_Q + 11, BLOCK_Q * 2 + 57  # both need padding, lq != lk
+    q, k, v, mask = make_cross_inputs(rng, lq, lk)
+    out = fused_attention_padded(q, k, v, None, mask, True)
+    ref = dense_reference_nobias(q, k, v, mask)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5,
+                               atol=2e-5)
+
+
+def test_nobias_rectangular_gradients(rng):
+    lq, lk = BLOCK_Q, BLOCK_Q * 2
+    q, k, v, mask = make_cross_inputs(rng, lq, lk)
+
+    def loss_fused(q, k, v):
+        out = fused_attention_padded(q, k, v, None, mask, True)
+        return (out.astype(jnp.float32) ** 2).sum() * 0.5
+
+    def loss_dense(q, k, v):
+        out = dense_reference_nobias(q, k, v, mask)
+        return (out.astype(jnp.float32) ** 2).sum() * 0.5
+
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+    gd = jax.grad(loss_dense, argnums=(0, 1, 2))(q, k, v)
+    for name, a, b in zip("qkv", gf, gd):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-4,
+                                   atol=5e-4, err_msg=f"grad {name}")
+
+
+def test_nobias_dropout_rectangular(rng):
+    rate = 0.2
+    lq, lk = BLOCK_Q, BLOCK_Q * 2
+    q, k, v, mask = make_cross_inputs(rng, lq, lk)
+    seed = jnp.full((1, 1), 4242, jnp.uint32)
+    out = fused_attention(q, k, v, None, mask, seed, True, rate)
+    nodrop = fused_attention(q, k, v, None, mask, seed, True, 0.0)
+    assert not np.allclose(np.asarray(out), np.asarray(nodrop))
+    # grads still flow through the dropped path
+    g = jax.grad(lambda q: (fused_attention(q, k, v, None, mask, seed, True,
+                                            rate) ** 2).sum())(q)
+    assert np.isfinite(np.asarray(g)).all()

@@ -191,7 +191,7 @@ class T5Attention(nn.Module):
         large = (cache is None and q.shape[2] > self.CHUNK
                  and q.shape[2] * k.shape[2] > 512 * 512)
         use_fused = (large and _fused_attention_enabled()
-                     and bias is not None and bias.shape[0] == 1
+                     and (bias is None or bias.shape[0] == 1)
                      and key_mask is not None)
         use_chunked = large and not use_fused
         if use_fused:

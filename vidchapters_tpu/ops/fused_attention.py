@@ -77,13 +77,14 @@ def _keep_scale(seed, b, h, q0, block_q, lk, rate):
 
 
 def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, mask_ref, out_ref,
-                *, dropout_rate: float):
+                *, dropout_rate: float, has_bias: bool = True):
     # q_ref [1,1,bq,D]; k/v [1,1,Lk,D]; bias [1,1,bq,Lk]; mask [B,Lk] (full)
     q = q_ref[0, 0].astype(jnp.float32)
     k = k_ref[0, 0].astype(jnp.float32)
     v = v_ref[0, 0]
     scores = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
-    scores = scores + bias_ref[0, 0].astype(jnp.float32)
+    if has_bias:
+        scores = scores + bias_ref[0, 0].astype(jnp.float32)
     valid = mask_ref[pl.program_id(0)][None, :] > 0
     scores = jnp.where(valid, scores, NEG_INF)
     m = jnp.max(scores, axis=-1, keepdims=True)
@@ -105,10 +106,21 @@ def _fused_forward(q, k, v, bias, key_mask, seed, dropout_rate,
     b, h, lq, d = q.shape
     lk = k.shape[2]
     nq = lq // BLOCK_Q
+    has_bias = bias is not None
+    if not has_bias:  # (8, 128) dummy satisfies Mosaic tiling; never read
+        bias = jnp.zeros((1, 1, 8, 128), q.dtype)
     bias_b = bias.shape[0]  # 1 (broadcast) or b
+    bias_spec = (pl.BlockSpec((1, 1, BLOCK_Q, lk),
+                              lambda i, j, n: (0 if bias_b == 1 else i,
+                                               j, n, 0),
+                              memory_space=pltpu.VMEM)
+                 if has_bias else
+                 pl.BlockSpec((1, 1, 8, 128), lambda i, j, n: (0, 0, 0, 0),
+                              memory_space=pltpu.VMEM))
 
     out = pl.pallas_call(
-        functools.partial(_fwd_kernel, dropout_rate=dropout_rate),
+        functools.partial(_fwd_kernel, dropout_rate=dropout_rate,
+                          has_bias=has_bias),
         grid=(b, h, nq),
         in_specs=[
             pl.BlockSpec((1, 1), lambda i, j, n: (0, 0),
@@ -119,9 +131,7 @@ def _fused_forward(q, k, v, bias, key_mask, seed, dropout_rate,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, lk, d), lambda i, j, n: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, BLOCK_Q, lk),
-                         lambda i, j, n: (0 if bias_b == 1 else i, j, n, 0),
-                         memory_space=pltpu.VMEM),
+            bias_spec,
             # full mask block: a (1, Lk) block violates the (8, 128) sublane
             # divisibility rule at some shapes; row-indexed by program_id
             pl.BlockSpec((b, lk), lambda i, j, n: (0, 0),
@@ -143,7 +153,8 @@ def _fused_forward(q, k, v, bias, key_mask, seed, dropout_rate,
 
 def _bwd_dqkv_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, mask_ref,
                      out_ref, dout_ref, dq_ref, dk_ref, dv_ref,
-                     *, n_q_blocks: int, dropout_rate: float):
+                     *, n_q_blocks: int, dropout_rate: float,
+                     has_bias: bool = True):
     k = k_ref[0, 0].astype(jnp.float32)
     v = v_ref[0, 0].astype(jnp.float32)
     batch_id, head_id = pl.program_id(0), pl.program_id(1)
@@ -153,11 +164,12 @@ def _bwd_dqkv_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, mask_ref,
 
     def body(n, _):
         q_blk = q_ref[0, 0, pl.ds(n * BLOCK_Q, BLOCK_Q)].astype(jnp.float32)
-        bias_blk = bias_ref[0, 0, pl.ds(n * BLOCK_Q, BLOCK_Q)].astype(jnp.float32)
         out_blk = out_ref[0, 0, pl.ds(n * BLOCK_Q, BLOCK_Q)].astype(jnp.float32)
         dout_blk = dout_ref[0, 0, pl.ds(n * BLOCK_Q, BLOCK_Q)].astype(jnp.float32)
         scores = jnp.dot(q_blk, k.T, preferred_element_type=jnp.float32)
-        scores = scores + bias_blk
+        if has_bias:
+            scores = scores + bias_ref[0, 0, pl.ds(n * BLOCK_Q, BLOCK_Q)
+                                       ].astype(jnp.float32)
         scores = jnp.where(valid, scores, NEG_INF)
         m = jnp.max(scores, axis=-1, keepdims=True)
         e = jnp.exp(scores - m)
@@ -224,11 +236,21 @@ def _fused_backward(q, k, v, bias, key_mask, seed, dropout_rate, out, dout,
     b, h, lq, d = q.shape
     lk = k.shape[2]
     nq = lq // BLOCK_Q
+    has_bias = bias is not None
+    if not has_bias:
+        bias = jnp.zeros((1, 1, 8, 128), q.dtype)
     bias_b = bias.shape[0]
+    bias_spec2 = (pl.BlockSpec((1, 1, lq, lk),
+                               lambda i, j: (0 if bias_b == 1 else i,
+                                             j, 0, 0),
+                               memory_space=pltpu.VMEM)
+                  if has_bias else
+                  pl.BlockSpec((1, 1, 8, 128), lambda i, j: (0, 0, 0, 0),
+                               memory_space=pltpu.VMEM))
 
     dq, dk, dv = pl.pallas_call(
         functools.partial(_bwd_dqkv_kernel, n_q_blocks=nq,
-                          dropout_rate=dropout_rate),
+                          dropout_rate=dropout_rate, has_bias=has_bias),
         grid=(b, h),
         in_specs=[
             pl.BlockSpec((1, 1), lambda i, j: (0, 0),
@@ -239,9 +261,7 @@ def _fused_backward(q, k, v, bias, key_mask, seed, dropout_rate, out, dout,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, lk, d), lambda i, j: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, lq, lk),
-                         lambda i, j: (0 if bias_b == 1 else i, j, 0, 0),
-                         memory_space=pltpu.VMEM),
+            bias_spec2,
             pl.BlockSpec((b, lk), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, lq, d), lambda i, j: (i, j, 0, 0),
@@ -264,6 +284,9 @@ def _fused_backward(q, k, v, bias, key_mask, seed, dropout_rate, out, dout,
         ),
         interpret=interpret,
     )(seed, q, k, v, bias, key_mask, out, dout)
+
+    if not has_bias:
+        return dq, dk, dv, None
 
     dbias = pl.pallas_call(
         functools.partial(_bwd_dbias_kernel, batch=b,
@@ -311,8 +334,9 @@ def fused_attention(q: Array, k: Array, v: Array, bias: Array,
                     dropout_rate: float = 0.0) -> Array:
     """softmax(q k^T + bias + mask) v, with optional attention-prob dropout.
 
-    q/k/v [B, H, L, D] (L multiple of 128 — use ``fused_attention_padded``
-    otherwise); bias [1, H, L, L]; key_mask [B, L] int (1 = valid);
+    q/k/v [B, H, Lq, D] / [B, H, Lk, D] (lengths multiples of 128 — use
+    ``fused_attention_padded`` otherwise); bias [1, H, Lq, Lk] or None
+    (bias-free cross-attention); key_mask [B, Lk] int (1 = valid);
     seed [1, 1] uint32 (ignored when dropout_rate == 0).
     """
     return _fused_forward(q, k, v, bias, key_mask, seed, dropout_rate,
@@ -330,7 +354,7 @@ def _fa_bwd(interpret, dropout_rate, res, dout):
     dq, dk, dv, dbias = _fused_backward(q, k, v, bias, key_mask, seed,
                                         dropout_rate, out, dout, interpret)
     return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype),
-            dbias.astype(bias.dtype), None, None)
+            None if dbias is None else dbias.astype(bias.dtype), None, None)
 
 
 fused_attention.defvjp(_fa_fwd, _fa_bwd)
@@ -340,18 +364,22 @@ def fused_attention_padded(q: Array, k: Array, v: Array, bias: Array,
                            key_mask: Array, interpret: bool = False,
                            seed: Array | None = None,
                            dropout_rate: float = 0.0) -> Array:
-    """Wrapper padding L up to a BLOCK_Q multiple (padded keys masked out,
-    padded query rows sliced off)."""
+    """Wrapper padding Lq/Lk up to BLOCK_Q multiples (padded keys masked
+    out, padded query rows sliced off). bias may be None (cross-attention);
+    Lq and Lk may differ."""
     if seed is None:
         seed = jnp.zeros((1, 1), jnp.uint32)
-    lq = q.shape[2]
-    lp = ((lq + BLOCK_Q - 1) // BLOCK_Q) * BLOCK_Q
-    if lp != lq:
-        q = _pad_to(q, lp, 2)
-        k = _pad_to(k, lp, 2)
-        v = _pad_to(v, lp, 2)
-        bias = _pad_to(_pad_to(bias, lp, 2), lp, 3)
-        key_mask = _pad_to(key_mask, lp, 1)
+    lq, lk = q.shape[2], k.shape[2]
+    lqp = ((lq + BLOCK_Q - 1) // BLOCK_Q) * BLOCK_Q
+    lkp = ((lk + BLOCK_Q - 1) // BLOCK_Q) * BLOCK_Q
+    if lqp != lq:
+        q = _pad_to(q, lqp, 2)
+    if lkp != lk:
+        k = _pad_to(k, lkp, 2)
+        v = _pad_to(v, lkp, 2)
+        key_mask = _pad_to(key_mask, lkp, 1)
+    if bias is not None and (lqp != lq or lkp != lk):
+        bias = _pad_to(_pad_to(bias, lqp, 2), lkp, 3)
     out = fused_attention(q, k, v, bias, key_mask, seed, interpret,
                           dropout_rate)
     return out[:, :, :lq]
