@@ -68,3 +68,28 @@ def replicated(mesh: Mesh) -> NamedSharding:
 def is_main_process() -> bool:
     """Rank-0 predicate (reference: util/dist.py:190-199)."""
     return jax.process_index() == 0
+
+
+def enable_sequence_parallelism(mesh: Mesh) -> bool:
+    """EXPERIMENTAL: pin T5's residual stream to a (data, model)-sharded
+    layout between blocks (Megatron-SP): norm/dropout run on sequence
+    shards and GSPMD places the all-gather/reduce-scatter around the TP
+    matmuls on ICI.
+
+    WARNING: in standalone XLA:CPU SPMD runs this constraint changed the
+    *primal* loss of ``value_and_grad`` by ~1% at full matmul precision
+    while the plain forward stayed bit-identical (batch-only constraints
+    clean; both stacks must be L-sharded; not reproducible under the test
+    suite env — see tests/test_sequence_parallel.py). Do not enable in
+    production until validated against the unsharded loss on the target
+    hardware.
+
+    No-op (returns False) when the mesh has no model axis to shard over.
+    """
+    if mesh.shape[mesh.axis_names[1]] <= 1:
+        return False
+    import vidchapters_tpu.models.t5 as t5
+
+    t5.SEQUENCE_SHARDING = NamedSharding(
+        mesh, P(mesh.axis_names[0], mesh.axis_names[1]))
+    return True
