@@ -138,3 +138,24 @@ def test_checkpoint_manager_roundtrip(tmp_path):
     # fresh manager preserves best value
     mgr2 = CheckpointManager(str(tmp_path / "ckpt"), best_metric="CIDEr")
     assert mgr2.best_value == 2.0
+
+
+def test_collate_input_bucketing(tmp_path, rng):
+    from vidchapters_tpu.data.dvc_dataset import collate, pick_bucket
+
+    assert pick_bucket(50, (128, 256, 512, 1000), 1000) == 128
+    assert pick_bucket(300, (128, 256, 512, 1000), 1000) == 512
+    assert pick_bucket(999, (128, 256), 1000) == 1000  # none fits -> cap
+    assert pick_bucket(200, (128, 256, 512), 250) == 250  # buckets clamped
+
+    examples = [{
+        "video": np.zeros((4, 8), np.float32), "duration": 10.0,
+        "video_id": f"v{i}",
+        "input_tokens": np.arange(60 + i, dtype=np.int64),
+        "output_tokens": np.arange(5, dtype=np.int64),
+    } for i in range(3)]
+    batch = collate(examples, max_input=1000, max_output=64,
+                    input_buckets=(128, 256, 512, 1000))
+    assert batch["input_tokens"].shape == (3, 128)  # bucketed, not 1000
+    batch_full = collate(examples, max_input=1000, max_output=64)
+    assert batch_full["input_tokens"].shape == (3, 1000)

@@ -199,15 +199,33 @@ def denoise_length_bounds(max_input: int, noise_density: float = 0.25,
     return int(frac_in * max_input) + 4, int(frac_out * max_input) + 4
 
 
+def pick_bucket(n: int, buckets: Sequence[int], cap: int) -> int:
+    """Smallest bucket >= n (clamped to <= cap); cap when none fits."""
+    for b in sorted(b for b in buckets if b <= cap):
+        if n <= b:
+            return b
+    return cap
+
+
 def collate(examples: List[dict], max_input: int, max_output: int,
-            max_denoise_out: Optional[int] = None) -> Dict[str, np.ndarray]:
+            max_denoise_out: Optional[int] = None,
+            input_buckets: Optional[Sequence[int]] = None
+            ) -> Dict[str, np.ndarray]:
     """Zero-pad every token field to static lengths; stack video features.
 
     Unlike the reference's per-batch dynamic padding (dvc_dataset.py:168-208),
     fixed lengths keep a single XLA program. Denoising fields pad to their
     analytic worst case (~0.8L inputs, ~0.3L targets) — shorter than the raw
     maxima, saving encoder FLOPs without ever truncating.
+
+    ``input_buckets`` (eval-time): pad inputs to the smallest bucket
+    covering the batch instead of ``max_input`` — one compiled program per
+    bucket, and decode-time cross-attention KV shrinks with the actual ASR
+    length (the per-step KV re-read dominates generation cost).
     """
+    if input_buckets and "input_tokens" in examples[0]:
+        longest = max(len(e["input_tokens"]) for e in examples)
+        max_input = pick_bucket(longest, input_buckets, max_input)
     den_in_len, den_out_len = denoise_length_bounds(max_input)
     max_denoise_out = max_denoise_out or den_out_len
     batch: Dict[str, np.ndarray] = {
@@ -239,7 +257,8 @@ class EpochIterator:
                  shuffle: bool = True, seed: int = 0,
                  num_shards: int = 1, shard_index: int = 0,
                  drop_last: bool = True,
-                 max_denoise_out: Optional[int] = None):
+                 max_denoise_out: Optional[int] = None,
+                 bucket_inputs: bool = False):
         self.dataset = dataset
         self.batch_size = batch_size
         self.cfg = cfg
@@ -250,6 +269,10 @@ class EpochIterator:
         self.shard_index = shard_index
         self.drop_last = drop_last
         self.max_denoise_out = max_denoise_out
+        # eval-time: pad inputs per batch to the smallest covering bucket
+        # (bounded compile count, shorter decode cross-KV); keep False for
+        # training so there is exactly one train program
+        self.bucket_inputs = bucket_inputs
 
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch
@@ -290,4 +313,6 @@ class EpochIterator:
                                  (b + 2) * self.batch_size])
             examples = [self.dataset.__getitem__(int(i), rng=rng) for i in idxs]
             yield collate(examples, self.cfg.max_input_tokens,
-                          self.cfg.max_output_tokens, self.max_denoise_out)
+                          self.cfg.max_output_tokens, self.max_denoise_out,
+                          input_buckets=(self.cfg.input_buckets
+                                         if self.bucket_inputs else None))

@@ -134,7 +134,8 @@ def main(cfg: ExperimentConfig,
                 it = EpochIterator(ds, cfg.train.eval_batch_size, d,
                                    shuffle=False, drop_last=False,
                                    num_shards=jax.process_count(),
-                                   shard_index=jax.process_index())
+                                   shard_index=jax.process_index(),
+                                   bucket_inputs=True)
                 preds, metrics = evaluate(model, state.params, it, tokenizer,
                                           cfg.generation, cfg.model.num_bins,
                                           references=[ref_path])
@@ -156,7 +157,7 @@ def main(cfg: ExperimentConfig,
         state = TrainState(*ckpt.restore("best", tuple(state)))
     for name, ds, ref_path in val_sets:
         it = EpochIterator(ds, cfg.train.eval_batch_size, d, shuffle=False,
-                           drop_last=False)
+                           drop_last=False, bucket_inputs=True)
         _, metrics = evaluate(model, state.params, it, tokenizer,
                               cfg.generation, cfg.model.num_bins,
                               references=[ref_path])
