@@ -106,8 +106,8 @@ def test_greedy_decode_deterministic_and_scored():
                            compression_ratio_threshold=None,
                            logprob_threshold=None)
     mel = np.zeros((80, 3000), np.float32)
-    t1, lp1, nsp1 = tr._decode_window(mel, 0)
-    t2, lp2, nsp2 = tr._decode_window(mel, 1)  # different rng, temp=0
+    t1, lp1, nsp1, _ = tr._decode_window(mel, 0)
+    t2, lp2, nsp2, _ = tr._decode_window(mel, 1)  # different rng, temp=0
     assert t1 == t2  # greedy ignores the key
     assert lp1 == pytest.approx(lp2)
     assert lp1 < 0.0  # a valid average logprob
@@ -120,9 +120,9 @@ def test_temperature_fallback_runs_sampled_path():
                            compression_ratio_threshold=None,
                            logprob_threshold=None)
     mel = np.zeros((80, 3000), np.float32)
-    ta, _, _ = tr._decode_window(mel, 0)
-    tb, _, _ = tr._decode_window(mel, 0)  # same window index -> same key
-    tc, _, _ = tr._decode_window(mel, 7)  # different key
+    ta, _, _, _ = tr._decode_window(mel, 0)
+    tb, _, _, _ = tr._decode_window(mel, 0)  # same window index -> same key
+    tc, _, _, _ = tr._decode_window(mel, 7)  # different key
     assert ta == tb  # sampling is keyed, hence reproducible
     assert isinstance(tc, list)
 
@@ -195,3 +195,39 @@ def test_run_batched_asr(tmp_path):
         assert set(result) == {"text", "start", "end"}
     # idempotent: second sweep skips everything
     assert run_batched_asr(paths, str(out_dir), tr, batch_size=2) == 0
+
+
+@pytest.mark.slow
+def test_condition_on_previous_text():
+    tr = _tiny_transcriber(temperatures=(0.0,),
+                           compression_ratio_threshold=None,
+                           logprob_threshold=None, no_speech_threshold=None,
+                           condition_on_previous_text=True, prompt_len=8)
+    # static prefix layout: 1 + prompt_len <|startofprev|> slots + SOT seq
+    from vidchapters_tpu.factory.whisper_transcribe import SOT_PREV
+
+    empty = tr._prompt_prefix(None)
+    assert empty[:9] == [SOT_PREV] * 9 and empty[9:] == tr.sot_sequence
+    filled = tr._prompt_prefix([101, 102, 103])
+    assert filled[:6] == [SOT_PREV] * 6
+    assert filled[6:9] == [101, 102, 103]
+    assert filled[9:] == tr.sot_sequence
+    long = tr._prompt_prefix(list(range(200, 220)))  # truncates to last 8
+    assert long[1:9] == list(range(212, 220))
+    # end-to-end: both programs compile and the result is well-formed
+    audio = (np.random.default_rng(0).normal(size=16000 * 35) * 0.05
+             ).astype(np.float32)
+    out = tr.transcribe(audio)
+    assert set(out) == {"text", "start", "end"}
+
+
+@pytest.mark.slow
+def test_conditioning_off_is_default_and_unchanged():
+    tr = _tiny_transcriber(temperatures=(0.0,),
+                           compression_ratio_threshold=None,
+                           logprob_threshold=None, no_speech_threshold=None)
+    assert not tr.condition_on_previous_text
+    audio = (np.random.default_rng(0).normal(size=16000 * 5) * 0.05
+             ).astype(np.float32)
+    out = tr.transcribe(audio)
+    assert set(out) == {"text", "start", "end"}

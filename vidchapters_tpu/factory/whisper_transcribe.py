@@ -43,6 +43,7 @@ TIMESTAMP_BEGIN = 50364
 EOT = 50257
 LANG_EN = 50259
 NO_SPEECH = 50362
+SOT_PREV = 50361  # <|startofprev|>: prefixes the rolling text prompt
 TIME_PRECISION = 0.02
 
 
@@ -65,6 +66,9 @@ class JaxWhisperTranscriber:
                  compression_ratio_threshold: Optional[float] = 2.4,
                  logprob_threshold: Optional[float] = -1.0,
                  no_speech_threshold: Optional[float] = 0.6,
+                 condition_on_previous_text: bool = False,
+                 prompt_len: int = 64,
+                 prompt_reset_on_temperature: float = 0.5,
                  seed: int = 0):
         import jax
         import jax.numpy as jnp
@@ -79,6 +83,14 @@ class JaxWhisperTranscriber:
         self.compression_ratio_threshold = compression_ratio_threshold
         self.logprob_threshold = logprob_threshold
         self.no_speech_threshold = no_speech_threshold
+        # opt-in (openai-whisper defaults to True with a VARIABLE-length
+        # prompt; here the window is STATIC — exactly 1 + prompt_len slots
+        # left-filled with <|startofprev|> — so only two programs compile).
+        # Early windows therefore see repeated <|startofprev|> padding the
+        # real whisper never sees: a documented deviation, off by default.
+        self.condition_on_previous_text = condition_on_previous_text
+        self.prompt_len = prompt_len
+        self.prompt_reset_on_temperature = prompt_reset_on_temperature
         self._rng = jax.random.PRNGKey(seed)
         self.sot_sequence = [SOT, language_token, TRANSCRIBE]
 
@@ -121,7 +133,10 @@ class JaxWhisperTranscriber:
             for i in range(p_len):
                 logits, cache = fns.step(tokens[:, i], cache, jnp.asarray(i),
                                          None)
-                if i == 0:  # whisper DecodingTask: P(<|nospeech|>) at SOT step
+                # whisper DecodingTask: P(<|nospeech|>) at the SOT step —
+                # SOT sits 3 from the end of the prefix ([..prompt..], SOT,
+                # lang, task), so this holds with or without conditioning
+                if i == p_len - 3:
                     probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
                     no_speech = probs[:, NO_SPEECH] if NO_SPEECH < vocab \
                         else jnp.zeros((batch,), jnp.float32)
@@ -158,19 +173,35 @@ class JaxWhisperTranscriber:
             return self.decode_tokens(text_toks)
         return " ".join(str(t) for t in text_toks)
 
-    def _decode_window(self, mel: np.ndarray, window_index: int = 0
-                       ) -> Tuple[List[int], float, float]:
+    def _prompt_prefix(self, prompt_tokens: Optional[List[int]]) -> List[int]:
+        """Static-length decode prefix: without conditioning just the SOT
+        sequence; with it, exactly ``1 + prompt_len`` <|startofprev|>-filled
+        slots holding the most recent transcript tokens, then the SOT
+        sequence (two compiled programs total)."""
+        if not self.condition_on_previous_text:
+            return list(self.sot_sequence)
+        slots = [SOT_PREV] * (1 + self.prompt_len)
+        tail = list(prompt_tokens or [])[-self.prompt_len:]
+        if tail:
+            slots[-len(tail):] = tail
+        return slots + list(self.sot_sequence)
+
+    def _decode_window(self, mel: np.ndarray, window_index: int = 0,
+                       prompt_tokens: Optional[List[int]] = None
+                       ) -> Tuple[List[int], float, float, float]:
         """Temperature-fallback decode of one 30 s window
         (openai-whisper ``transcribe`` decode_with_fallback).
 
-        Returns (tokens, avg_logprob, no_speech_prob)."""
+        Returns (tokens, avg_logprob, no_speech_prob, accepted_temp)."""
         import jax
 
         jnp = self._jnp
         enc = self._encode(self.params, jnp.asarray(mel[None]))
-        prefix = jnp.asarray(np.asarray([self.sot_sequence], np.int32))
+        prefix_list = self._prompt_prefix(prompt_tokens)
+        prefix = jnp.asarray(np.asarray([prefix_list], np.int32))
         toks: List[int] = []
         avg_lp, no_speech = 0.0, 0.0
+        temp = 0.0
         for ti, temp in enumerate(self.temperatures):
             key = jax.random.fold_in(self._rng, window_index * 131 + ti)
             seq, sum_lp, n_tok, nsp = self._decode(
@@ -178,7 +209,7 @@ class JaxWhisperTranscriber:
                 jnp.full((1,), temp, jnp.float32), key)
             seq = np.asarray(seq)[0]
             toks = []
-            for t in seq[len(self.sot_sequence):]:
+            for t in seq[len(prefix_list):]:
                 if t == EOT:
                     break
                 toks.append(int(t))
@@ -194,7 +225,7 @@ class JaxWhisperTranscriber:
                 needs_fallback = True  # low confidence
             if not needs_fallback:
                 break
-        return toks, avg_lp, no_speech
+        return toks, avg_lp, no_speech, temp
 
     def _segments_from_tokens(self, tokens: List[int], offset: float
                               ) -> Tuple[List[dict], float]:
@@ -233,12 +264,14 @@ class JaxWhisperTranscriber:
         segments: List[dict] = []
         seek = 0
         window_index = 0
+        prompt: List[int] = []  # rolling committed text (conditioning only)
         while seek < len(audio):
             window = audio[seek: seek + N_SAMPLES]
             if len(window) < SAMPLE_RATE // 2:
                 break
             mel = log_mel_spectrogram(window)
-            tokens, avg_lp, no_speech = self._decode_window(mel, window_index)
+            tokens, avg_lp, no_speech, temp = self._decode_window(
+                mel, window_index, prompt_tokens=prompt)
             window_index += 1
             # whisper transcribe.py: silent window unless the logprob says
             # there is actually confident content
@@ -251,6 +284,13 @@ class JaxWhisperTranscriber:
             segs, advance = self._segments_from_tokens(
                 tokens, offset=seek / SAMPLE_RATE)
             segments.extend(segs)
+            if self.condition_on_previous_text:
+                if temp > self.prompt_reset_on_temperature:
+                    prompt = []  # whisper: high-temp output is not trusted
+                else:
+                    for seg in segs:
+                        prompt.extend(seg["tokens"])
+                    prompt = prompt[-self.prompt_len:]
             seek += int(advance * SAMPLE_RATE)
             if advance <= 0:
                 break
