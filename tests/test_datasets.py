@@ -159,3 +159,16 @@ def test_collate_input_bucketing(tmp_path, rng):
     assert batch["input_tokens"].shape == (3, 128)  # bucketed, not 1000
     batch_full = collate(examples, max_input=1000, max_output=64)
     assert batch_full["input_tokens"].shape == (3, 1000)
+
+
+def test_feature_source_broken_video_fallback(tmp_path):
+    from vidchapters_tpu.data.features import FeatureSource
+
+    fs = FeatureSource(str(tmp_path), max_feats=10, features_dim=8)
+    with np.testing.assert_raises(AssertionError):
+        fs.raw("missingvid0")
+    out = fs.raw("missingvid0", strict=False)
+    assert out.shape == (1, 8) and (out == 0).all()
+    # corrupt npy file
+    (tmp_path / "corruptvid0.npy").write_bytes(b"not an npy")
+    assert fs.raw("corruptvid0", strict=False).shape == (1, 8)

@@ -88,13 +88,21 @@ class FeatureSource:
             path = os.path.join(self.dir_path, video_id + ".npy")
         return path
 
-    def raw(self, video_id: str) -> np.ndarray:
-        if self.features is not None:
-            assert video_id in self.features, video_id
-            return np.asarray(self.features[video_id], dtype=np.float32)
-        path = self._path(video_id)
-        assert os.path.exists(path), path
-        return np.load(path).astype(np.float32)
+    def raw(self, video_id: str, strict: bool = True) -> np.ndarray:
+        """``strict=False`` reproduces the reference's broken-video fallback
+        (vc_dataset.py:47-48, zs_visualvcg.py:107-108): unreadable/missing
+        features become a single zero frame instead of crashing a sweep."""
+        try:
+            if self.features is not None:
+                assert video_id in self.features, video_id
+                return np.asarray(self.features[video_id], dtype=np.float32)
+            path = self._path(video_id)
+            assert os.path.exists(path), path
+            return np.load(path).astype(np.float32)
+        except Exception:
+            if strict:
+                raise
+            return np.zeros((1, self.features_dim), np.float32)
 
     def prefetch(self, video_ids) -> None:
         """Warm the native LRU for upcoming ids (no-op without the lib)."""

@@ -62,7 +62,7 @@ class VideoCaptioningDataset:
         video_id = self.vids[idx]
         ann = self.data[video_id]
         # raw (un-subsampled) features so second-resolution clip slicing works
-        video = self.features.raw(video_id[-11:])
+        video = self.features.raw(video_id[-11:], strict=False)
         sub = self.subs.get(video_id)
 
         if self.training:

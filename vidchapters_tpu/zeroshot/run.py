@@ -112,7 +112,7 @@ def run_vcgr(ann_json: str, features_path=None, text_embed_fn=None,
                 a = text_embed_fn(sub["text"])
                 pred = bert_grounding_spans(q, a, sub["start"], sub["end"])
         else:  # clip
-            f = feats.raw(vid[-11:])
+            f = feats.raw(vid[-11:], strict=False)
             times = [float(i) for i in range(len(f))]
             q = text_embed_fn(queries)
             pred = clip_grounding_spans(q, f, times, duration,
