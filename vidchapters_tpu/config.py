@@ -323,6 +323,11 @@ class TrainConfig:
     denoising: float = 1.0
     genasr: bool = False  # HowTo100M pretrain objective (dvc.py:59-68)
     eval_every_epochs: int = 1
+    # capture an XLA profile of steps [profile_start, profile_start +
+    # profile_steps) in epoch 0 into profile_dir ("" = disabled)
+    profile_dir: str = ""
+    profile_start: int = 5
+    profile_steps: int = 3
     optim: OptimConfig = field(default_factory=OptimConfig)
     checkpoint: CheckpointConfig = field(default_factory=CheckpointConfig)
     mesh: MeshConfig = field(default_factory=MeshConfig)

@@ -116,8 +116,11 @@ def main(cfg: ExperimentConfig,
             n_data = mesh.devices.shape[0]
             shard = (batch_sharding(mesh)
                      if cfg.train.batch_size % max(n_data, 1) == 0 else None)
-            for batch in logger.log_every(it, cfg.train.print_freq,
-                                          f"Epoch [{epoch}] {name}"):
+            for step_i, batch in enumerate(logger.log_every(
+                    it, cfg.train.print_freq, f"Epoch [{epoch}] {name}")):
+                prof = cfg.train.profile_dir
+                if prof and epoch == 0 and step_i == cfg.train.profile_start:
+                    jax.profiler.start_trace(prof)
                 arrays = {k: (jax.device_put(v, shard) if shard is not None
                               else jnp.asarray(v))
                           for k, v in batch.items()
@@ -126,6 +129,10 @@ def main(cfg: ExperimentConfig,
                 logger.update(**{k: float(v) for k, v in metrics.items()})
                 if not np.isfinite(float(metrics["total_loss"])):
                     raise RuntimeError("Loss is not finite, stopping training")
+                if (prof and epoch == 0 and step_i
+                        == cfg.train.profile_start + cfg.train.profile_steps):
+                    jax.profiler.stop_trace()
+                    print(f"profile written to {prof}")
 
         epoch_stats = {f"train_{k}": v for k, v in logger.global_averages().items()}
 
