@@ -201,34 +201,37 @@ def _bwd_dqkv_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, mask_ref,
 
 def _bwd_dbias_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, mask_ref,
                       out_ref, dout_ref, dbias_ref,
-                      *, batch: int, dropout_rate: float):
-    head_id, qblk_id = pl.program_id(0), pl.program_id(1)
-    dbias_ref[0, 0] = jnp.zeros_like(dbias_ref[0, 0])
+                      *, dropout_rate: float):
+    # grid (h, nq, batch), batch innermost: the output block is revisited
+    # across batch iterations and accumulates in VMEM — per-program loads
+    # stay one example's K/V, so VMEM use is batch-size independent
+    head_id, qblk_id, b = (pl.program_id(0), pl.program_id(1),
+                           pl.program_id(2))
 
-    def body(b, _):
-        q_blk = q_ref[b, 0].astype(jnp.float32)
-        k = k_ref[b, 0].astype(jnp.float32)
-        v = v_ref[b, 0].astype(jnp.float32)
-        valid = mask_ref[b][None, :] > 0
-        scores = jnp.dot(q_blk, k.T, preferred_element_type=jnp.float32)
-        scores = scores + bias_ref[0, 0].astype(jnp.float32)
-        scores = jnp.where(valid, scores, NEG_INF)
-        m = jnp.max(scores, axis=-1, keepdims=True)
-        e = jnp.exp(scores - m)
-        p = e / jnp.sum(e, axis=-1, keepdims=True)
-        dout_blk = dout_ref[b, 0].astype(jnp.float32)
-        delta_blk = jnp.sum(dout_blk * out_ref[b, 0].astype(jnp.float32),
-                            axis=-1)
-        dp = jnp.dot(dout_blk, v.T, preferred_element_type=jnp.float32)
-        if dropout_rate > 0.0:
-            dp = dp * _keep_scale(seed_ref[0, 0], b, head_id,
-                                  qblk_id * BLOCK_Q,
-                                  p.shape[0], p.shape[1], dropout_rate)
-        ds = p * (dp - delta_blk[:, None])
-        dbias_ref[0, 0] += ds.astype(dbias_ref.dtype)
-        return 0
+    @pl.when(b == 0)
+    def _zero():
+        dbias_ref[0, 0] = jnp.zeros_like(dbias_ref[0, 0])
 
-    jax.lax.fori_loop(0, batch, body, 0)
+    q_blk = q_ref[0, 0].astype(jnp.float32)
+    k = k_ref[0, 0].astype(jnp.float32)
+    v = v_ref[0, 0].astype(jnp.float32)
+    valid = mask_ref[b][None, :] > 0
+    scores = jnp.dot(q_blk, k.T, preferred_element_type=jnp.float32)
+    scores = scores + bias_ref[0, 0].astype(jnp.float32)
+    scores = jnp.where(valid, scores, NEG_INF)
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    e = jnp.exp(scores - m)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)
+    dout_blk = dout_ref[0, 0].astype(jnp.float32)
+    delta_blk = jnp.sum(dout_blk * out_ref[0, 0].astype(jnp.float32),
+                        axis=-1)
+    dp = jnp.dot(dout_blk, v.T, preferred_element_type=jnp.float32)
+    if dropout_rate > 0.0:
+        dp = dp * _keep_scale(seed_ref[0, 0], b, head_id,
+                              qblk_id * BLOCK_Q,
+                              p.shape[0], p.shape[1], dropout_rate)
+    ds = p * (dp - delta_blk[:, None])
+    dbias_ref[0, 0] += ds.astype(dbias_ref.dtype)
 
 
 def _fused_backward(q, k, v, bias, key_mask, seed, dropout_rate, out, dout,
@@ -289,28 +292,28 @@ def _fused_backward(q, k, v, bias, key_mask, seed, dropout_rate, out, dout,
         return dq, dk, dv, None
 
     dbias = pl.pallas_call(
-        functools.partial(_bwd_dbias_kernel, batch=b,
-                          dropout_rate=dropout_rate),
-        grid=(h, nq),
+        functools.partial(_bwd_dbias_kernel, dropout_rate=dropout_rate),
+        grid=(h, nq, b),
         in_specs=[
-            pl.BlockSpec((1, 1), lambda j, n: (0, 0),
+            pl.BlockSpec((1, 1), lambda j, n, i: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((b, 1, BLOCK_Q, d), lambda j, n: (0, j, n, 0),
+            pl.BlockSpec((1, 1, BLOCK_Q, d), lambda j, n, i: (i, j, n, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((b, 1, lk, d), lambda j, n: (0, j, 0, 0),
+            pl.BlockSpec((1, 1, lk, d), lambda j, n, i: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((b, 1, lk, d), lambda j, n: (0, j, 0, 0),
+            pl.BlockSpec((1, 1, lk, d), lambda j, n, i: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, BLOCK_Q, lk), lambda j, n: (0, j, n, 0),
+            pl.BlockSpec((1, 1, BLOCK_Q, lk), lambda j, n, i: (0, j, n, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((b, lk), lambda j, n: (0, 0),
+            pl.BlockSpec((b, lk), lambda j, n, i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((b, 1, BLOCK_Q, d), lambda j, n: (0, j, n, 0),
+            pl.BlockSpec((1, 1, BLOCK_Q, d), lambda j, n, i: (i, j, n, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((b, 1, BLOCK_Q, d), lambda j, n: (0, j, n, 0),
+            pl.BlockSpec((1, 1, BLOCK_Q, d), lambda j, n, i: (i, j, n, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, BLOCK_Q, lk), lambda j, n: (0, j, n, 0),
+        out_specs=pl.BlockSpec((1, 1, BLOCK_Q, lk),
+                               lambda j, n, i: (0, j, n, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((1, h, lq, lk), jnp.float32),
         interpret=interpret,
