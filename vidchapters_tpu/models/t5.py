@@ -50,6 +50,17 @@ def _fused_attention_enabled() -> bool:
     return jax.default_backend() not in ("cpu", "gpu")
 
 
+# fused decode-step self-attention (cache write + attend in one custom
+# call): True / False / None (auto: only on TPU backends)
+USE_FUSED_DECODE = None
+
+
+def _fused_decode_enabled() -> bool:
+    if USE_FUSED_DECODE is not None:
+        return USE_FUSED_DECODE
+    return jax.default_backend() not in ("cpu", "gpu")
+
+
 def _apply_dropout(module: nn.Module, x: Array, rate: float,
                    deterministic: bool) -> Array:
     """Functional dropout usable inside setup-style module methods."""
@@ -161,6 +172,17 @@ class T5Attention(nn.Module):
             # incremental self-attention: write new kv at cache_index
             k_new = self._split(self.k(hidden))
             v_new = self._split(self.v(hidden))
+            if _fused_decode_enabled() and bias is not None:
+                # one custom call per layer step: cache writes + attention
+                # (the decode loop is op-overhead-bound, BENCH_NOTES.md)
+                from vidchapters_tpu.ops.decode_attention import (
+                    decode_self_attention,
+                )
+
+                out, k, v = decode_self_attention(
+                    q, k_new, v_new, cache["k"], cache["v"], bias,
+                    cache_index, jax.default_backend() == "cpu")
+                return self.o(self._merge(out)), {"k": k, "v": v}
             k = jax.lax.dynamic_update_slice(cache["k"], k_new, (0, 0, cache_index, 0))
             v = jax.lax.dynamic_update_slice(cache["v"], v_new, (0, 0, cache_index, 0))
             cache = {"k": k, "v": v}
