@@ -188,6 +188,17 @@ class T5Attention(nn.Module):
             cache = {"k": k, "v": v}
         elif cache is not None:  # precomputed cross-attention kv
             k, v = cache["k"], cache["v"]
+            if (_fused_decode_enabled() and bias is None
+                    and key_mask is not None and q.shape[2] == 1):
+                # one custom call per layer step (handles per-example KV
+                # shared across beams, group = 1 for greedy)
+                from vidchapters_tpu.ops.decode_attention import (
+                    decode_cross_attention,
+                )
+
+                out = decode_cross_attention(
+                    q, k, v, key_mask, jax.default_backend() == "cpu")
+                return self.o(self._merge(out)), cache
             if k.shape[0] != q.shape[0]:
                 # beam decoding with per-example (not per-beam) cross KV:
                 # group the beam axis instead of duplicating the KV buffers

@@ -81,3 +81,50 @@ def decode_self_attention(q: Array, k_new: Array, v_new: Array,
         interpret=interpret,
     )(idx, q, k_new, v_new, k_cache, v_cache, bias_row)
     return out, k_out, v_out
+
+
+def _cross_kernel(q_ref, k_ref, v_ref, mask_ref, out_ref):
+    # q [1,1,g,D] (g = beams per example); k/v [1,1,Lk,D]; mask [B,Lk]
+    q = q_ref[0, 0].astype(jnp.float32)                 # [g, D]
+    k = k_ref[0, 0].astype(jnp.float32)                 # [Lk, D]
+    v = v_ref[0, 0].astype(jnp.float32)
+    scores = jnp.dot(q, k.T, preferred_element_type=jnp.float32)  # [g, Lk]
+    valid = mask_ref[pl.program_id(0)][None, :] > 0
+    scores = jnp.where(valid, scores, -1e9)
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    e = jnp.exp(scores - m)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)
+    out_ref[0, 0] = jnp.dot(p, v, preferred_element_type=jnp.float32
+                            ).astype(out_ref.dtype)
+
+
+def decode_cross_attention(q: Array, k: Array, v: Array, key_mask: Array,
+                           interpret: bool = False) -> Array:
+    """One cross-attention decode step with per-example KV shared across
+    beams: q [B*g, H, 1, D] attends k/v [B, H, Lk, D] under key_mask
+    [B, Lk]; returns [B*g, H, 1, D]. Replaces the grouped-einsum block
+    (scores, mask, softmax, pv) with one call per step."""
+    b0, hh, lk, d = k.shape
+    g = q.shape[0] // b0
+    # [B*g, H, 1, D] -> [B, H, g, D]
+    qg = q.reshape(b0, g, hh, d).transpose(0, 2, 1, 3)
+    out = pl.pallas_call(
+        _cross_kernel,
+        grid=(b0, hh),
+        in_specs=[
+            pl.BlockSpec((1, 1, g, d), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, lk, d), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, lk, d), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((b0, lk), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, g, d), lambda i, j: (i, j, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b0, hh, g, d), q.dtype),
+        interpret=interpret,
+    )(qg, k, v, key_mask)
+    # [B, H, g, D] -> [B*g, H, 1, D]
+    return out.transpose(0, 2, 1, 3).reshape(b0 * g, hh, 1, d)
