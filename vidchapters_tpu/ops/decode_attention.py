@@ -27,8 +27,14 @@ def _kernel(idx_ref, q_ref, kn_ref, vn_ref, kc_ref, vc_ref, bias_ref,
             out_ref, ko_ref, vo_ref):
     # refs: q/kn/vn [1,1,1,D]; kc/vc aliased in/out [1,1,L,D]; bias [1,1,1,L]
     idx = idx_ref[0, 0]
-    ko_ref[0, 0, pl.ds(idx, 1)] = kn_ref[0, 0]
-    vo_ref[0, 0, pl.ds(idx, 1)] = vn_ref[0, 0]
+    l, d = ko_ref.shape[2], ko_ref.shape[3]
+    # masked full-block write: Mosaic cannot prove a dynamic sublane store
+    # is 8-aligned, and the whole block is tiny (L x D in VMEM anyway)
+    row = jax.lax.broadcasted_iota(jnp.int32, (l, d), 0) == idx
+    ko_ref[0, 0] = jnp.where(row, jnp.broadcast_to(kn_ref[0, 0], (l, d)),
+                             kc_ref[0, 0])
+    vo_ref[0, 0] = jnp.where(row, jnp.broadcast_to(vn_ref[0, 0], (l, d)),
+                             vc_ref[0, 0])
     q = q_ref[0, 0].astype(jnp.float32)          # [1, D]
     k = ko_ref[0, 0].astype(jnp.float32)         # [L, D] (includes new slot)
     v = vo_ref[0, 0].astype(jnp.float32)
