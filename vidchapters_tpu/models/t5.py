@@ -50,15 +50,16 @@ def _fused_attention_enabled() -> bool:
     return jax.default_backend() not in ("cpu", "gpu")
 
 
-# fused decode-step self-attention (cache write + attend in one custom
-# call): True / False / None (auto: only on TPU backends)
-USE_FUSED_DECODE = None
+# fused decode-step attention kernels (cache write + attend in one custom
+# call per layer). Measured SLOWER on v5e (3.75 vs 5.32 videos/s, beam-4
+# bs16): the per-(batch*beam, head) grid makes ~768 tiny programs per call
+# and dispatch dominates the ~8 removed XLA ops. Kept as an experiment —
+# a useful megakernel must fuse across heads and layers. Default OFF.
+USE_FUSED_DECODE = False
 
 
 def _fused_decode_enabled() -> bool:
-    if USE_FUSED_DECODE is not None:
-        return USE_FUSED_DECODE
-    return jax.default_backend() not in ("cpu", "gpu")
+    return bool(USE_FUSED_DECODE)
 
 
 def _apply_dropout(module: nn.Module, x: Array, rate: float,
