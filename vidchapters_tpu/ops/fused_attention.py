@@ -151,16 +151,25 @@ def _fused_forward(q, k, v, bias, key_mask, seed, dropout_rate,
 # ---------------------------------------------------------------------------
 
 
-def _bwd_dqkv_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, mask_ref,
-                     out_ref, dout_ref, dq_ref, dk_ref, dv_ref,
-                     *, n_q_blocks: int, dropout_rate: float,
-                     has_bias: bool = True):
+def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, mask_ref,
+                out_ref, dout_ref, dq_ref, dk_ref, dv_ref, *dbias_ref,
+                n_q_blocks: int, dropout_rate: float,
+                has_bias: bool = True):
+    """Single backward pass: dq/dk/dv per (batch, head), and — when bias is
+    present — dbias accumulated across the innermost batch grid dimension
+    (one softmax recompute instead of two)."""
     k = k_ref[0, 0].astype(jnp.float32)
     v = v_ref[0, 0].astype(jnp.float32)
-    batch_id, head_id = pl.program_id(0), pl.program_id(1)
+    head_id, batch_id = pl.program_id(0), pl.program_id(1)
     valid = mask_ref[batch_id][None, :] > 0
     dk_ref[0, 0] = jnp.zeros_like(dk_ref[0, 0])
     dv_ref[0, 0] = jnp.zeros_like(dv_ref[0, 0])
+    if has_bias:
+        (db_ref,) = dbias_ref
+
+        @pl.when(batch_id == 0)
+        def _zero():
+            db_ref[0, 0] = jnp.zeros_like(db_ref[0, 0])
 
     def body(n, _):
         q_blk = q_ref[0, 0, pl.ds(n * BLOCK_Q, BLOCK_Q)].astype(jnp.float32)
@@ -194,44 +203,12 @@ def _bwd_dqkv_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, mask_ref,
         dv_ref[0, 0] += jnp.dot(pd.T, dout_blk,
                                 preferred_element_type=jnp.float32
                                 ).astype(dv_ref.dtype)
+        if has_bias:
+            db_ref[0, 0, pl.ds(n * BLOCK_Q, BLOCK_Q)] += ds.astype(
+                db_ref.dtype)
         return 0
 
     jax.lax.fori_loop(0, n_q_blocks, body, 0)
-
-
-def _bwd_dbias_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, mask_ref,
-                      out_ref, dout_ref, dbias_ref,
-                      *, dropout_rate: float):
-    # grid (h, nq, batch), batch innermost: the output block is revisited
-    # across batch iterations and accumulates in VMEM — per-program loads
-    # stay one example's K/V, so VMEM use is batch-size independent
-    head_id, qblk_id, b = (pl.program_id(0), pl.program_id(1),
-                           pl.program_id(2))
-
-    @pl.when(b == 0)
-    def _zero():
-        dbias_ref[0, 0] = jnp.zeros_like(dbias_ref[0, 0])
-
-    q_blk = q_ref[0, 0].astype(jnp.float32)
-    k = k_ref[0, 0].astype(jnp.float32)
-    v = v_ref[0, 0].astype(jnp.float32)
-    valid = mask_ref[b][None, :] > 0
-    scores = jnp.dot(q_blk, k.T, preferred_element_type=jnp.float32)
-    scores = scores + bias_ref[0, 0].astype(jnp.float32)
-    scores = jnp.where(valid, scores, NEG_INF)
-    m = jnp.max(scores, axis=-1, keepdims=True)
-    e = jnp.exp(scores - m)
-    p = e / jnp.sum(e, axis=-1, keepdims=True)
-    dout_blk = dout_ref[0, 0].astype(jnp.float32)
-    delta_blk = jnp.sum(dout_blk * out_ref[0, 0].astype(jnp.float32),
-                        axis=-1)
-    dp = jnp.dot(dout_blk, v.T, preferred_element_type=jnp.float32)
-    if dropout_rate > 0.0:
-        dp = dp * _keep_scale(seed_ref[0, 0], b, head_id,
-                              qblk_id * BLOCK_Q,
-                              p.shape[0], p.shape[1], dropout_rate)
-    ds = p * (dp - delta_blk[:, None])
-    dbias_ref[0, 0] += ds.astype(dbias_ref.dtype)
 
 
 def _fused_backward(q, k, v, bias, key_mask, seed, dropout_rate, out, dout,
@@ -240,89 +217,70 @@ def _fused_backward(q, k, v, bias, key_mask, seed, dropout_rate, out, dout,
     lk = k.shape[2]
     nq = lq // BLOCK_Q
     has_bias = bias is not None
-    if not has_bias:
-        bias = jnp.zeros((1, 1, 8, 128), q.dtype)
-    bias_b = bias.shape[0]
-    bias_spec2 = (pl.BlockSpec((1, 1, lq, lk),
-                               lambda i, j: (0 if bias_b == 1 else i,
-                                             j, 0, 0),
-                               memory_space=pltpu.VMEM)
-                  if has_bias else
-                  pl.BlockSpec((1, 1, 8, 128), lambda i, j: (0, 0, 0, 0),
-                               memory_space=pltpu.VMEM))
-
-    dq, dk, dv = pl.pallas_call(
-        functools.partial(_bwd_dqkv_kernel, n_q_blocks=nq,
-                          dropout_rate=dropout_rate, has_bias=has_bias),
-        grid=(b, h),
-        in_specs=[
-            pl.BlockSpec((1, 1), lambda i, j: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, lq, d), lambda i, j: (i, j, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, lk, d), lambda i, j: (i, j, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, lk, d), lambda i, j: (i, j, 0, 0),
-                         memory_space=pltpu.VMEM),
-            bias_spec2,
-            pl.BlockSpec((b, lk), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, lq, d), lambda i, j: (i, j, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, lq, d), lambda i, j: (i, j, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((1, 1, lq, d), lambda i, j: (i, j, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, lk, d), lambda i, j: (i, j, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, lk, d), lambda i, j: (i, j, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct(q.shape, jnp.float32),
-            jax.ShapeDtypeStruct(k.shape, jnp.float32),
-            jax.ShapeDtypeStruct(v.shape, jnp.float32),
-        ),
-        interpret=interpret,
-    )(seed, q, k, v, bias, key_mask, out, dout)
-
-    if not has_bias:
-        return dq, dk, dv, None
-
-    dbias = pl.pallas_call(
-        functools.partial(_bwd_dbias_kernel, dropout_rate=dropout_rate),
-        grid=(h, nq, b),
-        in_specs=[
-            pl.BlockSpec((1, 1), lambda j, n, i: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, BLOCK_Q, d), lambda j, n, i: (i, j, n, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, lk, d), lambda j, n, i: (i, j, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, lk, d), lambda j, n, i: (i, j, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, BLOCK_Q, lk), lambda j, n, i: (0, j, n, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((b, lk), lambda j, n, i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, BLOCK_Q, d), lambda j, n, i: (i, j, n, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, BLOCK_Q, d), lambda j, n, i: (i, j, n, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, 1, BLOCK_Q, lk),
-                               lambda j, n, i: (0, j, n, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((1, h, lq, lk), jnp.float32),
-        interpret=interpret,
-    )(seed, q, k, v, bias, key_mask, out, dout)
-    if bias_b != 1:
+    if has_bias and bias.shape[0] != 1:
         # batched bias: per-batch gradient equals dS directly; recompute via
         # XLA (rare path — T5's bias is always broadcast)
         raise NotImplementedError("fused attention expects broadcast bias")
-    return dq, dk, dv, dbias
+    if not has_bias:
+        bias = jnp.zeros((1, 1, 8, 128), q.dtype)
+    bias_spec2 = (pl.BlockSpec((1, 1, lq, lk), lambda j, i: (0, j, 0, 0),
+                               memory_space=pltpu.VMEM)
+                  if has_bias else
+                  pl.BlockSpec((1, 1, 8, 128), lambda j, i: (0, 0, 0, 0),
+                               memory_space=pltpu.VMEM))
+
+    # grid (h, b) with batch innermost: dq/dk/dv are per-(b, h) blocks and
+    # dbias's block is revisited across b, accumulating in VMEM — the whole
+    # backward is one softmax recompute
+    out_specs = [
+        pl.BlockSpec((1, 1, lq, d), lambda j, i: (i, j, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, lk, d), lambda j, i: (i, j, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, lk, d), lambda j, i: (i, j, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shapes = [
+        jax.ShapeDtypeStruct(q.shape, jnp.float32),
+        jax.ShapeDtypeStruct(k.shape, jnp.float32),
+        jax.ShapeDtypeStruct(v.shape, jnp.float32),
+    ]
+    if has_bias:
+        out_specs.append(pl.BlockSpec((1, 1, lq, lk),
+                                      lambda j, i: (0, j, 0, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shapes.append(jax.ShapeDtypeStruct((1, h, lq, lk), jnp.float32))
+
+    results = pl.pallas_call(
+        functools.partial(_bwd_kernel, n_q_blocks=nq,
+                          dropout_rate=dropout_rate, has_bias=has_bias),
+        grid=(h, b),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda j, i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, lq, d), lambda j, i: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, lk, d), lambda j, i: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, lk, d), lambda j, i: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            bias_spec2,
+            pl.BlockSpec((b, lk), lambda j, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, lq, d), lambda j, i: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, lq, d), lambda j, i: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shapes),
+        interpret=interpret,
+    )(seed, q, k, v, bias, key_mask, out, dout)
+    if has_bias:
+        dq, dk, dv, dbias = results
+        return dq, dk, dv, dbias
+    dq, dk, dv = results
+    return dq, dk, dv, None
 
 
 # ---------------------------------------------------------------------------
