@@ -254,6 +254,11 @@ def _fused_backward(q, k, v, bias, key_mask, seed, dropout_rate, out, dout,
     results = pl.pallas_call(
         functools.partial(_bwd_kernel, n_q_blocks=nq,
                           dropout_rate=dropout_rate, has_bias=has_bias),
+        # the merged backward holds bias (bf16, lq x lk) + dbias (f32,
+        # lq x lk) resident; at lq = lk = 1024 that is ~0.5 MB over the
+        # default 16 MB scoped-vmem budget — raise it (v5e has headroom)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         grid=(h, b),
         in_specs=[
             pl.BlockSpec((1, 1), lambda j, i: (0, 0),
