@@ -172,3 +172,62 @@ def test_feature_source_broken_video_fallback(tmp_path):
     # corrupt npy file
     (tmp_path / "corruptvid0.npy").write_bytes(b"not an npy")
     assert fs.raw("corruptvid0", strict=False).shape == (1, 8)
+
+
+def test_yt_pretrain_dataset_video_path_mapping(tmp_path, rng):
+    """csv video_path entries carry extensions; features must resolve by
+    stem (regression: '.npy.npy' double extension)."""
+    import pickle
+
+    from vidchapters_tpu.config import DataConfig
+    from vidchapters_tpu.data.dvc_dataset import YTPretrainDataset
+    from vidchapters_tpu.data.tokenizer import ByteLevelTokenizer
+
+    vid = "htmvideo001"
+    np.save(tmp_path / f"{vid}.npy", rng.normal(size=(12, 8)).astype(np.float32))
+    asr = {vid[-11:]: {"text": ["hello world"], "start": [0.5],
+                       "end": [3.0], "duration": 10.0}}
+    pickle.dump(asr, open(tmp_path / "asr.pkl", "wb"))
+    cfg = DataConfig(max_feats=6, features_dim=8, max_input_tokens=48,
+                     max_output_tokens=24)
+    ds = YTPretrainDataset([{"video_id": vid, "video_path": vid + ".npy"}],
+                           str(tmp_path), ByteLevelTokenizer(),
+                           subtitles_path=str(tmp_path / "asr.pkl"), cfg=cfg)
+    ex = ds.__getitem__(0, rng=rng)
+    assert ex["video"].shape == (6, 8)
+    assert len(ex["output_tokens"]) > 1  # ASR sequence is the target
+    assert "denoising_input_tokens" in ex
+
+
+def test_genasr_train_step(rng):
+    """HowTo100M objective: generative target is the ASR sequence and the
+    model trains without input tokens (dvc.py:59-68 equivalent)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from vidchapters_tpu.config import T5Config, TemporalViTConfig, Vid2SeqConfig
+    from vidchapters_tpu.models.vid2seq import Vid2Seq
+    from vidchapters_tpu.train.dvc_train import TrainState, make_train_step
+
+    cfg = Vid2SeqConfig(
+        t5=T5Config(d_model=32, d_kv=8, d_ff=64, num_layers=1,
+                    num_decoder_layers=1, num_heads=4, dtype="float32"),
+        vit=TemporalViTConfig(num_features=6, embed_dim=16, depth=1,
+                              num_heads=4, mlp_dim=32, dtype="float32"))
+    model = Vid2Seq(cfg)
+    key = jax.random.PRNGKey(0)
+    video = jnp.asarray(rng.normal(size=(2, 6, 16)), jnp.float32)
+    out_toks = jnp.asarray(rng.integers(2, 100, (2, 10)), jnp.int32)
+    params = model.init({"params": key, "dropout": key}, video,
+                        out_toks[:, :4], jnp.ones((2, 4), jnp.int32),
+                        out_toks[:, :4])["params"]
+    tx = optax.adam(1e-3)
+    step = jax.jit(make_train_step(model, tx, genasr=True))
+    state = TrainState(params, tx.init(params), jnp.array(0))
+    batch = {"video": video, "output_tokens": out_toks,
+             "denoising_input_tokens": out_toks[:, :8],
+             "denoising_output_tokens": out_toks[:, :6]}
+    state, metrics = step(state, batch, key)
+    assert np.isfinite(float(metrics["total_loss"]))
+    assert float(metrics["loss"]) > 0 and float(metrics["denoising_loss"]) > 0

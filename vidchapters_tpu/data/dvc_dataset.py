@@ -140,8 +140,13 @@ class YTPretrainDataset:
     def __getitem__(self, idx: int, rng: Optional[np.random.Generator] = None) -> dict:
         row = self.rows[idx]
         video_id = row["video_id"]
-        raw = self.features.raw(row.get("video_path", video_id + ".npy")
-                                if self.features.dir_path else video_id)
+        # features are keyed by id; a csv video_path column maps through its
+        # stem (FeatureSource appends the .npy/.mp4.npy extension itself)
+        if self.features.dir_path and row.get("video_path"):
+            key = os.path.splitext(os.path.basename(row["video_path"]))[0]
+        else:
+            key = video_id
+        raw = self.features.raw(key)
         sub = self.subs.get(video_id) or {"text": [], "start": [], "end": []}
         duration = float(sub.get("duration", len(raw) + 1))
         from vidchapters_tpu.data.features import subsample_or_pad
