@@ -43,6 +43,37 @@ REMAT_POLICY = None
 # True / False / None (auto: only on TPU backends)
 USE_FUSED_ATTENTION = None
 
+# Megatron-style sequence parallelism (set via
+# runtime/mesh.enable_sequence_parallelism, never directly): a
+# NamedSharding with spec (data_axis, model_axis) pinning the residual
+# stream's [B, L, D] activations to batch x sequence shards between
+# blocks. Norm/dropout/residual math then runs on L-shards and GSPMD
+# places the all-gather (into attention, which needs full L) and the
+# reduce-scatter (out of the block) on the model axis over ICI. None
+# disables the constraint entirely.
+#
+# ENCODER STACKS ONLY. Constraining the *decoder* residual stream
+# miscompiles on the XLA:CPU SPMD partitioner: in the full Vid2Seq graph
+# (not in an isolated decoder subgraph) the logits of every query position
+# in the second L-shard come out wrong (~1% loss shift; first shard
+# bit-exact — /tmp-era repro now in tests/test_sequence_parallel.py).
+# Our graph contains only global-shape ops, so a resharding constraint
+# cannot legally change values; until the upstream bug is fixed the
+# constraint is applied only where it matters anyway — the long encoder
+# side (ASR <=1000 tokens + 100 video frames vs 256 decoder steps).
+#
+# NOTE: read at TRACE time. enable_sequence_parallelism must run before
+# the train step is first traced; jit's trace cache will otherwise keep
+# serving the unconstrained program.
+SEQUENCE_SHARDING = None
+
+
+def _sp_constrain(x: Array, is_decoder: bool) -> Array:
+    """Pin x ([B, L, D]) to the sequence-parallel layout when enabled."""
+    if SEQUENCE_SHARDING is None or is_decoder:
+        return x
+    return jax.lax.with_sharding_constraint(x, SEQUENCE_SHARDING)
+
 
 def _fused_attention_enabled() -> bool:
     if USE_FUSED_ATTENTION is not None:
@@ -405,6 +436,7 @@ class T5Stack(nn.Module):
         rate = self.dropout_rate
         x = _apply_dropout(self, inputs_embeds.astype(_dtype(self.cfg)),
                            rate, deterministic)
+        x = _sp_constrain(x, self.is_decoder)
 
         # batch-independent bias: rel-pos (+ causal); padding handled inside
         # attention by the [B, L] key mask (no [B, h, L, L] tensor in HBM)
@@ -426,7 +458,9 @@ class T5Stack(nn.Module):
             # elementwise work, cutting the recompute tax of plain remat
             body = nn.checkpoint(body, policy=REMAT_POLICY)
         for blk in self.blocks:
-            x = body(blk, x, self_bias, attention_mask, enc_out, enc_mask)
+            x = _sp_constrain(
+                body(blk, x, self_bias, attention_mask, enc_out, enc_mask),
+                self.is_decoder)
         x = self.final_norm(x)
         return _apply_dropout(self, x, rate, deterministic)
 

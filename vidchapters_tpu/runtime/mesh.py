@@ -71,18 +71,23 @@ def is_main_process() -> bool:
 
 
 def enable_sequence_parallelism(mesh: Mesh) -> bool:
-    """EXPERIMENTAL: pin T5's residual stream to a (data, model)-sharded
-    layout between blocks (Megatron-SP): norm/dropout run on sequence
-    shards and GSPMD places the all-gather/reduce-scatter around the TP
-    matmuls on ICI.
+    """Pin T5's *encoder* residual stream to a (data, model)-sharded layout
+    between blocks (Megatron-SP): norm/dropout/residual math runs on
+    sequence shards and GSPMD places the all-gather (into attention) /
+    reduce-scatter (out of the block) on the model axis over ICI. The
+    encoder is the long side (ASR <=1000 tokens + 100 video frames), so
+    that is where the activation-memory and elementwise-FLOP savings are.
 
-    WARNING: in standalone XLA:CPU SPMD runs this constraint changed the
-    *primal* loss of ``value_and_grad`` by ~1% at full matmul precision
-    while the plain forward stayed bit-identical (batch-only constraints
-    clean; both stacks must be L-sharded; not reproducible under the test
-    suite env — see tests/test_sequence_parallel.py). Do not enable in
-    production until validated against the unsharded loss on the target
-    hardware.
+    The decoder stack is deliberately NOT constrained: L-sharding the
+    decoder residual stream miscompiles on the XLA:CPU SPMD partitioner
+    (second query-shard logits come out wrong in the full Vid2Seq graph —
+    the ~1% loss shift recorded in round 1; see the canary in
+    tests/test_sequence_parallel.py and models/t5.py SEQUENCE_SHARDING).
+
+    MUST be called before the train step is first traced — the module
+    global is read at trace time and jit's trace cache would otherwise
+    keep serving the unconstrained program (tests assert the constraint
+    is present in the jaxpr to keep this honest).
 
     No-op (returns False) when the mesh has no model axis to shard over.
     """
