@@ -199,17 +199,34 @@ def eval_moment_retrieval(submission: List[dict], ground_truth: List[dict],
 
 
 def _ap_binary(y_true: np.ndarray, y_score: np.ndarray) -> float:
-    """Interpolated AP over a binary relevance vector (utils.py get_ap with
-    interpolate=True, point_11=False)."""
-    if y_true.sum() == 0:
-        return 0.0
-    order = np.argsort(-y_score, kind="stable")
-    y = y_true[order]
-    tp = np.cumsum(y)
-    precision = tp / np.arange(1, len(y) + 1)
-    # interpolate: running max from the right
-    precision = np.maximum.accumulate(precision[::-1])[::-1]
-    return float(precision[y.astype(bool)].sum() / y_true.sum())
+    """Interpolated AP over a binary relevance vector — exact semantics of
+    the reference's get_ap(interpolate=True, point_11=False)
+    (utils.py:169-209), which builds an sklearn precision_recall_curve
+    (tied scores grouped into one threshold point, flat tail after full
+    recall truncated, (p=1, r=0) endpoint appended), forward-interpolates
+    precision in decreasing-recall order, and averages precision at every
+    recall change. Differs from the sum/n_pos VOC form when scores tie."""
+    y_true = np.asarray(y_true, dtype=float)
+    y_score = np.asarray(y_score, dtype=float)
+    uniq = np.unique(y_true)
+    if len(uniq) == 1:
+        return 0.0 if uniq[0] == 0 else 1.0
+    desc = np.argsort(-y_score, kind="stable")
+    y = y_true[desc]
+    s = y_score[desc]
+    thr_idx = np.r_[np.where(np.diff(s) != 0)[0], y.size - 1]
+    tps = np.cumsum(y)[thr_idx]
+    fps = 1 + thr_idx - tps
+    precision = tps / (tps + fps)
+    recall = tps / tps[-1]
+    # sklearn keeps the curve up to the FIRST point of full recall
+    # (slice(tps.searchsorted(tps[-1]), None, -1)) and reverses it
+    cut = int(np.searchsorted(tps, tps[-1]))
+    precision = np.r_[precision[:cut + 1][::-1], 1.0]
+    recall = np.r_[recall[:cut + 1][::-1], 0.0]
+    precision = np.maximum.accumulate(precision)
+    idx = np.where(np.diff(recall) != 0)[0]
+    return float(np.mean(precision[idx]))
 
 
 def mk_gt_scores(gt_data: dict, clip_length: float = 2) -> np.ndarray:
