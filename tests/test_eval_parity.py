@@ -237,3 +237,94 @@ def test_rouge_matches_google_rouge_score():
                     if (r + beta2 * p) > 0 else 0.0)
         assert mine == pytest.approx(expected, abs=1e-9), (
             f"{k}: ours={mine} expected={expected}")
+
+
+# ---------------------------------------------------------------------------
+# METEOR aligner: beam search vs exhaustive ground truth
+# ---------------------------------------------------------------------------
+
+
+def _brute_best(hyp, ref, by_start):
+    """Exhaustive search over all one-to-one non-overlapping match sets;
+    returns the optimal (−coverage, chunks, dist, −weight) key."""
+    best = [None]
+
+    def rec(i, mask, cov, chunks, dist, wsum, last):
+        if i == len(hyp):
+            key = (-cov, chunks, dist, -wsum)
+            if best[0] is None or key < best[0]:
+                best[0] = key
+            return
+        rec(i + 1, mask, cov, chunks, dist, wsum, last)
+        for (s, j, ilen, jlen, w) in by_start[i]:
+            span = ((1 << jlen) - 1) << j
+            if mask & span:
+                continue
+            cont = last == (i, j)
+            rec(i + ilen, mask | span, cov + ilen + jlen,
+                chunks + (0 if cont else 1), dist + abs(i - j),
+                wsum + w * (ilen + jlen), (i + ilen, j + jlen))
+
+    rec(0, 0, 0, 0, 0, 0.0, None)
+    return best[0]
+
+
+def test_meteor_beam_alignment_is_optimal_on_short_pairs():
+    """The beam aligner must reproduce the exhaustive optimum of the
+    meteor-1.5 objective (max coverage, min chunks, min distance, max
+    weight) on every short random pair."""
+    from vidchapters_tpu.evals import meteor as M
+
+    rng = np.random.default_rng(5)
+    vocab = ["the", "cat", "dog", "sat", "ran", "a", "big"]
+    for _ in range(300):
+        hyp = [vocab[k] for k in rng.integers(0, len(vocab), rng.integers(1, 7))]
+        ref = [vocab[k] for k in rng.integers(0, len(vocab), rng.integers(1, 7))]
+        by_start = M._candidate_matches(hyp, ref, None)
+        matches, chunks = M._align(hyp, ref)
+        cov = sum(m[2] + m[3] for m in matches)
+        dist = sum(abs(m[0] - m[1]) for m in matches)
+        wsum = sum(m[4] * (m[2] + m[3]) for m in matches)
+        got = (-cov, chunks, dist, -wsum)
+        want = _brute_best(hyp, ref, by_start)
+        assert got == want, (hyp, ref, got, want)
+
+
+def test_meteor_alignment_minimizes_chunks_not_distance():
+    """Fixture where greedy closest-position matching yields 4 chunks but
+    the chunk-minimal alignment has 2 (the round-1 aligner got this
+    wrong)."""
+    from vidchapters_tpu.evals.meteor import _align
+
+    matches, chunks = _align("the cat the dog".split(),
+                             "the dog the cat".split())
+    assert sum(m[2] + m[3] for m in matches) == 8  # full coverage
+    assert chunks == 2
+
+
+def test_meteor_paraphrase_table():
+    from vidchapters_tpu.evals.meteor import Meteor, meteor_score
+
+    table = {"film": ["movie"], "great": ["fantastic"],
+             "new york city": ["nyc"]}
+    m = Meteor(paraphrase_table=table)
+    base = Meteor()
+    gts = {"a": ["the movie was fantastic"], "b": ["i visited nyc"]}
+    res = {"a": ["the film was great"], "b": ["i visited new york city"]}
+    with_para, seg_p = m.compute_score(gts, res)
+    without, seg_n = base.compute_score(gts, res)
+    assert with_para > without
+    assert all(p >= n for p, n in zip(seg_p, seg_n))
+    # file form round-trips
+    import tempfile, os
+    with tempfile.NamedTemporaryFile("w", suffix=".txt", delete=False) as f:
+        for k, vs in table.items():
+            for v in vs:
+                f.write(f"{k} ||| {v}\n")
+        path = f.name
+    try:
+        m2 = Meteor(paraphrase_table=path)
+        again, _ = m2.compute_score(gts, res)
+        assert again == pytest.approx(with_para)
+    finally:
+        os.unlink(path)

@@ -2,22 +2,33 @@
 
 The reference drives a (stripped) ``meteor-1.5.jar`` over stdin/stdout
 (dvc_eval/pycocoevalcap/meteor/meteor.py:16-60). This module reimplements the
-metric natively: staged word alignment (exact -> Porter stem -> WordNet
-synonym when corpus data is present), METEOR 1.5 English parameters
-(alpha=0.85, beta=0.2, gamma=0.6, delta=0.75; module weights 1.0/0.6/0.8),
-content/function-word weighting, fragmentation chunk penalty, and
-jar-compatible aggregation (the corpus score is computed from summed segment
-statistics, not the mean of segment scores).
+metric natively, following the meteor-1.5 aligner spec:
 
-Known deviation: the jar's paraphrase-table module is omitted (its data blob
-is not redistributable); scores therefore run slightly lower than the jar on
-paraphrase-heavy text but preserve ranking. The interface matches
-pycocoevalcap: ``compute_score(gts, res) -> (corpus_score, [segment_scores])``.
+- candidate matches from all modules at once (exact -> Porter stem ->
+  WordNet synonym when corpus data is present -> optional paraphrase
+  phrase table), each carrying its module weight (1.0/0.6/0.8/0.6);
+- a beam search (width 40, like the jar's Aligner) selects the
+  one-to-one, non-overlapping alignment maximizing total matched words,
+  then minimizing chunks, then minimizing total start-position distance,
+  then maximizing module weight;
+- METEOR 1.5 English parameters (alpha=0.85, beta=0.2, gamma=0.6,
+  delta=0.75), content/function-word weighting, fragmentation chunk
+  penalty over the mean of hyp/ref matched-word counts, and
+  jar-compatible aggregation (the corpus score is computed from summed
+  segment statistics, not the mean of segment scores).
+
+Known deviations: the jar's paraphrase data blob is not redistributable, so
+the paraphrase module only engages when a table is supplied
+(``Meteor(paraphrase_table=...)``); the English function-word list is an
+approximation of the jar's ``function.words`` data file. Scores without a
+table run slightly lower than the jar on paraphrase-heavy text but preserve
+ranking. The interface matches pycocoevalcap:
+``compute_score(gts, res) -> (corpus_score, [segment_scores])``.
 """
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, Iterable, List, Mapping, Optional, Sequence, Tuple, Union
 
 try:
     from nltk.stem.porter import PorterStemmer
@@ -35,7 +46,9 @@ except Exception:  # pragma: no cover
     _WORDNET = None
 
 ALPHA, BETA, GAMMA, DELTA = 0.85, 0.2, 0.6, 0.75
-WEIGHT_EXACT, WEIGHT_STEM, WEIGHT_SYN = 1.0, 0.6, 0.8
+WEIGHT_EXACT, WEIGHT_STEM, WEIGHT_SYN, WEIGHT_PARA = 1.0, 0.6, 0.8, 0.6
+BEAM_WIDTH = 40  # the jar Aligner's beam size
+MAX_PHRASE = 6   # longest phrase considered for paraphrase matches
 
 # METEOR English function-word list (approximation of the jar's data file)
 FUNCTION_WORDS = frozenset("""
@@ -66,51 +79,81 @@ def _synonyms(word: str) -> frozenset:
     return frozenset(syns)
 
 
-def _align(hyp: List[str], ref: List[str]) -> List[Tuple[int, int, float]]:
-    """Stage-ordered alignment: (hyp_idx, ref_idx, module_weight) triples.
+# A match is (hyp_start, ref_start, hyp_len, ref_len, module_weight);
+# word-level modules have len 1/1, paraphrase matches can span phrases.
+Match = Tuple[int, int, int, int, float]
 
-    Within a stage each unmatched hyp word takes the closest unmatched ref
-    occurrence (minimizes crossings, approximating the jar's beam search).
-    """
-    matches: List[Tuple[int, int, float]] = []
-    hyp_used = [False] * len(hyp)
-    ref_used = [False] * len(ref)
 
-    def run_stage(key_h: List, key_r: List, weight: float) -> None:
-        for i, kh in enumerate(key_h):
-            if hyp_used[i]:
-                continue
-            best_j = -1
-            best_d = None
-            for j, kr in enumerate(key_r):
-                if ref_used[j]:
+def _candidate_matches(hyp: List[str], ref: List[str],
+                       paraphrases: Optional[Mapping[str, frozenset]]
+                       ) -> List[List[Match]]:
+    """All possible matches, grouped by hyp start index. Each word pair
+    takes its highest-priority module (a pair that matches exactly is not
+    re-listed as a stem match, mirroring the jar's module ordering)."""
+    hstems = [_stem(w) for w in hyp] if _STEMMER is not None else None
+    rstems = [_stem(w) for w in ref] if _STEMMER is not None else None
+    hsyn = [_synonyms(w) for w in hyp] if _WORDNET is not None else None
+    rsyn = [_synonyms(w) for w in ref] if _WORDNET is not None else None
+    by_start: List[List[Match]] = [[] for _ in hyp]
+    for i, hw in enumerate(hyp):
+        for j, rw in enumerate(ref):
+            if hw == rw:
+                by_start[i].append((i, j, 1, 1, WEIGHT_EXACT))
+            elif hsyn is not None and (hw in rsyn[j] or rw in hsyn[i]):
+                by_start[i].append((i, j, 1, 1, WEIGHT_SYN))
+            elif hstems is not None and hstems[i] == rstems[j]:
+                by_start[i].append((i, j, 1, 1, WEIGHT_STEM))
+    if paraphrases:
+        for i in range(len(hyp)):
+            for ilen in range(1, min(MAX_PHRASE, len(hyp) - i) + 1):
+                alts = paraphrases.get(" ".join(hyp[i:i + ilen]))
+                if not alts:
                     continue
-                hit = (kh & kr) if isinstance(kh, frozenset) else (kh == kr)
-                if hit:
-                    d = abs(i - j)
-                    if best_d is None or d < best_d:
-                        best_d, best_j = d, j
-            if best_j >= 0:
-                hyp_used[i] = True
-                ref_used[best_j] = True
-                matches.append((i, best_j, weight))
-
-    run_stage(list(hyp), list(ref), WEIGHT_EXACT)
-    if _STEMMER is not None:
-        run_stage([_stem(w) for w in hyp], [_stem(w) for w in ref], WEIGHT_STEM)
-    if _WORDNET is not None:
-        run_stage([_synonyms(w) for w in hyp], [_synonyms(w) for w in ref], WEIGHT_SYN)
-    return sorted(matches)
+                for j in range(len(ref)):
+                    for jlen in range(1, min(MAX_PHRASE, len(ref) - j) + 1):
+                        if " ".join(ref[j:j + jlen]) in alts:
+                            by_start[i].append((i, j, ilen, jlen, WEIGHT_PARA))
+    return by_start
 
 
-def _count_chunks(matches: List[Tuple[int, int, float]]) -> int:
-    if not matches:
-        return 0
-    chunks = 1
-    for (h0, r0, _), (h1, r1, _) in zip(matches, matches[1:]):
-        if h1 != h0 + 1 or r1 != r0 + 1:
-            chunks += 1
-    return chunks
+def _align(hyp: List[str], ref: List[str],
+           paraphrases: Optional[Mapping[str, frozenset]] = None
+           ) -> Tuple[List[Match], int]:
+    """Beam-search alignment per the meteor-1.5 Aligner: among
+    non-overlapping one-to-one match sets, maximize total matched words,
+    then minimize chunks, then minimize summed |hyp_start - ref_start|,
+    then maximize total module weight. Returns (matches, chunks)."""
+    by_start = _candidate_matches(hyp, ref, paraphrases)
+    # state: (coverage, chunks, dist, wsum, next_i, ref_mask, last, matches)
+    # `last` is (hyp_end, ref_end) of the previous match for chunk tracking
+    start = (0, 0, 0, 0.0, 0, 0, None, ())
+    beams: List[tuple] = [start]
+    for i in range(len(hyp)):
+        nxt = []
+        for st in beams:
+            cov, chunks, dist, wsum, at, mask, last, ms = st
+            if at != i:  # a phrase match already consumed position i
+                nxt.append(st)
+                continue
+            # option 1: leave hyp[i] unmatched
+            nxt.append((cov, chunks, dist, wsum, i + 1, mask, last, ms))
+            # option 2: take a match starting at i
+            for m in by_start[i]:
+                _, j, ilen, jlen, w = m
+                span = ((1 << jlen) - 1) << j
+                if mask & span:
+                    continue
+                contiguous = last is not None and last == (i, j)
+                nxt.append((cov + ilen + jlen,
+                            chunks + (0 if contiguous else 1),
+                            dist + abs(i - j),
+                            wsum + w * (ilen + jlen),
+                            i + ilen, mask | span,
+                            (i + ilen, j + jlen), ms + (m,)))
+        nxt.sort(key=lambda s: (-s[0], s[1], s[2], -s[3]))
+        beams = nxt[:BEAM_WIDTH]
+    best = beams[0]
+    return list(best[7]), best[1]
 
 
 def _word_weight(word: str) -> float:
@@ -134,18 +177,25 @@ class _Stats:
         self.match_count += other.match_count
 
 
-def _segment_stats(hyp_str: str, ref_str: str) -> _Stats:
+def _segment_stats(hyp_str: str, ref_str: str,
+                   paraphrases: Optional[Mapping[str, frozenset]] = None
+                   ) -> _Stats:
     hyp = hyp_str.lower().split()
     ref = ref_str.lower().split()
     st = _Stats()
     st.wp_den = sum(_word_weight(w) for w in hyp)
     st.wr_den = sum(_word_weight(w) for w in ref)
-    matches = _align(hyp, ref)
-    st.wp_num = sum(w * _word_weight(hyp[i]) for i, _, w in matches)
-    st.wr_num = sum(w * _word_weight(ref[j]) for _, j, w in matches)
-    # fragmentation uses the average unweighted match count (jar convention)
-    st.match_count = len(matches)
-    st.chunks = _count_chunks(matches)
+    matches, chunks = _align(hyp, ref, paraphrases)
+    hyp_matched = ref_matched = 0
+    for i, j, ilen, jlen, w in matches:
+        st.wp_num += w * sum(_word_weight(x) for x in hyp[i:i + ilen])
+        st.wr_num += w * sum(_word_weight(x) for x in ref[j:j + jlen])
+        hyp_matched += ilen
+        ref_matched += jlen
+    # fragmentation uses the mean of hyp/ref matched-word counts (jar
+    # convention; equal for word matches, can differ with phrase matches)
+    st.match_count = 0.5 * (hyp_matched + ref_matched)
+    st.chunks = chunks
     return st
 
 
@@ -162,11 +212,48 @@ def _score_from_stats(st: _Stats) -> float:
     return (1.0 - pen) * fmean
 
 
-def meteor_score(hyp: str, refs: Sequence[str]) -> float:
+def load_paraphrase_table(source: Union[str, Mapping[str, Iterable[str]]]
+                          ) -> Dict[str, frozenset]:
+    """Load a paraphrase table: either a mapping {phrase: iterable of
+    paraphrases} or a path to a text file (optionally .gz) with one pair
+    per line, ``phrase1 ||| phrase2`` or tab-separated — the layout of the
+    jar's paraphrase-en data. Entries are symmetrized and lowercased."""
+    table: Dict[str, set] = {}
+
+    def add(a: str, b: str) -> None:
+        a, b = a.strip().lower(), b.strip().lower()
+        if not a or not b or a == b:
+            return
+        table.setdefault(a, set()).add(b)
+        table.setdefault(b, set()).add(a)
+
+    if isinstance(source, Mapping):
+        for k, vals in source.items():
+            for v in vals:
+                add(k, v)
+    else:
+        import gzip
+
+        opener = gzip.open if str(source).endswith(".gz") else open
+        with opener(source, "rt", encoding="utf-8", errors="replace") as f:
+            for line in f:
+                parts = ([p for p in line.split("|||")] if "|||" in line
+                         else line.split("\t"))
+                if len(parts) >= 2:
+                    # probability-prefixed rows ("p ||| a ||| b") use the
+                    # last two fields
+                    add(parts[-2], parts[-1])
+    return {k: frozenset(v) for k, v in table.items()}
+
+
+def meteor_score(hyp: str, refs: Sequence[str],
+                 paraphrases: Optional[Mapping[str, frozenset]] = None
+                 ) -> float:
     """Best score of ``hyp`` against each reference."""
     if not refs:
         return 0.0
-    return max(_score_from_stats(_segment_stats(hyp, r)) for r in refs)
+    return max(_score_from_stats(_segment_stats(hyp, r, paraphrases))
+               for r in refs)
 
 
 class Meteor:
@@ -175,7 +262,15 @@ class Meteor:
     ``gts[id]`` is the reference list and ``res[id]`` the single-element
     hypothesis list (note: the reference's SODA and eval_vc call this with
     swapped roles — that asymmetry is preserved by honoring argument order).
+
+    ``paraphrase_table``: optional path or {phrase: paraphrases} mapping to
+    enable the jar's paraphrase module (see load_paraphrase_table).
     """
+
+    def __init__(self, paraphrase_table: Union[
+            None, str, Mapping[str, Iterable[str]]] = None):
+        self.paraphrases = (load_paraphrase_table(paraphrase_table)
+                            if paraphrase_table is not None else None)
 
     def method(self) -> str:
         return "METEOR"
@@ -190,7 +285,7 @@ class Meteor:
             refs = gts[i] if isinstance(gts[i], (list, tuple)) else [gts[i]]
             best_stats, best = None, -1.0
             for r in refs:
-                st = _segment_stats(hyp, r)
+                st = _segment_stats(hyp, r, self.paraphrases)
                 sc = _score_from_stats(st)
                 if sc > best:
                     best, best_stats = sc, st
