@@ -68,6 +68,8 @@ NpyArray load_npy(const std::string &path) {
                  (static_cast<size_t>(p[11]) << 24);
     header_off = 12;
   }
+  // a truncated/corrupt file can claim a header longer than the mapping
+  if (header_off + header_len > size) { cleanup(); return out; }
   std::string header(reinterpret_cast<const char *>(p + header_off), header_len);
 
   bool f8 = header.find("<f8") != std::string::npos;
@@ -172,6 +174,10 @@ class Loader {
 
   void insert(const std::string &path, std::shared_ptr<NpyArray> arr) {
     std::lock_guard<std::mutex> lk(mu_);
+    // a get() racing a prefetch of the same path inserts twice: keep the
+    // first entry, or the duplicate LRU node + double-counted bytes would
+    // permanently shrink the effective cache
+    if (cache_.count(path)) return;
     long bytes = static_cast<long>(arr->data.size() * sizeof(float));
     cache_[path] = std::move(arr);
     lru_.push_back(path);

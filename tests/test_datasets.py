@@ -199,6 +199,33 @@ def test_yt_pretrain_dataset_video_path_mapping(tmp_path, rng):
     assert "denoising_input_tokens" in ex
 
 
+def test_yt_pretrain_dataset_video_path_subdirectories(tmp_path, rng):
+    """HowTo100M layouts shard features into subdirectories; video_path
+    must be joined relative to features_path (yt_dataset.py:49), not
+    flattened via basename (ADVICE r1 medium)."""
+    import pickle
+
+    from vidchapters_tpu.config import DataConfig
+    from vidchapters_tpu.data.dvc_dataset import YTPretrainDataset
+    from vidchapters_tpu.data.tokenizer import ByteLevelTokenizer
+
+    vid = "htmvideo002"
+    (tmp_path / "shard03").mkdir()
+    np.save(tmp_path / "shard03" / f"{vid}.mp4.npy",
+            rng.normal(size=(12, 8)).astype(np.float32))
+    asr = {vid[-11:]: {"text": ["hello"], "start": [0.5], "end": [3.0],
+                       "duration": 10.0}}
+    pickle.dump(asr, open(tmp_path / "asr.pkl", "wb"))
+    cfg = DataConfig(max_feats=6, features_dim=8, max_input_tokens=48,
+                     max_output_tokens=24)
+    ds = YTPretrainDataset(
+        [{"video_id": vid, "video_path": f"shard03/{vid}.mp4.npy"}],
+        str(tmp_path), ByteLevelTokenizer(),
+        subtitles_path=str(tmp_path / "asr.pkl"), cfg=cfg)
+    ex = ds.__getitem__(0, rng=rng)
+    assert ex["video"].shape == (6, 8)
+
+
 def test_genasr_train_step(rng):
     """HowTo100M objective: generative target is the ASR sequence and the
     model trains without input tokens (dvc.py:59-68 equivalent)."""

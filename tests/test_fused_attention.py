@@ -261,3 +261,13 @@ def test_nobias_dropout_rectangular(rng):
     g = jax.grad(lambda q: (fused_attention(q, k, v, None, mask, seed, True,
                                             rate) ** 2).sum())(q)
     assert np.isfinite(np.asarray(g)).all()
+
+
+def test_backward_vmem_guard():
+    """Long sequences must route away from the merged backward before its
+    quadratic VMEM footprint hits the Mosaic compile ceiling (ADVICE r1)."""
+    from vidchapters_tpu.ops.fused_attention import backward_fits_vmem
+
+    assert backward_fits_vmem(1024, 1124, 64, True)   # the training shape
+    assert not backward_fits_vmem(4096, 4096, 64, True)
+    assert not backward_fits_vmem(3072, 3072, 64, True)

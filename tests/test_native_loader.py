@@ -121,3 +121,34 @@ def test_epoch_iterator_prefetches_next_batch(tmp_path, rng):
     assert len(batches) == 2
     # after iterating, the native cache saw the prefetched files
     assert ds.features._native_loader().cache_entries() >= 1
+
+
+def test_truncated_header_rejected(tmp_path, loader, rng):
+    """A file whose npy header length field points past EOF must be
+    rejected gracefully, not read out of bounds (ADVICE r1)."""
+    arr = rng.normal(size=(8, 4)).astype(np.float32)
+    p = tmp_path / "trunc.npy"
+    np.save(p, arr)
+    data = bytearray(p.read_bytes())
+    data[8] = 0xFF  # header_len low byte -> far beyond file size
+    data[9] = 0x7F
+    q = tmp_path / "corrupt.npy"
+    q.write_bytes(bytes(data[:40]))  # truncate the body too
+    with pytest.raises(IOError):
+        loader.load(str(q), max_rows=8, dim=4)
+
+
+def test_concurrent_get_and_prefetch_accounting(tmp_path, rng):
+    """Prefetch + immediate loads of the same paths must not duplicate
+    cache accounting: entries stays bounded by distinct paths."""
+    l = native.NativeFeatureLoader(num_threads=4)
+    paths = []
+    for i in range(16):
+        p = tmp_path / f"r{i}.npy"
+        np.save(p, rng.normal(size=(30, 8)).astype(np.float32))
+        paths.append(str(p))
+    for _ in range(10):
+        l.prefetch(paths)
+        for p in paths:
+            l.load(p, max_rows=30, dim=8)
+    assert l.cache_entries() <= len(paths)

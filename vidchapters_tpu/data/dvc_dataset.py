@@ -140,10 +140,17 @@ class YTPretrainDataset:
     def __getitem__(self, idx: int, rng: Optional[np.random.Generator] = None) -> dict:
         row = self.rows[idx]
         video_id = row["video_id"]
-        # features are keyed by id; a csv video_path column maps through its
-        # stem (FeatureSource appends the .npy/.mp4.npy extension itself)
+        # a csv video_path column is joined under features_path with its
+        # subdirectories intact (yt_dataset.py:49 os.path.join) — only the
+        # feature extension is stripped, because FeatureSource appends the
+        # .npy/.mp4.npy suffix itself; HowTo100M layouts shard features
+        # into subdirectories, so basename() would miss them
         if self.features.dir_path and row.get("video_path"):
-            key = os.path.splitext(os.path.basename(row["video_path"]))[0]
+            key = row["video_path"]
+            for suffix in (".mp4.npy", ".npy", ".mp4"):
+                if key.endswith(suffix):
+                    key = key[: -len(suffix)]
+                    break
         else:
             key = video_id
         raw = self.features.raw(key)

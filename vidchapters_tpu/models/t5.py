@@ -258,6 +258,15 @@ class T5Attention(nn.Module):
         use_fused = (large and _fused_attention_enabled()
                      and (bias is None or bias.shape[0] == 1)
                      and key_mask is not None)
+        if use_fused:
+            # the merged backward's VMEM footprint is quadratic in L; past
+            # the scoped-VMEM ceiling (~L 2-3k) fall back to chunked
+            from vidchapters_tpu.ops.fused_attention import (
+                backward_fits_vmem,
+            )
+
+            use_fused = backward_fits_vmem(q.shape[2], k.shape[2],
+                                           self.cfg.d_kv, bias is not None)
         use_chunked = large and not use_fused
         if use_fused:
             from vidchapters_tpu.ops.fused_attention import (

@@ -202,7 +202,13 @@ def beam_search(fns: DecodeFns, enc_out: Array, enc_mask: Array,
         if early_stopping:
             improvable = ~jnp.all(finished_flags, axis=1)
         else:
-            best_possible = running_scores / (max_length ** length_penalty)
+            # HF early_stopping=False heuristic: the attainable score of a
+            # running beam is bounded by its current sum normalized at the
+            # CURRENT length (BeamHypotheses.is_done) — normalizing by
+            # max_length would be HF's 'never' semantics and can run extra
+            # steps / return a different hypothesis (ADVICE r1)
+            cur_len = jnp.maximum(i + 1, 1).astype(jnp.float32)
+            best_possible = running_scores / (cur_len ** length_penalty)
             worst_finished = jnp.min(
                 jnp.where(finished_flags, finished_scores, NEG_INF), axis=1)
             improvable = jnp.any(best_possible > worst_finished[:, None], axis=1) | (

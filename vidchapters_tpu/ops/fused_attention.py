@@ -35,6 +35,24 @@ Array = jax.Array
 
 NEG_INF = -1e9
 BLOCK_Q = 128
+# scoped-VMEM ceiling requested for the merged backward (v5e has headroom
+# over the 16 MB default)
+VMEM_LIMIT_BYTES = 64 * 1024 * 1024
+
+
+def backward_fits_vmem(lq: int, lk: int, d: int, has_bias: bool) -> bool:
+    """Whether the merged dq/dk/dv(/dbias) backward's resident footprint
+    fits the scoped-VMEM ceiling.
+
+    The backward holds the full [lq, lk] score/probs temporaries plus (with
+    bias) the bias block and an f32 dbias accumulator — ~4 f32 [lq, lk]
+    arrays — alongside the O((lq+lk) d) operand blocks. The footprint grows
+    quadratically with sequence length and exceeds the 64 MB ceiling around
+    L~2-3k, which would be a hard Mosaic compile failure; callers must fall
+    back to the chunked path instead (ADVICE r1)."""
+    quad = (4 if has_bias else 3) * 4 * lq * lk
+    lin = 4 * 10 * (lq + lk) * d
+    return quad + lin <= VMEM_LIMIT_BYTES * 3 // 4
 
 
 def _pad_to(x: Array, size: int, axis: int) -> Array:
@@ -212,6 +230,17 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, mask_ref,
 
 
 def _fused_backward(q, k, v, bias, key_mask, seed, dropout_rate, out, dout,
+                    *_args, **_kw):
+    assert backward_fits_vmem(q.shape[2], k.shape[2], q.shape[3],
+                              bias is not None), (
+        f"merged attention backward exceeds the {VMEM_LIMIT_BYTES >> 20} MB "
+        f"scoped-VMEM ceiling at lq={q.shape[2]} lk={k.shape[2]}; use the "
+        f"chunked attention path for sequences this long")
+    return _fused_backward_impl(q, k, v, bias, key_mask, seed, dropout_rate,
+                                out, dout, *_args, **_kw)
+
+
+def _fused_backward_impl(q, k, v, bias, key_mask, seed, dropout_rate, out, dout,
                     interpret=False):
     b, h, lq, d = q.shape
     lk = k.shape[2]
@@ -258,7 +287,7 @@ def _fused_backward(q, k, v, bias, key_mask, seed, dropout_rate, out, dout,
         # lq x lk) resident; at lq = lk = 1024 that is ~0.5 MB over the
         # default 16 MB scoped-vmem budget — raise it (v5e has headroom)
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024),
+            vmem_limit_bytes=VMEM_LIMIT_BYTES),
         grid=(h, b),
         in_specs=[
             pl.BlockSpec((1, 1), lambda j, i: (0, 0),
