@@ -41,7 +41,7 @@ from vidchapters_tpu.train.schedules import build_optimizer
 
 
 def build_datasets(cfg: ExperimentConfig, tokenizer):
-    train_sets, val_sets = [], []
+    train_sets, val_sets, test_sets = [], [], []
     for name in cfg.combine_datasets:
         paths = cfg.datasets[name]
         if name == "htm":
@@ -55,14 +55,19 @@ def build_datasets(cfg: ExperimentConfig, tokenizer):
         val_sets.append((name, DenseVideoCaptioningDataset(
             paths.val_json_path, paths.features_path, tokenizer, cfg.data,
             subtitles_path=paths.subtitles_path), paths.val_json_path))
-    return train_sets, val_sets
+        if getattr(paths, "test_json_path", None):
+            test_sets.append((name, DenseVideoCaptioningDataset(
+                paths.test_json_path, paths.features_path, tokenizer,
+                cfg.data, subtitles_path=paths.subtitles_path),
+                paths.test_json_path))
+    return train_sets, val_sets, test_sets
 
 
 def main(cfg: ExperimentConfig,
          init_params: Optional[Dict] = None) -> Dict[str, float]:
     tokenizer = build_tokenizer(cfg.tokenizer_path, num_bins=cfg.model.num_bins)
     mesh = create_mesh(cfg.train.mesh)
-    train_sets, val_sets = build_datasets(cfg, tokenizer)
+    train_sets, val_sets, test_sets = build_datasets(cfg, tokenizer)
 
     model = Vid2Seq(cfg.model)
     rng = jax.random.PRNGKey(cfg.train.seed)
@@ -158,11 +163,12 @@ def main(cfg: ExperimentConfig,
             with open(log_path, "a") as f:
                 f.write(json.dumps({"epoch": epoch, **epoch_stats}) + "\n")
 
-    # final eval with the best checkpoint (dvc.py:447-464)
+    # final eval with the best checkpoint — on the held-out TEST split when
+    # one is configured, like the reference (dvc.py:447-464); val otherwise
     final_metrics: Dict[str, float] = {}
     if ckpt.has("best"):
         state = TrainState(*ckpt.restore("best", tuple(state)))
-    for name, ds, ref_path in val_sets:
+    for name, ds, ref_path in (test_sets or val_sets):
         it = EpochIterator(ds, cfg.train.eval_batch_size, d, shuffle=False,
                            drop_last=False, bucket_inputs=True)
         _, metrics = evaluate(model, state.params, it, tokenizer,

@@ -4,6 +4,11 @@ Epoch loop with AdamW/StepLR, eval every ``eval_every`` epochs, early stop
 when MR-full-mAP stops improving for ``early_stop_patience`` epochs
 (train.py:155-179), ``best``/``last`` checkpoints (160-208), and a final
 inference pass with the best weights (277-288).
+
+Mesh-aware: the reference trains bs 256 on 8 GPUs via nn.DataParallel
+(moment_detr/inference.py:207); here batches shard over the mesh data
+axis (replicated params, XLA gradient collectives) and each host reads
+its own slice of the dataset.
 """
 
 from __future__ import annotations
@@ -32,11 +37,16 @@ from vidchapters_tpu.train.grounding_train import (
 
 def batches(dataset: GroundingDataset, batch_size: int, max_v_l: int,
             max_spans: int, shuffle: bool, seed: int,
-            text_featurizer=None):
+            text_featurizer=None, num_shards: int = 1, shard_index: int = 0):
+    """Per-host batch iterator: with ``num_shards`` > 1 each process reads
+    a strided slice of the (epoch-shuffled) order, replacing the
+    reference's DistributedSampler role."""
     order = np.arange(len(dataset))
     rng = np.random.default_rng(seed)
     if shuffle:
         rng.shuffle(order)
+    if num_shards > 1:
+        order = order[shard_index::num_shards]
     for s in range(0, len(order) - batch_size + 1, batch_size):
         batch = grounding_collate([dataset[int(i)] for i in order[s:s + batch_size]],
                                   max_v_l, max_spans)
@@ -86,18 +96,32 @@ def main(train_jsonl: str, val_jsonl: str, v_feat_dirs: List[str],
     state = GroundingTrainState(params, tx.init(params), jnp.array(0))
     ckpt = CheckpointManager(save_dir, best_metric="MR-full-mAP")
 
+    # data-parallel mesh: batches shard over the data axis, params stay
+    # replicated and XLA inserts the gradient collectives (the reference's
+    # bs-256 8-GPU DataParallel run, inference.py:207, but with real sync)
+    from vidchapters_tpu.parallel.sharding import batch_sharding
+    from vidchapters_tpu.runtime.mesh import create_mesh
+
+    mesh = create_mesh()
+    n_data = mesh.devices.shape[0]
+    shard = batch_sharding(mesh) if batch_size % max(n_data, 1) == 0 else None
+    n_proc, proc = jax.process_count(), jax.process_index()
+
     best_epoch = -1
     log_path = Path(save_dir) / "log.txt"
     for epoch in range(n_epochs):
         logger = MetricLogger()
         for bi, batch in enumerate(batches(train_ds, batch_size, cfg.max_v_l,
                                            max_spans, True, seed + epoch,
-                                           tokenize)):
+                                           tokenize, num_shards=n_proc,
+                                           shard_index=proc)):
             if max_train_batches and bi >= max_train_batches:
                 break
-            arrays = {k: jnp.asarray(v) for k, v in batch.items()
-                      if isinstance(v, np.ndarray)}
-            state, metrics = train_step(state, arrays, rng)
+            arrays = {k: (jax.device_put(v, shard) if shard is not None
+                          else jnp.asarray(v))
+                      for k, v in batch.items() if isinstance(v, np.ndarray)}
+            with mesh:
+                state, metrics = train_step(state, arrays, rng)
             logger.update(loss=float(metrics["total"]))
         stats = {"epoch": epoch, **logger.global_averages()}
 
@@ -136,9 +160,13 @@ if __name__ == "__main__":  # moment_detr train.py CLI equivalent
     from vidchapters_tpu.config import load_config
 
     p = argparse.ArgumentParser(description="Chapter-grounding (Moment-DETR) training")
-    p.add_argument("--train-jsonl", required=True)
-    p.add_argument("--val-jsonl", required=True)
-    p.add_argument("--v-feat-dirs", nargs="+", required=True)
+    p.add_argument("--recipe", default=None,
+                   help="recipe json with model/train/data sections "
+                        "(e.g. configs/chapters_momentdetr.json); explicit "
+                        "flags override its values")
+    p.add_argument("--train-jsonl", default=None)
+    p.add_argument("--val-jsonl", default=None)
+    p.add_argument("--v-feat-dirs", nargs="+", default=None)
     p.add_argument("--save-dir", required=True)
     p.add_argument("--config", default=None, help="GroundingConfig json (defaults used if omitted)")
     p.add_argument("--epochs", type=int, default=50)
@@ -151,8 +179,31 @@ if __name__ == "__main__":  # moment_detr train.py CLI equivalent
     p.add_argument("--clip-text-ckpt", default=None,
                    help="OpenAI CLIP .pt for the frozen text tower; omitted "
                         "= randomly initialised tower (smoke/debug only)")
+    # recipe defaults are applied before re-parsing so explicit flags win
+    pre, _ = p.parse_known_args()
+    recipe = {}
+    if pre.recipe:
+        with open(pre.recipe) as f:
+            recipe = json.load(f)
+        tr = recipe.get("train", {})
+        da = recipe.get("data", {})
+        p.set_defaults(
+            epochs=tr.get("epochs", 50), batch_size=tr.get("batch_size", 32),
+            lr=tr.get("lr", 1e-4), max_spans=tr.get("max_spans", 5),
+            eval_every=tr.get("eval_every", 5),
+            early_stop_patience=tr.get("early_stop_patience", 10),
+            train_jsonl=da.get("train_jsonl"), val_jsonl=da.get("val_jsonl"),
+            v_feat_dirs=da.get("v_feat_dirs"))
     a = p.parse_args()
-    cfg = load_config(GroundingConfig, a.config) if a.config else GroundingConfig()
+    for req in ("train_jsonl", "val_jsonl", "v_feat_dirs"):
+        if getattr(a, req) is None:
+            p.error(f"--{req.replace('_', '-')} required (flag or recipe)")
+    if recipe.get("model"):
+        import dataclasses
+
+        cfg = dataclasses.replace(GroundingConfig(), **recipe["model"])
+    else:
+        cfg = load_config(GroundingConfig, a.config) if a.config else GroundingConfig()
 
     # frozen CLIP text tower (moment_detr uses ViT-L/14 token features)
     from vidchapters_tpu.data.clip_tokenizer import CLIPTokenizer

@@ -157,9 +157,13 @@ if __name__ == "__main__":  # PDVC train.py CLI equivalent
     from vidchapters_tpu.config import PDVCConfig, load_config
 
     p = argparse.ArgumentParser(description="PDVC dense-captioning training")
-    p.add_argument("--train-json", required=True)
-    p.add_argument("--val-json", required=True)
-    p.add_argument("--features-path", required=True)
+    p.add_argument("--recipe", default=None,
+                   help="recipe json with model/train/data sections "
+                        "(e.g. configs/chapters_pdvc.json); explicit flags "
+                        "override its values")
+    p.add_argument("--train-json", default=None)
+    p.add_argument("--val-json", default=None)
+    p.add_argument("--features-path", default=None)
     p.add_argument("--save-dir", required=True)
     p.add_argument("--config", default=None, help="PDVCConfig json (defaults used if omitted)")
     p.add_argument("--epochs", type=int, default=5)
@@ -168,8 +172,30 @@ if __name__ == "__main__":  # PDVC train.py CLI equivalent
     p.add_argument("--lr-drop-epochs", type=int, default=8)
     p.add_argument("--max-events", type=int, default=10)
     p.add_argument("--seed", type=int, default=0)
+    pre, _ = p.parse_known_args()
+    recipe = {}
+    if pre.recipe:
+        with open(pre.recipe) as f:
+            recipe = _json.load(f)
+        tr = recipe.get("train", {})
+        da = recipe.get("data", {})
+        p.set_defaults(
+            epochs=tr.get("epochs", 5), batch_size=tr.get("batch_size", 2),
+            lr=tr.get("lr", 1e-4),
+            lr_drop_epochs=tr.get("lr_drop_epochs", 8),
+            max_events=tr.get("max_events", 10),
+            train_json=da.get("train_json"), val_json=da.get("val_json"),
+            features_path=da.get("features_path"))
     a = p.parse_args()
-    cfg = load_config(PDVCConfig, a.config) if a.config else PDVCConfig()
+    for req in ("train_json", "val_json", "features_path"):
+        if getattr(a, req) is None:
+            p.error(f"--{req.replace('_', '-')} required (flag or recipe)")
+    if recipe.get("model"):
+        import dataclasses
+
+        cfg = dataclasses.replace(PDVCConfig(), **recipe["model"])
+    else:
+        cfg = load_config(PDVCConfig, a.config) if a.config else PDVCConfig()
     print(_json.dumps(main(a.train_json, a.val_json, a.features_path, cfg,
                            a.save_dir, n_epochs=a.epochs,
                            batch_size=a.batch_size, lr=a.lr,
