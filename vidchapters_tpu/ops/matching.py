@@ -43,30 +43,67 @@ def scipy_lsap(cost: np.ndarray, n_valid: int) -> np.ndarray:
     return out
 
 
-def auction_lsap(cost: Array, valid: Array, num_iters: int = 200,
-                 eps: float = 1e-3) -> Array:
-    """Approximate min-cost assignment fully on device.
+def auction_lsap(cost: Array, valid: Array, num_iters: int = 1500,
+                 eps: float = 1e-7, phases: int = 6,
+                 theta: float = 10.0) -> Array:
+    """Min-cost assignment fully on device.
 
     Forward auction over targets bidding for queries: each unassigned valid
     target bids for its best query with an increment (best - second best +
-    eps). Converges to the optimal assignment for eps < gap/n; with a fixed
-    iteration count this is an anytime approximation that is exact on all but
-    adversarially-tight cost matrices.
+    eps). Two regimes, chosen statically from the shapes (measured in
+    tests/test_span_ops_matching.py::test_auction_agreement_at_pdvc_scale):
+
+    - SPARSE (T < Q, the usual PDVC/grounding case): a single phase at a
+      fixed small eps, run to convergence under a round cap (the while
+      loop exits as soon as everyone is assigned, so typical instances pay
+      only tens of rounds). With free queries available eviction cascades
+      terminate; measured near-exact vs scipy at Q=100 up to T = 90
+      (max relative cost gap 8e-6 over PDVC-like costs).
+    - DENSE (T = Q): padded to a SQUARE assignment with indifferent dummy
+      targets, then Bertsekas eps-scaling — ``phases`` rounds with eps
+      shrinking geometrically from half the value range, prices persisting
+      and assignments resetting per phase, each phase run to convergence.
+      A single fixed-eps pass left half the targets unassigned at
+      Q = T = 100; eps-scaling with persistent prices is only valid for
+      symmetric problems (asymmetric coarse phases inflate good-query
+      prices and later phases settle elsewhere), and all-indifferent
+      dummies make small-T square problems glacial — hence the split.
+
+    A final greedy sweep assigns any still-unassigned target to its best
+    free query, so the result is always a complete matching.
 
     cost: [Q, T]; valid: [T] bool. Returns [T] assigned query per target
     (-1 for invalid targets).
     """
-    q, t = cost.shape
-    value = -cost.T  # targets maximize value: [T, Q]
-    value = jnp.where(valid[:, None], value, -BIG)
+    q, t_real = cost.shape
+    assert t_real <= q, (q, t_real)
+    dense = t_real == q
+    if dense:
+        # [T, Q] values; invalid + dummy rows are indifferent (0 everywhere)
+        # and absorb the unmatched queries
+        value_real = jnp.where(valid[:, None], -cost.T, 0.0)
+        value = jnp.concatenate(
+            [value_real, jnp.zeros((q - t_real, q), value_real.dtype)],
+            axis=0)
+        t = q  # symmetric from here on
+        valid_sq = jnp.ones((t,), bool)
+        finite = jnp.where(valid[:, None], value_real, jnp.nan)
+        vrange = jnp.nan_to_num(
+            jnp.nanmax(finite) - jnp.nanmin(finite), nan=1.0)
+        eps0 = jnp.maximum(vrange * 0.5, eps)
+    else:
+        value = jnp.where(valid[:, None], -cost.T, -BIG)
+        t = t_real
+        valid_sq = valid
+        eps0 = jnp.float32(max(eps, 1e-3))
+        phases = 1
 
     prices0 = jnp.zeros(q)
-    owner0 = jnp.full(q, -1, jnp.int32)  # query -> target
     assign0 = jnp.full(t, -1, jnp.int32)  # target -> query
 
-    def body(_, state):
+    def round_body(state, phase_eps):
         prices, owner, assign = state
-        unassigned = (assign < 0) & valid
+        unassigned = (assign < 0) & valid_sq
         net = value - prices[None, :]  # [T, Q]
         best_q = jnp.argmax(net, axis=1)
         best_v = jnp.max(net, axis=1)
@@ -74,7 +111,7 @@ def auction_lsap(cost: Array, valid: Array, num_iters: int = 200,
             jax.nn.one_hot(best_q, q, dtype=bool), -jnp.inf, net)
         second_v = jnp.max(net_wo_best, axis=1)
         second_v = jnp.where(jnp.isfinite(second_v), second_v, best_v)
-        bid = best_v - second_v + eps
+        bid = best_v - second_v + phase_eps
 
         # one bidder per query per round: pick the unassigned target with the
         # highest bid for each query
@@ -97,8 +134,49 @@ def auction_lsap(cost: Array, valid: Array, num_iters: int = 200,
             jnp.arange(q, dtype=jnp.int32), mode="drop")
         return new_prices, new_owner, assign
 
-    _, _, assign = jax.lax.fori_loop(0, num_iters, body, (prices0, owner0, assign0))
-    return jnp.where(valid, assign, -1)
+    def phase_body(k, carry):
+        prices, _, _ = carry
+        if dense:
+            phase_eps = jnp.maximum(
+                eps0 / (theta ** k.astype(jnp.float32)), eps)
+        else:
+            phase_eps = eps0
+        # assignments reset each phase; prices persist. Each phase runs to
+        # convergence (everyone assigned = eps-CS holds) or the round cap —
+        # eps-scaling's correctness needs converged phases, and warm prices
+        # make later fine-eps phases converge in few rounds.
+        state = (jnp.int32(0), prices, jnp.full(q, -1, jnp.int32), assign0)
+
+        def cond(s):
+            it, _, _, assign = s
+            return (it < num_iters) & jnp.any(assign < 0)
+
+        def step(s):
+            it, prices, owner, assign = s
+            prices, owner, assign = round_body((prices, owner, assign),
+                                               phase_eps)
+            return it + 1, prices, owner, assign
+
+        _, prices, owner, assign = jax.lax.while_loop(cond, step, state)
+        return prices, owner, assign
+
+    _, _, assign = jax.lax.fori_loop(
+        0, phases, phase_body, (prices0, jnp.full(q, -1, jnp.int32), assign0))
+
+    # completion sweep: one unassigned target per round takes its best
+    # still-free query (guarantees a complete matching in <= T rounds)
+    def complete_body(_, assign):
+        free_q = jnp.ones(q, bool).at[
+            jnp.where(assign >= 0, assign, q)].set(False, mode="drop")
+        unassigned = (assign < 0) & valid_sq
+        idx = jnp.argmax(unassigned)
+        row = jnp.where(free_q, jnp.take(value, idx, axis=0), -BIG)
+        best = jnp.argmax(row).astype(jnp.int32)
+        return jnp.where(jnp.any(unassigned), assign.at[idx].set(best), assign)
+
+    assign = jax.lax.fori_loop(0, t, complete_body, assign)
+    return jnp.where(valid, assign[:t_real], -1)
+
 
 
 def hungarian_match(cost: Array, valid: Array, exact: bool = False) -> Array:
