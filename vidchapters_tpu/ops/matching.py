@@ -76,7 +76,8 @@ def auction_lsap(cost: Array, valid: Array, num_iters: int = 1500,
     (-1 for invalid targets).
     """
     q, t_real = cost.shape
-    assert t_real <= q, (q, t_real)
+    # t_real may exceed q: T is a padded static max and surplus (or
+    # unmatched-when-T>Q) targets simply stay at -1
     dense = t_real == q
     if dense:
         # [T, Q] values; invalid + dummy rows are indifferent (0 everywhere)
@@ -172,7 +173,8 @@ def auction_lsap(cost: Array, valid: Array, num_iters: int = 1500,
         idx = jnp.argmax(unassigned)
         row = jnp.where(free_q, jnp.take(value, idx, axis=0), -BIG)
         best = jnp.argmax(row).astype(jnp.int32)
-        return jnp.where(jnp.any(unassigned), assign.at[idx].set(best), assign)
+        return jnp.where(jnp.any(unassigned) & jnp.any(free_q),
+                         assign.at[idx].set(best), assign)
 
     assign = jax.lax.fori_loop(0, t, complete_body, assign)
     return jnp.where(valid, assign[:t_real], -1)
