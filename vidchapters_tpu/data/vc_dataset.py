@@ -10,7 +10,8 @@ in the train loop in the reference, vc.py:48-49).
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional
+import subprocess
+from typing import Dict, List, Mapping, Optional, Union
 
 import numpy as np
 
@@ -21,10 +22,45 @@ from vidchapters_tpu.data.time_tokens import normalize_caption
 from vidchapters_tpu.utils.io import load_json
 
 
+def _output_dim(h: int, w: int, resolution: int):
+    """Aspect-preserving resize so the short side equals ``resolution``
+    (vc_dataset.py:12-16)."""
+    if h >= w:
+        return int(h * resolution / w), resolution
+    return resolution, int(w * resolution / h)
+
+
+def get_raw_video(video_path: Optional[str], resolution: int = 224
+                  ) -> np.ndarray:
+    """1-FPS ffmpeg decode + resize + center crop -> uint8 [T, R, R, 3]
+    (vc_dataset.py:19-50; zeros fallback on any failure, :47-48)."""
+    try:
+        probe = subprocess.run(
+            ["ffprobe", "-v", "error", "-select_streams", "v:0",
+             "-show_entries", "stream=width,height", "-of", "csv=p=0",
+             video_path],
+            capture_output=True, text=True, check=True).stdout.strip()
+        w, h = (int(x) for x in probe.split(",")[:2])
+        height, width = _output_dim(h, w, resolution)
+        x = int((width - resolution) / 2.0)
+        y = int((height - resolution) / 2.0)
+        out = subprocess.run(
+            ["ffmpeg", "-v", "error", "-i", video_path, "-vf",
+             f"fps=1,scale={width}:{height},"
+             f"crop={resolution}:{resolution}:{x}:{y}",
+             "-f", "rawvideo", "-pix_fmt", "rgb24", "pipe:"],
+            capture_output=True, check=True).stdout
+        frames = np.frombuffer(out, np.uint8)
+        return frames.reshape(-1, resolution, resolution, 3).copy()
+    except Exception:
+        return np.zeros((1, resolution, resolution, 3), np.uint8)
+
+
 class VideoCaptioningDataset:
     def __init__(self, json_path, features_path, training: bool = True,
                  cfg: DataConfig = DataConfig(),
-                 subtitles_path: Optional[str] = None):
+                 subtitles_path: Optional[str] = None,
+                 videos_path: Optional[Union[str, Mapping[str, str]]] = None):
         self.data = load_json(json_path) if isinstance(json_path, str) else json_path
         self.vids = list(self.data.keys())
         self.features = FeatureSource(features_path, cfg.max_feats,
@@ -32,6 +68,13 @@ class VideoCaptioningDataset:
         self.training = training
         self.cfg = cfg
         self.subs = SubtitleSource(subtitles_path)
+        # vid -> raw video file path for the BLIP-2 eval dispatch
+        # (vc_dataset.py:72-75: a json mapping; vc.py:111 consumes the
+        # first frame of each clip)
+        if isinstance(videos_path, str):
+            self.vid2path: Optional[Mapping[str, str]] = load_json(videos_path)
+        else:
+            self.vid2path = videos_path
 
     def __len__(self) -> int:
         return len(self.data)
@@ -65,30 +108,52 @@ class VideoCaptioningDataset:
         video = self.features.raw(video_id[-11:], strict=False)
         sub = self.subs.get(video_id)
 
+        raw = None
+        if self.vid2path is not None:
+            raw = get_raw_video(self.vid2path.get(video_id[-11:]))
+
         if self.training:
             j = int(rng.integers(len(ann["sentences"])))
             start, end = ann["timestamps"][j]
-            return {
+            out = {
                 "video_id": video_id,
                 "video": self._clip_video(video, start, end),
                 "input_text": self._clip_text(sub, start, end),
                 "output_text": normalize_caption(ann["sentences"][j]),
             }
+            if raw is not None:
+                out["raw_first_frames"] = self._first_frame(raw, start)
+            return out
         clips = [self._clip_video(video, st, ed)
                  for st, ed in ann["timestamps"]]
         texts = [self._clip_text(sub, st, ed) for st, ed in ann["timestamps"]]
-        return {
+        out = {
             "video_id": video_id,
             "video": np.stack(clips),
             "input_text": texts,
             "output_text": [normalize_caption(s) for s in ann["sentences"]],
         }
+        if raw is not None:
+            # first decoded frame per clip — what vc.py:111
+            # (raw_video[0, :, 0]) feeds BLIP-2
+            out["raw_first_frames"] = np.stack(
+                [self._first_frame(raw, st) for st, _ in ann["timestamps"]])
+        return out
+
+    @staticmethod
+    def _first_frame(raw: np.ndarray, start: float) -> np.ndarray:
+        i = min(int(start), len(raw) - 1)
+        return raw[max(i, 0)]
 
 
 def vc_collate(examples: List[dict]) -> Dict:
-    return {
+    out = {
         "video_id": [e["video_id"] for e in examples],
         "video": np.stack([e["video"] for e in examples]).astype(np.float32),
         "input_text": [e["input_text"] for e in examples],
         "output_text": [e["output_text"] for e in examples],
     }
+    if "raw_first_frames" in examples[0]:
+        out["raw_first_frames"] = np.stack(
+            [e["raw_first_frames"] for e in examples])
+    return out

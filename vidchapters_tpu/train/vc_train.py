@@ -88,6 +88,47 @@ def evaluate_vc_with_captioner(dataset, captioner) -> Tuple[Dict, Dict[str, floa
     return results, (eval_vc(results) if results else {})
 
 
+# exact reference prompts (vc.py:112, vc.py:127-128)
+VC_BLIP2_PROMPT = "Summarize the image in a chapter title. Chapter title:"
+VC_LLAMA_PROMPT = ("Summarize the following speech transcript in a chapter "
+                   "title. Transcript:{} Chapter title:")
+
+
+def evaluate_vc_blip2(dataset, caption_fn) -> Tuple[Dict, Dict[str, float]]:
+    """The BLIP-2 eval dispatch (vc.py:111-124): caption the first raw frame
+    of every clip with the fixed prompt.  ``caption_fn`` comes from
+    ``models.blip2.build_blip2_captioner``; the dataset must be built with
+    ``videos_path`` so examples carry ``raw_first_frames``."""
+    from vidchapters_tpu.evals.captioning import eval_vc
+
+    results = {}
+    uid = 0
+    for idx in range(len(dataset)):
+        ex = dataset[idx]
+        preds = caption_fn(ex["raw_first_frames"], VC_BLIP2_PROMPT)
+        for pred, gt in zip(preds, ex["output_text"]):
+            results[uid] = {"sentence": pred.strip(), "gt": gt}
+            uid += 1
+    return results, (eval_vc(results) if results else {})
+
+
+def evaluate_vc_llama(dataset, generate_fn) -> Tuple[Dict, Dict[str, float]]:
+    """The LLaMA eval dispatch (vc.py:126-139): prompt on each clip's ASR
+    text; the continuation is the title.  ``generate_fn`` comes from
+    ``models.llama.build_llama_titler``."""
+    from vidchapters_tpu.evals.captioning import eval_vc
+
+    results = {}
+    uid = 0
+    for idx in range(len(dataset)):
+        ex = dataset[idx]
+        for asr, gt in zip(ex["input_text"], ex["output_text"]):
+            pred = generate_fn(VC_LLAMA_PROMPT.format(asr))
+            results[uid] = {"sentence": pred.strip(), "gt": gt}
+            uid += 1
+    return results, (eval_vc(results) if results else {})
+
+
 def evaluate_vc(model: Vid2Seq, params, dataset, tokenizer,
                 gen: GenerationConfig, max_input_tokens: int = 256,
                 batch_clips: int = 16, seed: int = 0

@@ -71,6 +71,51 @@ def run_visual_vcg(ann_json: str, features_path,
     return results, metrics
 
 
+def run_visual_vcg_raw(ann_json: str, videos_json, caption_fn,
+                       shot_threshold: float = 0.7,
+                       references: Optional[List] = None
+                       ) -> Tuple[Dict, Dict[str, float]]:
+    """The reference's raw-video visual VCG path (zs_visualvcg.py:240-266):
+    ffprobe scene detection at ``threshold=0.7`` + BLIP-2 captions of each
+    shot's midpoint frame, batched per video.
+
+    ``videos_json``: path to (or dict of) ``{vid: video_path}``;
+    ``caption_fn(frames_uint8 [B, 224, 224, 3], prompt) -> list[str]``
+    (``models.blip2.build_blip2_captioner``)."""
+    from vidchapters_tpu.data.vc_dataset import get_raw_video
+    from vidchapters_tpu.zeroshot.visual_vcg import (
+        BLIP2_PROMPT,
+        ffprobe_shot_detection,
+        shots_from_boundaries,
+    )
+
+    data = load_json(ann_json)
+    vid2path = (load_json(videos_json) if isinstance(videos_json, str)
+                else videos_json)
+    results = {}
+    for vid, ann in data.items():
+        duration = float(ann["duration"])
+        path = vid2path.get(vid, vid2path.get(vid[-11:]))
+        try:
+            bounds = ffprobe_shot_detection(path, threshold=shot_threshold)
+        except Exception:
+            bounds = []
+        shots = shots_from_boundaries(bounds, duration)
+        if not shots:
+            results[vid] = []
+            continue
+        frames = get_raw_video(path)  # 1 FPS, zeros fallback
+        mids = np.stack([
+            frames[min(int(round((st + ed) / 2.0)), len(frames) - 1)]
+            for st, ed in shots])
+        captions = caption_fn(mids, BLIP2_PROMPT)
+        results[vid] = [
+            {"sentence": c.strip(), "timestamp": [st, ed]}
+            for c, (st, ed) in zip(captions, shots) if c.strip()]
+    metrics = _score_dvc(results, references or [ann_json])
+    return results, metrics
+
+
 def run_vcgr(ann_json: str, features_path=None, text_embed_fn=None,
              subtitles_path: Optional[str] = None, mode: str = "clip",
              threshold: float = 0.05, seed: int = 0
@@ -142,8 +187,24 @@ def main(args=None) -> None:
     sp = sub.add_parser("speech", help="TextTiling over ASR (zs_speechvcg.py)")
     sp.add_argument("--ann", required=True, help="annotation json")
     sp.add_argument("--subtitles", required=True, help="ASR pickle/dir")
+    sp.add_argument("--llama_dir", default=None,
+                    help="HF LLaMA checkpoint dir -> LLM section titler "
+                         "(zs_speechvcg.py:150-200); default first-sentence")
+    sp.add_argument("--random", action="store_true",
+                    help="random ASR line per section (zs_speechvcg.py:183)")
     sp.add_argument("--out", default=None, help="write predictions json here")
     sp.add_argument("--no-score", action="store_true")
+
+    vp = sub.add_parser("visual", help="shot detect + BLIP-2 captions "
+                                       "(zs_visualvcg.py)")
+    vp.add_argument("--ann", required=True)
+    vp.add_argument("--videos", required=True,
+                    help="json mapping vid -> raw video path")
+    vp.add_argument("--blip2_dir", required=True,
+                    help="HF BLIP-2 checkpoint dir (blip2-flan-t5-xl)")
+    vp.add_argument("--threshold", type=float, default=0.7)
+    vp.add_argument("--out", default=None)
+    vp.add_argument("--no-score", action="store_true")
 
     gp = sub.add_parser("vcgr", help="zero-shot grounding (zs_vcgr.py)")
     gp.add_argument("--ann", required=True)
@@ -159,7 +220,30 @@ def main(args=None) -> None:
     a = p.parse_args(args)
     if a.task == "speech":
         refs = None if a.no_score else [a.ann]
-        results, metrics = run_speech_vcg(a.ann, a.subtitles, references=refs)
+        if a.llama_dir:
+            from vidchapters_tpu.models.llama import build_llama_titler
+            from vidchapters_tpu.zeroshot.speech_vcg import make_llm_titler
+
+            titler = make_llm_titler(build_llama_titler(a.llama_dir))
+        elif a.random:
+            from vidchapters_tpu.zeroshot.speech_vcg import make_random_titler
+
+            titler = make_random_titler()
+        else:
+            titler = first_sentence_titler
+        results, metrics = run_speech_vcg(a.ann, a.subtitles, titler=titler,
+                                          references=refs)
+        if a.out:
+            with open(a.out, "w") as f:
+                _json.dump({"results": results}, f)
+        print(_json.dumps(metrics))
+    elif a.task == "visual":
+        from vidchapters_tpu.models.blip2 import build_blip2_captioner
+
+        refs = None if a.no_score else [a.ann]
+        results, metrics = run_visual_vcg_raw(
+            a.ann, a.videos, build_blip2_captioner(a.blip2_dir),
+            shot_threshold=a.threshold, references=refs)
         if a.out:
             with open(a.out, "w") as f:
                 _json.dump({"results": results}, f)

@@ -16,9 +16,11 @@ import numpy as np
 
 from vidchapters_tpu.zeroshot.texttiling import TextTilingTokenizer
 
+# exact reference prompt (zs_speechvcg.py:196); the model continues after
+# "Chapter title:" and the continuation is the title
 LLM_PROMPT = (
     "Summarize the following speech transcript in a chapter title. "
-    'Transcript: "{}" Chapter title: "'
+    "Transcript:{} Chapter title:"
 )
 
 
@@ -38,13 +40,19 @@ def make_random_titler(rng: Optional[np.random.Generator] = None) -> Callable:
 
 
 def make_llm_titler(generate_fn: Callable[[str], str]) -> Callable:
-    """Wrap any text-in/text-out LLM (e.g. HF LLaMA) with the reference
-    prompt; the generation is cut at the closing quote."""
+    """Wrap a text-in/continuation-out LLM with the reference prompt
+    (zs_speechvcg.py:190-199: transcript lines joined, trailing period,
+    greedy 20 new tokens; the continuation after "Chapter title:" is the
+    title).  ``generate_fn`` must return only the continuation — e.g.
+    :func:`vidchapters_tpu.models.llama.build_llama_titler`, the in-repo
+    Flax LLaMA loaded from an HF checkpoint directory."""
 
     def titler(segment_lines: List[str]) -> str:
-        transcript = " ".join(segment_lines)
+        transcript = " ".join(segment_lines).replace("\n", "").strip()
+        if transcript and transcript[-1] != ".":
+            transcript = transcript + "."
         out = generate_fn(LLM_PROMPT.format(transcript))
-        return out.split('"')[0].strip()
+        return out.strip().split("\n")[0].strip()
 
     return titler
 

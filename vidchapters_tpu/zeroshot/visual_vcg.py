@@ -23,7 +23,8 @@ from typing import Callable, List, Sequence, Tuple
 
 import numpy as np
 
-BLIP2_PROMPT = "A video of"
+# exact reference prompt (zs_visualvcg.py:256)
+BLIP2_PROMPT = "Summarize the image in a chapter title. Chapter title:"
 
 
 def ffprobe_shot_detection(video_path: str, threshold: float = 0.7
@@ -64,6 +65,23 @@ def shots_from_boundaries(boundaries: Sequence[float], duration: float
     edges = [0.0] + [b for b in boundaries if 0 < b < duration] + [duration]
     return [(edges[i], edges[i + 1]) for i in range(len(edges) - 1)
             if edges[i + 1] > edges[i]]
+
+
+def make_blip2_captioner(caption_fn: Callable,
+                         get_frame: Callable[[float], np.ndarray]) -> Callable:
+    """Bind the in-repo Flax BLIP-2 to the ``captioner`` hook.
+
+    ``caption_fn(frames_uint8 [B, 224, 224, 3], prompt) -> list[str]`` comes
+    from :func:`vidchapters_tpu.models.blip2.build_blip2_captioner`;
+    ``get_frame(seconds) -> uint8 [224, 224, 3]`` indexes decoded video
+    (e.g. ``data.vc_dataset.get_raw_video`` output at 1 FPS, the reference's
+    midpoint lookup at zs_visualvcg.py:250-252)."""
+
+    def captioner(midpoint_seconds: float) -> str:
+        frame = get_frame(midpoint_seconds)
+        return caption_fn(frame[None], BLIP2_PROMPT)[0].strip()
+
+    return captioner
 
 
 def visual_chapters(shots: Sequence[Tuple[float, float]],
