@@ -24,12 +24,12 @@ from vidchapters_tpu.models.vid2seq import Vid2Seq
 from vidchapters_tpu.serve import ChapterGenerator, _make_handler
 
 
-def _tiny_engine():
+def _tiny_engine(dtype="bfloat16"):
     cfg = Vid2SeqConfig(
         t5=T5Config(d_model=32, d_kv=8, d_ff=64, num_layers=1,
-                    num_decoder_layers=1, num_heads=4),
+                    num_decoder_layers=1, num_heads=4, dtype=dtype),
         vit=TemporalViTConfig(num_features=8, embed_dim=16, depth=1,
-                              num_heads=4, mlp_dim=32))
+                              num_heads=4, mlp_dim=32, dtype=dtype))
     d = DataConfig(max_feats=8, features_dim=16, max_input_tokens=64,
                    input_buckets=(32, 64, 512))
     model = Vid2Seq(cfg)
@@ -41,6 +41,83 @@ def _tiny_engine():
     tok = build_tokenizer("", num_bins=cfg.num_bins)
     gen = GenerationConfig(num_beams=1, max_length=8)
     return ChapterGenerator(model, params, tok, d, gen, cfg.num_bins)
+
+
+def test_coalescing_batches_concurrent_requests():
+    """8 concurrent requests with a slow constant-cost generate must land
+    in far fewer device calls (and finish faster) than one-by-one serving
+    — the decode loop's cost is per-call, not per-row (BENCH_NOTES.md)."""
+    import time
+
+    eng = _tiny_engine()
+    eng._max_wait = 0.25  # batch reliably even when threads start slowly
+    call_log = []
+    real_generate = eng._generate
+
+    def slow_generate(params, videos, tokens, rng):
+        call_log.append(videos.shape[0])
+        time.sleep(0.15)  # constant per-call cost, like dispatch-bound decode
+        return real_generate(params, videos, tokens, rng)
+
+    eng._generate = slow_generate
+    feats = np.random.default_rng(0).normal(size=(20, 16)).astype(np.float32)
+    asr = {"text": ["hello"], "start": [0.0], "end": [2.0]}
+    # compile every (input bucket used, batch bucket) pair OUTSIDE the timed
+    # region and start the dispatcher
+    eng.warmup(batch_sizes=eng.batch_buckets)
+    eng.generate_chapters(feats, 30.0, asr)
+    call_log.clear()
+
+    n = 8
+    t0 = time.monotonic()
+    threads = [threading.Thread(
+        target=lambda: eng.generate_chapters(feats, 30.0, asr))
+        for _ in range(n)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    coalesced_time = time.monotonic() - t0
+    coalesced_calls = len(call_log)
+    assert coalesced_calls <= n // 2, call_log  # requests actually batched
+
+    call_log.clear()
+    t0 = time.monotonic()
+    eng.coalesce = False
+    for _ in range(n):
+        eng.generate_chapters(feats, 30.0, asr)
+    serial_time = time.monotonic() - t0
+    assert len(call_log) == n
+    # 8 serial 0.15 s calls vs <=4 coalesced ones (minus the batching wait)
+    assert serial_time > 1.5 * coalesced_time, (serial_time, coalesced_time)
+    eng.close()
+
+
+def test_coalesced_results_match_serial():
+    """Batched-with-padding results must equal one-by-one results
+    (fp32 so batch-bucket padding can't flip greedy argmax ties)."""
+    eng = _tiny_engine(dtype="float32")
+    rng = np.random.default_rng(1)
+    feats = [rng.normal(size=(20, 16)).astype(np.float32) for _ in range(4)]
+    asr = [{"text": [f"line {i}"], "start": [0.0], "end": [2.0]}
+           for i in range(4)]
+
+    eng.coalesce = False
+    serial = [eng.generate_chapters(f, 30.0, a) for f, a in zip(feats, asr)]
+
+    eng.coalesce = True
+    results = [None] * 4
+
+    def work(i):
+        results[i] = eng.generate_chapters(feats[i], 30.0, asr[i])
+
+    threads = [threading.Thread(target=work, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert results == serial
+    eng.close()
 
 
 def test_buckets_clamped_to_max_input():

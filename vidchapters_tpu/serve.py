@@ -12,10 +12,15 @@ the jitted (encode -> beam) programs warm and answers JSON over HTTP:
 
 TPU-minded design choices:
 - input lengths snap to ``DataConfig.input_buckets`` so the number of
-  compiled programs is bounded (one per bucket, compiled lazily on first
-  use and kept warm for the life of the process);
-- a single device lock serializes generation — requests queue in the
-  HTTP thread pool while one batch is on the chip;
+  compiled programs is bounded (one per (input bucket, batch bucket),
+  compiled lazily on first use and kept warm for the life of the process);
+- concurrent requests are COALESCED: a dispatcher thread drains the
+  request queue and runs one batched generate per input bucket — while a
+  batch is on the chip new requests accumulate, so batches form
+  adaptively under load (a lone request still dispatches immediately
+  after at most ``max_wait_ms``);
+- batch sizes snap to ``batch_buckets`` (pad rows are replicas of row 0)
+  so the compiled-program count stays bounded;
 - features are subsampled/padded host-side to the static ``max_feats``.
 
 Usage:
@@ -27,7 +32,9 @@ Usage:
 from __future__ import annotations
 
 import json
+import queue as queue_mod
 import threading
+import time
 from typing import Dict, List, Optional
 
 import numpy as np
@@ -43,11 +50,27 @@ from vidchapters_tpu.data.time_tokens import (
 )
 
 
+class _Pending:
+    """One enqueued request awaiting a coalesced device call."""
+
+    __slots__ = ("video", "tokens", "bucket", "event", "seq", "error")
+
+    def __init__(self, video: np.ndarray, tokens: np.ndarray, bucket: int):
+        self.video = video
+        self.tokens = tokens
+        self.bucket = bucket
+        self.event = threading.Event()
+        self.seq: Optional[np.ndarray] = None
+        self.error: Optional[Exception] = None
+
+
 class ChapterGenerator:
     """Inference engine: (features, duration, asr) -> chapter list."""
 
     def __init__(self, model, params, tokenizer, data_cfg: DataConfig,
-                 gen_cfg: GenerationConfig, num_bins: int, seed: int = 0):
+                 gen_cfg: GenerationConfig, num_bins: int, seed: int = 0,
+                 coalesce: bool = True, max_batch: int = 8,
+                 batch_buckets=(1, 2, 4, 8), max_wait_ms: float = 2.0):
         import jax
 
         from vidchapters_tpu.train.dvc_train import make_generate_fn
@@ -64,6 +87,88 @@ class ChapterGenerator:
         self._generate = make_generate_fn(model, gen_cfg)
         self._rng = jax.random.PRNGKey(seed)
         self._lock = threading.Lock()
+        # request coalescing
+        self.coalesce = coalesce
+        self.batch_buckets = sorted(b for b in batch_buckets
+                                    if b <= max_batch) or [1]
+        self._max_batch = self.batch_buckets[-1]
+        self._max_wait = max_wait_ms / 1000.0
+        self.device_calls = 0  # observability: batched calls made
+        self._queue: queue_mod.Queue = queue_mod.Queue()
+        self._dispatcher: Optional[threading.Thread] = None
+
+    def _ensure_dispatcher(self) -> None:
+        if self._dispatcher is None or not self._dispatcher.is_alive():
+            self._dispatcher = threading.Thread(target=self._dispatch_loop,
+                                                daemon=True)
+            self._dispatcher.start()
+
+    def _batch_bucket(self, n: int) -> int:
+        for b in self.batch_buckets:
+            if n <= b:
+                return b
+        return self._max_batch
+
+    def _dispatch_loop(self) -> None:
+        """Drain the queue into per-input-bucket groups and run one device
+        call per group.  While a batch is on the chip, new requests pile up
+        in the queue, so batching adapts to load without a fixed delay."""
+        while True:
+            item = self._queue.get()
+            if item is None:  # shutdown sentinel
+                return
+            batch = [item]
+            deadline = time.monotonic() + self._max_wait
+            while len(batch) < self._max_batch:
+                timeout = deadline - time.monotonic()
+                try:
+                    nxt = (self._queue.get_nowait() if timeout <= 0
+                           else self._queue.get(timeout=timeout))
+                except queue_mod.Empty:
+                    break
+                if nxt is None:
+                    self._run_groups(batch)
+                    return
+                batch.append(nxt)
+            self._run_groups(batch)
+
+    def _run_groups(self, batch: List[_Pending]) -> None:
+        groups: Dict[int, List[_Pending]] = {}
+        for p in batch:
+            groups.setdefault(p.bucket, []).append(p)
+        for group in groups.values():
+            try:
+                seqs = self._device_generate(
+                    np.stack([p.video for p in group]),
+                    np.stack([p.tokens for p in group]))
+                for p, seq in zip(group, seqs):
+                    p.seq = seq
+            except Exception as e:  # surface as per-request 500s
+                for p in group:
+                    p.error = e
+            finally:
+                for p in group:
+                    p.event.set()
+
+    def _device_generate(self, videos: np.ndarray, tokens: np.ndarray
+                         ) -> np.ndarray:
+        """One jit'd generate over a batch padded to a batch bucket."""
+        import jax
+        import jax.numpy as jnp
+
+        n = videos.shape[0]
+        b = self._batch_bucket(n)
+        if b > n:  # pad with replicas of row 0 (dropped after decode)
+            videos = np.concatenate(
+                [videos, np.repeat(videos[:1], b - n, axis=0)])
+            tokens = np.concatenate(
+                [tokens, np.repeat(tokens[:1], b - n, axis=0)])
+        with self._lock:
+            self._rng, sub = jax.random.split(self._rng)
+            seqs = self._generate(self.params, jnp.asarray(videos),
+                                  jnp.asarray(tokens), sub)
+            self.device_calls += 1
+        return np.asarray(seqs)[:n]
 
     def _bucket(self, n: int) -> int:
         for b in self.buckets:
@@ -84,9 +189,6 @@ class ChapterGenerator:
                           asr: Optional[dict] = None) -> List[Dict]:
         """[T, D] float features + seconds + optional ASR -> chapters
         ``[{"sentence": str, "timestamp": [start, end]}]``."""
-        import jax
-        import jax.numpy as jnp
-
         from vidchapters_tpu.data.features import subsample_or_pad
 
         video = subsample_or_pad(np.asarray(features, np.float32),
@@ -96,16 +198,23 @@ class ChapterGenerator:
         bucket = self._bucket(len(ids))
         tokens = np.zeros(bucket, np.int32)
         tokens[:min(len(ids), bucket)] = ids[:bucket]
-        with self._lock:
-            self._rng, sub = jax.random.split(self._rng)
-            seqs = self._generate(self.params, jnp.asarray(video[None]),
-                                  jnp.asarray(tokens[None]), sub)
-        text = self.tokenizer.batch_decode(np.asarray(seqs),
+        if self.coalesce:
+            pending = _Pending(video, tokens, bucket)
+            self._ensure_dispatcher()
+            self._queue.put(pending)
+            pending.event.wait()
+            if pending.error is not None:
+                raise pending.error
+            seq = pending.seq
+        else:
+            seq = self._device_generate(video[None], tokens[None])[0]
+        text = self.tokenizer.batch_decode(np.asarray(seq)[None],
                                            skip_special_tokens=True)[0]
         return decode_chapter_sequence(text, float(duration), self.num_bins)
 
-    def warmup(self) -> None:
-        """Compile every bucket's program before serving traffic."""
+    def warmup(self, batch_sizes=(1,)) -> None:
+        """Compile (input bucket x batch size) programs before serving
+        traffic; remaining batch buckets compile lazily on first use."""
         for b in self.buckets:
             asr = {"text": ["warmup"], "start": [0.0], "end": [1.0]}
             feats = np.zeros((self.data_cfg.max_feats,
@@ -113,12 +222,16 @@ class ChapterGenerator:
             ids = self._input_tokens(asr, 10.0)
             pad = np.zeros(b, np.int32)
             pad[:len(ids)] = ids[:b]
-            import jax
-            import jax.numpy as jnp
+            for n in batch_sizes:
+                self._device_generate(
+                    np.repeat(feats[None], n, axis=0),
+                    np.repeat(pad[None], n, axis=0))
 
-            self._rng, sub = jax.random.split(self._rng)
-            self._generate(self.params, jnp.asarray(feats[None]),
-                           jnp.asarray(pad[None]), sub)
+    def close(self) -> None:
+        """Stop the dispatcher thread (pending requests still complete)."""
+        if self._dispatcher is not None and self._dispatcher.is_alive():
+            self._queue.put(None)
+            self._dispatcher.join(timeout=5.0)
 
 
 def _make_handler(engine: ChapterGenerator):
@@ -201,6 +314,12 @@ def main(args=None) -> None:
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8976)
     p.add_argument("--no-warmup", action="store_true")
+    p.add_argument("--no-coalesce", action="store_true",
+                   help="serialize requests one by one (round-1 behavior)")
+    p.add_argument("--max-batch", type=int, default=8,
+                   help="largest coalesced batch (snaps to batch buckets)")
+    p.add_argument("--max-wait-ms", type=float, default=2.0,
+                   help="max extra latency a lone request pays for batching")
     a = p.parse_args(args)
 
     cfg: ExperimentConfig = load_config(ExperimentConfig, a.config)
@@ -223,7 +342,10 @@ def main(args=None) -> None:
         print(f"restored '{name}' from {a.ckpt}")
 
     engine = ChapterGenerator(model, params, tokenizer, d, cfg.generation,
-                              cfg.model.num_bins)
+                              cfg.model.num_bins,
+                              coalesce=not a.no_coalesce,
+                              max_batch=a.max_batch,
+                              max_wait_ms=a.max_wait_ms)
     serve(engine, a.host, a.port, warmup=not a.no_warmup)
 
 
