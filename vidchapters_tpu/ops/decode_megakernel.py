@@ -1,0 +1,408 @@
+"""Cross-layer decode-step megakernel (Pallas TPU).
+
+The autoregressive beam loop is bound by per-op execution overhead: at
+bs16/beam-4 a step costs ~11.7 ms across ~300 small HLO ops while its
+memory traffic is worth ~1 ms (BENCH_NOTES.md "Decode"); per-layer fused
+kernels made it WORSE because their per-(batch, head) grids dispatched
+~768 tiny programs per call.  This kernel runs ONE Pallas program per
+decode step covering all decoder layers:
+
+- grid ``(num_layers, batch_blocks)`` — TPU grids execute sequentially, so
+  the hidden state lives in a VMEM scratch carried across grid cells while
+  per-layer weights and per-block KV caches stream through VMEM blocks
+  (pipelined by Pallas; a weight block is fetched once per layer because
+  its index map is constant along the inner grid dimension);
+- self-attention attends over the streamed cache rows ``< index`` plus the
+  current token's in-VMEM k/v (an online-softmax extra row), so the kernel
+  never rewrites the cache: the new k/v rows are kernel outputs and the
+  caches are updated OUTSIDE by two ``dynamic_update_slice`` ops on
+  layer-stacked buffers — O(1) HLO ops instead of O(layers);
+- cross-attention KV is per-example (beam-invariant), stacked
+  ``[B0, N, LencP, inner]`` and streamed per block.
+
+Mosaic constraints (measured on v5e via ops_probe_tpu.py) shape the data
+layout: at most ONE batch dim per in-kernel dot, no reshapes that split a
+minor dim, and 5-D BlockSpecs return wrong data — so everything stays in
+the ``[rows, inner]`` lane layout and per-head reductions go through the
+MXU with a constant 0/1 segment matrix ``SEG [inner, H]``:
+
+    scores[l, h] = ((K[l, :] * q) @ SEG)[h]         (per-head q.k)
+    ctx[h*dkv+d] = diag_h( V^T P )                   (per-head P.V)
+
+Per step the whole program issues ~25 HLO ops (embed, kernel, 2 cache
+updates, logits, loop logic) instead of ~300.  Semantics mirror
+models/t5.py's incremental decode branch (T5 pre-norm blocks, unscaled
+qk^T, shared rel-pos bias row, RMSNorm in fp32); parity is tested against
+the reference decode path in tests/test_decode_megakernel.py.  Reference
+hot loop: HF ``generate`` beam-4 x 256 steps (model/vid2seq.py:150-162).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+NEG_INF = -1e9
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _mega_kernel(idx_ref, x_in, ln, wqkv, wo_s, wq_c, wo_c, wi, wo_f, fln,
+                 bias_row, bias0, seg, encmask, kc, vc, kx, vx,
+                 x_out, knew, vnew, xs,
+                 *, n_layers: int, bb: int, group: int, heads: int,
+                 dkv: int, eps: float, cdt):
+    """One (layer, batch-block) grid cell; layouts in module docstring."""
+    i = pl.program_id(0)
+    b = pl.program_id(1)
+    idx = idx_ref[0, 0]
+    inner = heads * dkv
+    f32 = jnp.float32
+
+    @pl.when(i == 0)
+    def _():
+        xs[b] = x_in[...]
+
+    x = xs[b]                                        # [bb, d] cdt
+
+    def rms(x, w):
+        xf = x.astype(f32)
+        var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+        return (w[None, :] * (xf * jax.lax.rsqrt(var + eps))).astype(cdt)
+
+    def mm(a, w):
+        # mirror flax Dense(dtype=cdt): f32 accumulation, one rounding
+        return jnp.dot(a.astype(cdt), w,
+                       preferred_element_type=f32).astype(cdt)
+
+    seg_c = seg[...].astype(cdt)                     # [inner, H] 0/1
+
+    def head_scores(prod):
+        """[L, inner] elementwise q*k products -> per-head scores [L, H]."""
+        return jnp.dot(prod, seg_c, preferred_element_type=f32)
+
+    def head_context(v_rows, p):
+        """V [L, inner], P [L, H] -> ctx [1, inner] with each head's 64-lane
+        segment taking its own probability column: diag_h(V^T P)."""
+        vtp = jax.lax.dot_general(
+            v_rows, p.astype(cdt), (((0,), (0,)), ((), ())),
+            preferred_element_type=f32)              # [inner, H]
+        return jnp.sum(vtp * seg[...], axis=1)[None, :]  # [1, inner] f32
+
+    # ---- self-attention (cache rows < idx, current token appended) ----
+    h = rms(x, ln[0, 0])
+    qkv = mm(h, wqkv[0])                             # [bb, 3*inner]
+    q2 = qkv[:, :inner]
+    k_new = qkv[:, inner:2 * inner]
+    v_new = qkv[:, 2 * inner:]
+    knew[:, 0] = k_new
+    vnew[:, 0] = v_new
+
+    kcb = kc[:, 0]                                   # [bb, L, inner]
+    vcb = vc[:, 0]
+    l = kcb.shape[1]
+    kxb = kx[:, 0]                                   # [bbE, LencP, inner]
+    vxb = vx[:, 0]
+    lenc = kxb.shape[1]
+
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (l, heads), 0)
+    attn_rows = []
+    for r in range(bb):
+        prod = (kcb[r] * q2[r][None, :]).astype(cdt)     # [L, inner]
+        s = head_scores(prod) + bias_row[...]            # [L, H] f32
+        s = jnp.where(row_ids < idx, s, NEG_INF)
+        s_new = head_scores((k_new[r][None, :] * q2[r][None, :]).astype(cdt))
+        s_new = s_new + bias0[...]                       # [1, H]
+        m = jnp.maximum(jnp.max(s, axis=0), s_new[0])    # [H]
+        e = jnp.exp(s - m[None, :])
+        e_new = jnp.exp(s_new[0] - m)                    # [H]
+        denom = jnp.sum(e, axis=0) + e_new               # [H]
+        ctx = head_context(vcb[r], e / denom[None, :])   # [1, inner]
+        p_new_l = jax.lax.dot_general(
+            (e_new / denom)[None, :].astype(cdt), seg_c,
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=f32)                  # [1, inner]
+        ctx = (ctx + p_new_l * v_new[r][None, :].astype(f32)).astype(cdt)
+        attn_rows.append(ctx)
+    attn = jnp.concatenate(attn_rows, axis=0)            # [bb, inner]
+    x = x + mm(attn, wo_s[0])
+
+    # ---- cross-attention (per-example KV shared across beams) ----
+    h = rms(x, ln[0, 1])
+    qc = mm(h, wq_c[0])                                  # [bb, inner]
+    cross_rows = []
+    for r in range(bb):
+        e_i = r // group                                 # example index
+        prod = (kxb[e_i] * qc[r][None, :]).astype(cdt)   # [LencP, inner]
+        s = head_scores(prod)                            # [LencP, H] f32
+        valid = encmask[e_i][:, None] > 0
+        s = jnp.where(valid, s, NEG_INF)
+        m = jnp.max(s, axis=0)
+        e = jnp.exp(s - m[None, :])
+        p = e / jnp.sum(e, axis=0)[None, :]
+        cross_rows.append(head_context(vxb[e_i], p).astype(cdt))
+    ctx_c = jnp.concatenate(cross_rows, axis=0)          # [bb, inner]
+    x = x + mm(ctx_c, wo_c[0])
+
+    # ---- feed-forward (t5-base: relu) ----
+    h = rms(x, ln[0, 2])
+    hh = jnp.maximum(mm(h, wi[0]), 0.0).astype(cdt)
+    x = x + mm(hh, wo_f[0])
+
+    xs[b] = x
+
+    @pl.when(i == n_layers - 1)
+    def _():
+        x_out[...] = rms(x, fln[0])
+
+    @pl.when(i < n_layers - 1)
+    def _():
+        x_out[...] = x
+
+
+def segment_matrix(heads: int, dkv: int) -> np.ndarray:
+    """[inner, H] 0/1 matrix: column h selects head h's 64-lane segment."""
+    inner = heads * dkv
+    seg = np.zeros((inner, heads), np.float32)
+    for h in range(heads):
+        seg[h * dkv:(h + 1) * dkv, h] = 1.0
+    return seg
+
+
+def mega_decode_step(stacked: Dict[str, Array], x: Array,
+                     k_cache: Array, v_cache: Array,
+                     k_cross: Array, v_cross: Array,
+                     bias_row: Array, bias0: Array, enc_mask: Array,
+                     cache_index: Array, group: int, heads: int,
+                     eps: float = 1e-6, bb: int = 8,
+                     interpret: bool = False
+                     ) -> Tuple[Array, Array, Array]:
+    """One full decoder step over all layers.
+
+    x [B, d] (token embeds, compute dtype); caches [B, N, L, inner];
+    cross KV [B0, N, LencP, inner] (B0 = B/group); bias_row [L, H] f32;
+    bias0 [1, H] f32; enc_mask [B0, LencP] int.  Returns (hidden [B, d]
+    after final norm, k_new [B, N, inner], v_new same) — caller scatters
+    the new rows into the caches at ``cache_index``.
+    """
+    bsz, d = x.shape
+    _, n_layers, l, inner = k_cache.shape
+    b0, _, lencp, _ = k_cross.shape
+    assert bsz % bb == 0 and bb % group == 0, (bsz, bb, group)
+    assert inner % heads == 0
+    dkv = inner // heads
+    bbe = bb // group
+    n_blocks = bsz // bb
+    cdt = x.dtype
+    d_ff = stacked["wi"].shape[2]
+
+    idx = jnp.asarray(cache_index, jnp.int32).reshape(1, 1)
+    seg = jnp.asarray(segment_matrix(heads, dkv))
+    kernel = functools.partial(
+        _mega_kernel, n_layers=n_layers, bb=bb, group=group, heads=heads,
+        dkv=dkv, eps=eps, cdt=cdt)
+
+    wspec = lambda *shape: pl.BlockSpec(
+        (1,) + shape, lambda i, b: (i,) + (0,) * len(shape),
+        memory_space=pltpu.VMEM)
+    const2 = lambda s0, s1: pl.BlockSpec((s0, s1), lambda i, b: (0, 0),
+                                         memory_space=pltpu.VMEM)
+    cache_spec = pl.BlockSpec((bb, 1, l, inner),
+                              lambda i, b: (b, i, 0, 0),
+                              memory_space=pltpu.VMEM)
+    cross_spec = pl.BlockSpec((bbe, 1, lencp, inner),
+                              lambda i, b: (b, i, 0, 0),
+                              memory_space=pltpu.VMEM)
+    row_spec = pl.BlockSpec((bb, d), lambda i, b: (b, 0),
+                            memory_space=pltpu.VMEM)
+    new_spec = pl.BlockSpec((bb, 1, inner), lambda i, b: (b, i, 0),
+                            memory_space=pltpu.VMEM)
+
+    hidden, k_new, v_new = pl.pallas_call(
+        kernel,
+        grid=(n_layers, n_blocks),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i, b: (0, 0),
+                         memory_space=pltpu.SMEM),          # cache_index
+            row_spec,                                        # x
+            wspec(3, d),                                     # ln
+            wspec(d, 3 * inner),                             # wqkv
+            wspec(inner, d),                                 # wo_self
+            wspec(d, inner),                                 # wq_cross
+            wspec(inner, d),                                 # wo_cross
+            wspec(d, d_ff),                                  # wi
+            wspec(d_ff, d),                                  # wo_ff
+            const2(1, d),                                    # final ln
+            const2(l, heads),                                # bias_row
+            const2(1, heads),                                # bias0
+            const2(inner, heads),                            # seg
+            pl.BlockSpec((bbe, lencp), lambda i, b: (b, 0),
+                         memory_space=pltpu.VMEM),           # enc mask
+            cache_spec,                                      # k cache
+            cache_spec,                                      # v cache
+            cross_spec,                                      # k cross
+            cross_spec,                                      # v cross
+        ],
+        out_specs=(row_spec, new_spec, new_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((bsz, d), cdt),
+            jax.ShapeDtypeStruct((bsz, n_layers, inner), cdt),
+            jax.ShapeDtypeStruct((bsz, n_layers, inner), cdt),
+        ),
+        scratch_shapes=[pltpu.VMEM((n_blocks, bb, d), cdt)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=112 * 1024 * 1024),
+        interpret=interpret,
+    )(idx, x, stacked["ln"], stacked["wqkv"], stacked["wo_self"],
+      stacked["wq_cross"], stacked["wo_cross"], stacked["wi"],
+      stacked["wo_ff"], stacked["final_ln"], bias_row, bias0, seg, enc_mask,
+      k_cache, v_cache, k_cross, v_cross)
+    return hidden, k_new, v_new
+
+
+# ---------------------------------------------------------------------------
+# Host-side: weight stacking, bias table, DecodeFns integration
+# ---------------------------------------------------------------------------
+
+
+def stack_decoder_weights(t5_params: Dict[str, Any], cfg,
+                          dtype=None) -> Dict[str, Array]:
+    """Stack the per-layer decoder weights into layer-major arrays the
+    kernel streams (packed qkv for self-attention).  ``t5_params`` is the
+    T5ForConditionalGeneration param tree."""
+    cdt = jnp.dtype(dtype or cfg.dtype)
+    dec = t5_params["decoder"]
+    n = cfg.num_decoder_layers
+
+    def g(i, *path):
+        node = dec[f"block_{i}"]
+        for p in path:
+            node = node[p]
+        return jnp.asarray(node)
+
+    ln = jnp.stack([
+        jnp.stack([g(i, "self_attn_norm", "weight"),
+                   g(i, "cross_attn_norm", "weight"),
+                   g(i, "ff_norm", "weight")]) for i in range(n)
+    ]).astype(jnp.float32)                           # [N, 3, d]
+    wqkv = jnp.stack([
+        jnp.concatenate([g(i, "self_attn", "q", "kernel"),
+                         g(i, "self_attn", "k", "kernel"),
+                         g(i, "self_attn", "v", "kernel")], axis=1)
+        for i in range(n)]).astype(cdt)              # [N, d, 3*inner]
+    return {
+        "ln": ln,
+        "wqkv": wqkv,
+        "wo_self": jnp.stack([g(i, "self_attn", "o", "kernel")
+                              for i in range(n)]).astype(cdt),
+        "wq_cross": jnp.stack([g(i, "cross_attn", "q", "kernel")
+                               for i in range(n)]).astype(cdt),
+        "wo_cross": jnp.stack([g(i, "cross_attn", "o", "kernel")
+                               for i in range(n)]).astype(cdt),
+        "wi": jnp.stack([g(i, "ff", "wi", "kernel")
+                         for i in range(n)]).astype(cdt),
+        "wo_ff": jnp.stack([g(i, "ff", "wo", "kernel")
+                            for i in range(n)]).astype(cdt),
+        "final_ln": jnp.asarray(
+            dec["final_norm"]["weight"])[None].astype(jnp.float32),
+        # cross-attention K/V projections: used once per generate call to
+        # precompute the stacked cross KV from the encoder output
+        "wk_cross": jnp.stack([g(i, "cross_attn", "k", "kernel")
+                               for i in range(n)]).astype(cdt),
+        "wv_cross": jnp.stack([g(i, "cross_attn", "v", "kernel")
+                               for i in range(n)]).astype(cdt),
+    }
+
+
+def precompute_bias_table(t5_params: Dict[str, Any], cfg,
+                          max_len: int) -> Array:
+    """[Lq, Lk, H] decoder rel-pos bias for every slot pair (one dynamic
+    slice per step instead of a bucket gather)."""
+    from vidchapters_tpu.models.t5 import relative_position_bucket
+
+    emb = jnp.asarray(
+        t5_params["decoder"]["rel_bias"]["rel_embedding"]).astype(jnp.float32)
+    ctx = jnp.arange(max_len)[:, None]
+    mem = jnp.arange(max_len)[None, :]
+    buckets = relative_position_bucket(
+        mem - ctx, False, cfg.relative_attention_num_buckets,
+        cfg.relative_attention_max_distance)
+    return emb[buckets]                              # [Lq, Lk, H]
+
+
+def make_mega_decode_fns(cfg, t5_params: Dict[str, Any], max_length: int,
+                         num_beams: int = 1, interpret: bool = False):
+    """DecodeFns (ops/decoding.py) backed by the megakernel.
+
+    ``init_cache(batch, enc_out)`` receives the per-BEAM batch (B = B0 *
+    beams, matching beam_search's ``init_cache(batch * K, enc_out)`` call
+    with per-example ``enc_out``); the cache pytree keeps batch on axis 0
+    so the beam-reorder gather works unchanged, and cross KV sits under a
+    "cross" key so the reorder skips it.
+    """
+    from vidchapters_tpu.ops.decoding import DecodeFns
+
+    cdt = jnp.dtype(cfg.dtype)
+    group = max(1, num_beams)
+    bb = group * max(1, 8 // group)
+    stacked = stack_decoder_weights(t5_params, cfg)
+    bias_all = precompute_bias_table(t5_params, cfg, max_length)
+    emb = jnp.asarray(t5_params["shared"]["embedding"])
+    heads = cfg.num_heads
+    inner = heads * cfg.d_kv
+    n = cfg.num_decoder_layers
+
+    def init_cache(batch: int, enc_out: Array):
+        b0, lenc, _ = enc_out.shape
+        lencp = _round_up(lenc, 16)
+        enc = enc_out.astype(cdt)
+        kx = jnp.einsum("bld,ndi->bnli", enc, stacked["wk_cross"],
+                        preferred_element_type=jnp.float32).astype(cdt)
+        vx = jnp.einsum("bld,ndi->bnli", enc, stacked["wv_cross"],
+                        preferred_element_type=jnp.float32).astype(cdt)
+        pad = [(0, 0), (0, 0), (0, lencp - lenc), (0, 0)]
+        return {
+            "self_k": jnp.zeros((batch, n, max_length, inner), cdt),
+            "self_v": jnp.zeros((batch, n, max_length, inner), cdt),
+            "cross": {"k": jnp.pad(kx, pad), "v": jnp.pad(vx, pad)},
+        }
+
+    def step(tokens: Array, cache, index, enc_mask: Array):
+        x = emb[tokens].astype(cdt)                   # [B, d]
+        bias_row = jax.lax.dynamic_slice(
+            bias_all, (index, 0, 0), (1, max_length, heads))[0]
+        bias0 = bias_all[0, :1, :][0][None]           # distance-0 bias [1, H]
+        lencp = cache["cross"]["k"].shape[2]
+        mask_p = jnp.pad(enc_mask.astype(jnp.int32),
+                         [(0, 0), (0, lencp - enc_mask.shape[1])])
+        hidden, k_new, v_new = mega_decode_step(
+            stacked, x, cache["self_k"], cache["self_v"],
+            cache["cross"]["k"], cache["cross"]["v"],
+            bias_row, bias0, mask_p, index, group, heads,
+            eps=cfg.layer_norm_epsilon, bb=bb, interpret=interpret)
+        new_cache = {
+            "self_k": jax.lax.dynamic_update_slice(
+                cache["self_k"], k_new[:, :, None, :], (0, 0, index, 0)),
+            "self_v": jax.lax.dynamic_update_slice(
+                cache["self_v"], v_new[:, :, None, :], (0, 0, index, 0)),
+            "cross": cache["cross"],
+        }
+        # tied-embedding logits (models/t5.py logits_from_hidden)
+        if cfg.tie_word_embeddings:
+            hidden = hidden * (cfg.d_model ** -0.5)
+            logits = jnp.einsum("bd,vd->bv", hidden, emb.astype(hidden.dtype))
+        else:
+            lm = jnp.asarray(t5_params["lm_head"]["kernel"]).astype(cdt)
+            logits = hidden @ lm
+        return logits.astype(jnp.float32), new_cache
+
+    return DecodeFns(init_cache, step)
