@@ -107,3 +107,91 @@ def toxicity_stats(texts: Iterable[str],
         "toxic_fraction": sum(s > threshold for s in scores) / n,
         "mean_score": sum(scores) / n,
     }
+
+
+def build_toxicity_scorer(model_dir: str, max_length: int = 256):
+    """Detoxify-equivalent scorer: an HF ``BertForSequenceClassification``
+    checkpoint directory (e.g. unitary/toxic-bert, what Detoxify wraps —
+    analysis/nsfw.py:60-121) run through the in-repo Flax BERT
+    (models/bert.py) plus the pooler + classification head.  Returns
+    ``scorer(text) -> float`` (sigmoid of the first/toxic label)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import torch
+    from transformers import AutoConfig, AutoTokenizer
+
+    from vidchapters_tpu.models.bert import (
+        BertConfig,
+        BertModel,
+        convert_hf_bert,
+    )
+
+    tok = AutoTokenizer.from_pretrained(model_dir)
+    hf_cfg = AutoConfig.from_pretrained(model_dir)
+    from transformers import BertForSequenceClassification
+
+    hf = BertForSequenceClassification.from_pretrained(
+        model_dir, torch_dtype=torch.float32)
+    sd = {k: v.numpy() for k, v in hf.state_dict().items()}
+    del hf
+    cfg = BertConfig(
+        vocab_size=hf_cfg.vocab_size, hidden_size=hf_cfg.hidden_size,
+        num_layers=hf_cfg.num_hidden_layers,
+        num_heads=hf_cfg.num_attention_heads,
+        intermediate_size=hf_cfg.intermediate_size,
+        max_position_embeddings=hf_cfg.max_position_embeddings,
+        type_vocab_size=hf_cfg.type_vocab_size)
+    params = jax.tree_util.tree_map(jnp.asarray, convert_hf_bert(
+        {k.removeprefix("bert."): v for k, v in sd.items()
+         if k.startswith("bert.")}))
+    wp = jnp.asarray(np.asarray(sd["bert.pooler.dense.weight"]).T)
+    bp = jnp.asarray(sd["bert.pooler.dense.bias"])
+    wc = jnp.asarray(np.asarray(sd["classifier.weight"]).T)
+    bc = jnp.asarray(sd["classifier.bias"])
+    model = BertModel(cfg)
+
+    @jax.jit
+    def score(ids, mask):
+        h = model.apply({"params": params}, ids, attention_mask=mask)
+        pooled = jnp.tanh(h[:, 0] @ wp + bp)
+        return jax.nn.sigmoid(pooled @ wc + bc)
+
+    def scorer(text: str) -> float:
+        enc = tok([text], truncation=True, max_length=max_length,
+                  padding="max_length", return_tensors="np")
+        out = score(jnp.asarray(enc["input_ids"], jnp.int32),
+                    jnp.asarray(enc["attention_mask"], jnp.int32))
+        return float(out[0, 0])  # first label = toxic (toxic-bert layout)
+
+    return scorer
+
+
+def build_nsfw_scorer(weights_npz: str):
+    """CLIP-NSFW head (analysis/nsfw.py:60-93): a small MLP over
+    L2-normalized CLIP image embeddings.  ``weights_npz`` holds the
+    LAION detector's dense layers converted to
+    ``w0, b0, w1, b1, ...`` (ReLU between layers, sigmoid output).
+    Returns ``scorer(embeddings [B, D]) -> [B] scores``."""
+    import numpy as np
+
+    data = np.load(weights_npz)
+    layers = []
+    i = 0
+    while f"w{i}" in data:
+        layers.append((np.asarray(data[f"w{i}"], np.float32),
+                       np.asarray(data[f"b{i}"], np.float32)))
+        i += 1
+    if not layers:
+        raise ValueError(f"no dense layers (w0/b0...) in {weights_npz}")
+
+    def scorer(embeddings: "np.ndarray") -> "np.ndarray":
+        x = np.asarray(embeddings, np.float32)
+        x = x / (np.linalg.norm(x, axis=-1, keepdims=True) + 1e-8)
+        for j, (w, b) in enumerate(layers):
+            x = x @ w + b
+            if j < len(layers) - 1:
+                x = np.maximum(x, 0.0)
+        return 1.0 / (1.0 + np.exp(-x[..., 0]))
+
+    return scorer

@@ -104,8 +104,8 @@ def _mega_kernel(idx_ref, x_in, ln, wqkv, wo_s, wq_c, wo_c, wi, wo_f, fln,
     q2 = qkv[:, :inner]
     k_new = qkv[:, inner:2 * inner]
     v_new = qkv[:, 2 * inner:]
-    knew[:, 0] = k_new
-    vnew[:, 0] = v_new
+    knew[...] = k_new
+    vnew[...] = v_new
 
     kcb = kc[:, 0]                                   # [bb, L, inner]
     vcb = vc[:, 0]
@@ -144,7 +144,10 @@ def _mega_kernel(idx_ref, x_in, ln, wqkv, wo_s, wq_c, wo_c, wi, wo_f, fln,
         e_i = r // group                                 # example index
         prod = (kxb[e_i] * qc[r][None, :]).astype(cdt)   # [LencP, inner]
         s = head_scores(prod)                            # [LencP, H] f32
-        valid = encmask[e_i][:, None] > 0
+        # encmask is the FULL [B0, LencP] block (a bbe-row block would
+        # violate the (8,128) block rule); dynamic row read as in
+        # decode_attention.py:98
+        valid = encmask[b * (bb // group) + e_i][:, None] > 0
         s = jnp.where(valid, s, NEG_INF)
         m = jnp.max(s, axis=0)
         e = jnp.exp(s - m[None, :])
@@ -224,7 +227,9 @@ def mega_decode_step(stacked: Dict[str, Array], x: Array,
                               memory_space=pltpu.VMEM)
     row_spec = pl.BlockSpec((bb, d), lambda i, b: (b, 0),
                             memory_space=pltpu.VMEM)
-    new_spec = pl.BlockSpec((bb, 1, inner), lambda i, b: (b, i, 0),
+    # new k/v rows land in a 2-D [B, N*inner] output (lane-offset i*inner)
+    # so the block shape satisfies the (8, 128) rule
+    new_spec = pl.BlockSpec((bb, inner), lambda i, b: (b, i),
                             memory_space=pltpu.VMEM)
 
     hidden, k_new, v_new = pl.pallas_call(
@@ -245,8 +250,8 @@ def mega_decode_step(stacked: Dict[str, Array], x: Array,
             const2(l, heads),                                # bias_row
             const2(1, heads),                                # bias0
             const2(inner, heads),                            # seg
-            pl.BlockSpec((bbe, lencp), lambda i, b: (b, 0),
-                         memory_space=pltpu.VMEM),           # enc mask
+            pl.BlockSpec((b0, lencp), lambda i, b: (0, 0),
+                         memory_space=pltpu.VMEM),           # enc mask (full)
             cache_spec,                                      # k cache
             cache_spec,                                      # v cache
             cross_spec,                                      # k cross
@@ -255,8 +260,8 @@ def mega_decode_step(stacked: Dict[str, Array], x: Array,
         out_specs=(row_spec, new_spec, new_spec),
         out_shape=(
             jax.ShapeDtypeStruct((bsz, d), cdt),
-            jax.ShapeDtypeStruct((bsz, n_layers, inner), cdt),
-            jax.ShapeDtypeStruct((bsz, n_layers, inner), cdt),
+            jax.ShapeDtypeStruct((bsz, n_layers * inner), cdt),
+            jax.ShapeDtypeStruct((bsz, n_layers * inner), cdt),
         ),
         scratch_shapes=[pltpu.VMEM((n_blocks, bb, d), cdt)],
         compiler_params=pltpu.CompilerParams(
@@ -266,7 +271,8 @@ def mega_decode_step(stacked: Dict[str, Array], x: Array,
       stacked["wq_cross"], stacked["wo_cross"], stacked["wi"],
       stacked["wo_ff"], stacked["final_ln"], bias_row, bias0, seg, enc_mask,
       k_cache, v_cache, k_cross, v_cross)
-    return hidden, k_new, v_new
+    return (hidden, k_new.reshape(bsz, n_layers, inner),
+            v_new.reshape(bsz, n_layers, inner))
 
 
 # ---------------------------------------------------------------------------
