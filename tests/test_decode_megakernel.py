@@ -92,6 +92,45 @@ def test_mega_beam_tokens_match_reference(setup):
     np.testing.assert_array_equal(mega_seqs, ref_seqs)
 
 
+def test_generate_fn_picks_mega_and_matches(setup):
+    """make_generate_fn with USE_MEGA_DECODE on must produce the same
+    chapters as the standard path (fp32 Vid2Seq, greedy)."""
+    from vidchapters_tpu.config import (
+        GenerationConfig,
+        T5Config,
+        TemporalViTConfig,
+        Vid2SeqConfig,
+    )
+    from vidchapters_tpu.models import t5 as t5_mod
+    from vidchapters_tpu.models.vid2seq import Vid2Seq
+    from vidchapters_tpu.train.dvc_train import make_generate_fn
+
+    cfg = Vid2SeqConfig(
+        t5=T5Config(vocab_size=VOCAB, d_model=256, d_kv=64, d_ff=512,
+                    num_layers=2, num_decoder_layers=2, num_heads=4,
+                    dropout_rate=0.0, encoder_dropout=0.0,
+                    decoder_dropout=0.0, dtype="float32"),
+        vit=TemporalViTConfig(num_features=8, embed_dim=256, depth=1,
+                              num_heads=4, mlp_dim=64, dtype="float32"))
+    model = Vid2Seq(cfg)
+    rng = jax.random.PRNGKey(0)
+    video = jnp.asarray(np.random.default_rng(0).normal(
+        size=(8, 8, 256)).astype(np.float32))
+    toks = jnp.ones((8, 6), jnp.int32)
+    params = model.init({"params": rng, "dropout": rng}, video, toks,
+                        jnp.ones_like(toks), toks)["params"]
+    gen = GenerationConfig(num_beams=1, max_length=MAX_LEN)
+    ref_out = np.asarray(make_generate_fn(model, gen)(
+        params, video, toks, rng))
+    t5_mod.USE_MEGA_DECODE = True
+    try:
+        mega_out = np.asarray(make_generate_fn(model, gen)(
+            params, video, toks, rng))
+    finally:
+        t5_mod.USE_MEGA_DECODE = False
+    np.testing.assert_array_equal(mega_out, ref_out)
+
+
 def test_mega_handles_nondefault_shapes(setup):
     """group=2 beams (bb=8, 4 examples/block) also matches."""
     cfg, model, params, enc_out, enc_mask = setup

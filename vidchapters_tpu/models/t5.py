@@ -93,6 +93,20 @@ def _fused_decode_enabled() -> bool:
     return bool(USE_FUSED_DECODE)
 
 
+# cross-layer decode megakernel (ops/decode_megakernel.py): ONE Pallas
+# program per decode step over all decoder layers, replacing ~300 small
+# HLO ops with ~25. Measured 5.48 vs 5.33 videos/s (beam-4/256/bs16) on
+# v5e — op count was NOT the decode bottleneck; the step time lives in
+# the kernel/step body itself (BENCH_NOTES.md). Default OFF until it
+# beats the standard path. make_generate_fn falls back to the standard
+# path when the batch/beam geometry doesn't tile.
+USE_MEGA_DECODE = False
+
+
+def _mega_decode_enabled() -> bool:
+    return bool(USE_MEGA_DECODE)
+
+
 def _apply_dropout(module: nn.Module, x: Array, rate: float,
                    deterministic: bool) -> Array:
     """Functional dropout usable inside setup-style module methods."""

@@ -118,6 +118,31 @@ def make_train_step(model: Vid2Seq, tx: optax.GradientTransformation,
     return train_step
 
 
+def _pick_decode_fns(model: Vid2Seq, params, gen: GenerationConfig,
+                     enc_out):
+    """Standard decode fns, or the cross-layer megakernel when enabled
+    (models.t5.USE_MEGA_DECODE) and the batch/beam geometry tiles."""
+    from vidchapters_tpu.models import t5 as t5_mod
+
+    beams = gen.num_beams if gen.num_beams > 1 else 1
+    use_mega = (t5_mod._mega_decode_enabled()
+                and not gen.use_nucleus_sampling
+                and isinstance(params, dict) and "t5" in params
+                and beams in (1, 2, 4, 8))
+    if use_mega:
+        bb = beams * max(1, 8 // beams)
+        if (enc_out.shape[0] * beams) % bb == 0:
+            from vidchapters_tpu.ops.decode_megakernel import (
+                make_mega_decode_fns,
+            )
+
+            return make_mega_decode_fns(
+                model.cfg.t5, params["t5"], gen.max_length,
+                num_beams=beams,
+                interpret=jax.default_backend() == "cpu")
+    return make_decode_fns(model, params, gen.max_length)
+
+
 def make_generate_fn(model: Vid2Seq, gen: GenerationConfig) -> Callable:
     """jit'd generation: encode once, decode with static KV cache.
 
@@ -137,7 +162,7 @@ def make_generate_fn(model: Vid2Seq, gen: GenerationConfig) -> Callable:
         enc_out, enc_mask = model.apply(
             {"params": params}, video, input_tokens, attn,
             method=model.encode_for_generation)
-        fns = make_decode_fns(model, params, gen.max_length)
+        fns = _pick_decode_fns(model, params, gen, enc_out)
         if gen.use_nucleus_sampling or gen.num_beams == 0:
             return nucleus_sample(fns, enc_out, enc_mask, gen.max_length, rng,
                                   top_p=gen.top_p, temperature=gen.temperature,
