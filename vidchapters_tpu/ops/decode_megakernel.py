@@ -57,11 +57,16 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _mega_kernel(idx_ref, x_in, ln, wqkv, wo_s, wq_c, wo_c, wi, wo_f, fln,
-                 bias_row, bias0, seg, encmask, kc, vc, kx, vx,
+                 bias_row, bias0, seg, seg_t, encmask, kc, vc, kx, vx,
                  x_out, knew, vnew, xs,
                  *, n_layers: int, bb: int, group: int, heads: int,
                  dkv: int, eps: float, cdt):
-    """One (layer, batch-block) grid cell; layouts in module docstring."""
+    """One (layer, batch-block) grid cell; layouts in module docstring.
+
+    All attention math is batched over the block's rows — no per-row
+    loops, no transposed matmul operands (seg/seg_t give both contraction
+    orientations), at most one free+contract matmul shape per op.
+    """
     i = pl.program_id(0)
     b = pl.program_id(1)
     idx = idx_ref[0, 0]
@@ -85,18 +90,23 @@ def _mega_kernel(idx_ref, x_in, ln, wqkv, wo_s, wq_c, wo_c, wi, wo_f, fln,
                        preferred_element_type=f32).astype(cdt)
 
     seg_c = seg[...].astype(cdt)                     # [inner, H] 0/1
+    seg_tc = seg_t[...].astype(cdt)                  # [H, inner]
 
     def head_scores(prod):
-        """[L, inner] elementwise q*k products -> per-head scores [L, H]."""
-        return jnp.dot(prod, seg_c, preferred_element_type=f32)
+        """[..., inner] q*k products -> per-head scores [..., H]:
+        contract inner against the segment matrix (clean [M,K]@[K,N])."""
+        nd = prod.ndim
+        return jax.lax.dot_general(
+            prod, seg_c, (((nd - 1,), (0,)), ((), ())),
+            preferred_element_type=f32)
 
-    def head_context(v_rows, p):
-        """V [L, inner], P [L, H] -> ctx [1, inner] with each head's 64-lane
-        segment taking its own probability column: diag_h(V^T P)."""
-        vtp = jax.lax.dot_general(
-            v_rows, p.astype(cdt), (((0,), (0,)), ((), ())),
-            preferred_element_type=f32)              # [inner, H]
-        return jnp.sum(vtp * seg[...], axis=1)[None, :]  # [1, inner] f32
+    def expand_heads(p):
+        """[..., H] per-head values -> [..., inner] broadcast across each
+        head's dkv lanes (0/1 matmul, no transpose)."""
+        nd = p.ndim
+        return jax.lax.dot_general(
+            p.astype(cdt), seg_tc, (((nd - 1,), (0,)), ((), ())),
+            preferred_element_type=f32).astype(cdt)
 
     # ---- self-attention (cache rows < idx, current token appended) ----
     h = rms(x, ln[0, 0])
@@ -112,48 +122,44 @@ def _mega_kernel(idx_ref, x_in, ln, wqkv, wo_s, wq_c, wo_c, wi, wo_f, fln,
     l = kcb.shape[1]
     kxb = kx[:, 0]                                   # [bbE, LencP, inner]
     vxb = vx[:, 0]
-    lenc = kxb.shape[1]
 
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (l, heads), 0)
-    attn_rows = []
-    for r in range(bb):
-        prod = (kcb[r] * q2[r][None, :]).astype(cdt)     # [L, inner]
-        s = head_scores(prod) + bias_row[...]            # [L, H] f32
-        s = jnp.where(row_ids < idx, s, NEG_INF)
-        s_new = head_scores((k_new[r][None, :] * q2[r][None, :]).astype(cdt))
-        s_new = s_new + bias0[...]                       # [1, H]
-        m = jnp.maximum(jnp.max(s, axis=0), s_new[0])    # [H]
-        e = jnp.exp(s - m[None, :])
-        e_new = jnp.exp(s_new[0] - m)                    # [H]
-        denom = jnp.sum(e, axis=0) + e_new               # [H]
-        ctx = head_context(vcb[r], e / denom[None, :])   # [1, inner]
-        p_new_l = jax.lax.dot_general(
-            (e_new / denom)[None, :].astype(cdt), seg_c,
-            (((1,), (1,)), ((), ())),
-            preferred_element_type=f32)                  # [1, inner]
-        ctx = (ctx + p_new_l * v_new[r][None, :].astype(f32)).astype(cdt)
-        attn_rows.append(ctx)
-    attn = jnp.concatenate(attn_rows, axis=0)            # [bb, inner]
-    x = x + mm(attn, wo_s[0])
+    prod = (kcb * q2[:, None, :]).astype(cdt)        # [bb, L, inner]
+    s = head_scores(prod) + bias_row[...][None]      # [bb, L, H] f32
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (bb, l, heads), 1)
+    s = jnp.where(row_ids < idx, s, NEG_INF)
+    s_new = head_scores((q2 * k_new).astype(cdt)) + bias0[...]   # [bb, H]
+    m = jnp.maximum(jnp.max(s, axis=1), s_new)       # [bb, H]
+    e = jnp.exp(s - m[:, None, :])
+    e_new = jnp.exp(s_new - m)                       # [bb, H]
+    denom = jnp.sum(e, axis=1) + e_new               # [bb, H]
+    p_exp = expand_heads(e / denom[:, None, :])      # [bb, L, inner]
+    ctx = jnp.sum((p_exp * vcb).astype(f32), axis=1)  # [bb, inner]
+    ctx = (ctx + expand_heads(e_new / denom).astype(f32)
+           * v_new.astype(f32)).astype(cdt)
+    x = x + mm(ctx, wo_s[0])
 
     # ---- cross-attention (per-example KV shared across beams) ----
     h = rms(x, ln[0, 1])
     qc = mm(h, wq_c[0])                                  # [bb, inner]
-    cross_rows = []
-    for r in range(bb):
-        e_i = r // group                                 # example index
-        prod = (kxb[e_i] * qc[r][None, :]).astype(cdt)   # [LencP, inner]
-        s = head_scores(prod)                            # [LencP, H] f32
+    ctx_parts = []
+    n_ex = bb // group
+    for e_i in range(n_ex):
+        qe = qc[e_i * group:(e_i + 1) * group]           # [g, inner]
+        prod = (kxb[e_i][None] * qe[:, None, :]).astype(cdt)  # [g, LencP, inner]
+        s = head_scores(prod)                            # [g, LencP, H] f32
         # encmask is the FULL [B0, LencP] block (a bbe-row block would
         # violate the (8,128) block rule); dynamic row read as in
         # decode_attention.py:98
-        valid = encmask[b * (bb // group) + e_i][:, None] > 0
+        valid = encmask[b * n_ex + e_i][None, :, None] > 0
         s = jnp.where(valid, s, NEG_INF)
-        m = jnp.max(s, axis=0)
-        e = jnp.exp(s - m[None, :])
-        p = e / jnp.sum(e, axis=0)[None, :]
-        cross_rows.append(head_context(vxb[e_i], p).astype(cdt))
-    ctx_c = jnp.concatenate(cross_rows, axis=0)          # [bb, inner]
+        mx = jnp.max(s, axis=1, keepdims=True)
+        e = jnp.exp(s - mx)
+        p = e / jnp.sum(e, axis=1, keepdims=True)
+        p_exp = expand_heads(p)                          # [g, LencP, inner]
+        ctx_parts.append(
+            jnp.sum((p_exp * vxb[e_i][None]).astype(f32), axis=1))
+    ctx_c = (jnp.concatenate(ctx_parts, axis=0)
+             if n_ex > 1 else ctx_parts[0]).astype(cdt)  # [bb, inner]
     x = x + mm(ctx_c, wo_c[0])
 
     # ---- feed-forward (t5-base: relu) ----
@@ -209,7 +215,9 @@ def mega_decode_step(stacked: Dict[str, Array], x: Array,
     d_ff = stacked["wi"].shape[2]
 
     idx = jnp.asarray(cache_index, jnp.int32).reshape(1, 1)
-    seg = jnp.asarray(segment_matrix(heads, dkv))
+    seg_np = segment_matrix(heads, dkv)
+    seg = jnp.asarray(seg_np)
+    seg_t = jnp.asarray(np.ascontiguousarray(seg_np.T))
     kernel = functools.partial(
         _mega_kernel, n_layers=n_layers, bb=bb, group=group, heads=heads,
         dkv=dkv, eps=eps, cdt=cdt)
@@ -250,6 +258,7 @@ def mega_decode_step(stacked: Dict[str, Array], x: Array,
             const2(l, heads),                                # bias_row
             const2(1, heads),                                # bias0
             const2(inner, heads),                            # seg
+            const2(heads, inner),                            # seg_t
             pl.BlockSpec((b0, lencp), lambda i, b: (0, 0),
                          memory_space=pltpu.VMEM),           # enc mask (full)
             cache_spec,                                      # k cache
@@ -269,8 +278,8 @@ def mega_decode_step(stacked: Dict[str, Array], x: Array,
         interpret=interpret,
     )(idx, x, stacked["ln"], stacked["wqkv"], stacked["wo_self"],
       stacked["wq_cross"], stacked["wo_cross"], stacked["wi"],
-      stacked["wo_ff"], stacked["final_ln"], bias_row, bias0, seg, enc_mask,
-      k_cache, v_cache, k_cross, v_cross)
+      stacked["wo_ff"], stacked["final_ln"], bias_row, bias0, seg, seg_t,
+      enc_mask, k_cache, v_cache, k_cross, v_cross)
     return (hidden, k_new.reshape(bsz, n_layers, inner),
             v_new.reshape(bsz, n_layers, inner))
 
