@@ -172,6 +172,42 @@ def _gather_beams(tree, indices: Array, batch: int):
     return jax.tree_util.tree_map(gather, tree)
 
 
+def _permute_rows(x: Array, src: Array) -> Array:
+    """``x[src]`` as a one-hot permutation MATMUL for large buffers.
+
+    XLA:TPU lowers a row gather on a multi-hundred-MB KV cache ~2.3x
+    slower than the copy bandwidth floor (measured 6.9 ms vs ~3 ms for
+    the 2.4 GB beam reorder, BENCH_NOTES.md round 2); the MXU streams the
+    same permutation at bandwidth. Exact for any dtype: each output row
+    accumulates exactly one input row scaled by 1.0."""
+    b = x.shape[0]
+    if x.size < (1 << 20):
+        return jnp.take(x, src, axis=0)
+    onehot = jax.nn.one_hot(src, b, dtype=x.dtype)       # [B, B]
+    flat = x.reshape(b, -1)
+    out = jax.lax.dot_general(onehot, flat, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    return out.astype(x.dtype).reshape(x.shape)
+
+
+def _topk_iterative(x: Array, k: int) -> Tuple[Array, Array]:
+    """``lax.top_k`` for small k via k max/argmax sweeps.
+
+    TPU's sort-based top_k over [batch, beams*vocab] costs ~1.4 ms per
+    decode step (BENCH_NOTES.md round 2); k passes of max+mask are ~30x
+    cheaper for k <= 16. Matches lax.top_k exactly, including the
+    smallest-index tie break."""
+    vals, idxs = [], []
+    neg = jnp.asarray(jnp.finfo(x.dtype).min, x.dtype)
+    cols = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    for _ in range(k):
+        top = jnp.argmax(x, axis=-1)
+        vals.append(jnp.take_along_axis(x, top[:, None], axis=-1)[:, 0])
+        idxs.append(top.astype(jnp.int32))
+        x = jnp.where(cols == top[:, None], neg, x)
+    return jnp.stack(vals, axis=1), jnp.stack(idxs, axis=1)
+
+
 def beam_search(fns: DecodeFns, enc_out: Array, enc_mask: Array,
                 max_length: int, num_beams: int = 4,
                 eos_token_id: int = 1, decoder_start_token_id: int = 0,
@@ -228,7 +264,7 @@ def beam_search(fns: DecodeFns, enc_out: Array, enc_mask: Array,
         logp = _unflatten_beams(logp, batch, K)  # [B, K, V]
         cand_scores = running_scores[:, :, None] + logp
         flat = cand_scores.reshape(batch, K * vocab)
-        top_scores, top_idx = jax.lax.top_k(flat, 2 * K)
+        top_scores, top_idx = _topk_iterative(flat, 2 * K)
         beam_idx = top_idx // vocab
         token_idx = top_idx % vocab
 
@@ -267,7 +303,7 @@ def beam_search(fns: DecodeFns, enc_out: Array, enc_mask: Array,
         def reorder(path, x):
             if any(getattr(k, "key", None) == "cross" for k in path):
                 return x
-            return jnp.take(x, flat_src, axis=0)
+            return _permute_rows(x, flat_src)
 
         cache = jax.tree_util.tree_map_with_path(reorder, cache)
 

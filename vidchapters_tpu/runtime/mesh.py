@@ -98,3 +98,13 @@ def enable_sequence_parallelism(mesh: Mesh) -> bool:
     t5.SEQUENCE_SHARDING = NamedSharding(
         mesh, P(mesh.axis_names[0], mesh.axis_names[1]))
     return True
+
+
+def disable_sequence_parallelism() -> None:
+    """Clear the module-global sharding constraint (enable_* sets process
+    state; callers that trace OTHER programs afterwards — e.g. the driver
+    compile-checking ``entry()`` after ``dryrun_multichip`` — must reset
+    it or those traces inherit a mesh they don't run under)."""
+    import vidchapters_tpu.models.t5 as t5
+
+    t5.SEQUENCE_SHARDING = None
