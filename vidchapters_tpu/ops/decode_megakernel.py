@@ -60,12 +60,20 @@ def _mega_kernel(idx_ref, x_in, ln, wqkv, wo_s, wq_c, wo_c, wi, wo_f, fln,
                  bias_row, bias0, seg, seg_t, encmask, kc, vc, kx, vx,
                  x_out, knew, vnew, xs,
                  *, n_layers: int, bb: int, group: int, heads: int,
-                 dkv: int, eps: float, cdt):
+                 dkv: int, eps: float, cdt,
+                 src_ref=None, kc_out=None, vc_out=None):
     """One (layer, batch-block) grid cell; layouts in module docstring.
 
     All attention math is batched over the block's rows — no per-row
     loops, no transposed matmul operands (seg/seg_t give both contraction
     orientations), at most one free+contract matmul shape per op.
+
+    With ``src_ref`` (beam search), the previous step's beam permutation
+    is applied HERE: cache rows are gathered in VMEM while the block is
+    resident anyway and the permuted block is written back through the
+    aliased ``kc_out``/``vc_out`` — the separate 2.4 GB reorder pass
+    disappears (beams only permute within an example, so every source row
+    lives in the same block).
     """
     i = pl.program_id(0)
     b = pl.program_id(1)
@@ -119,6 +127,14 @@ def _mega_kernel(idx_ref, x_in, ln, wqkv, wo_s, wq_c, wo_c, wi, wo_f, fln,
 
     kcb = kc[:, 0]                                   # [bb, L, inner]
     vcb = vc[:, 0]
+    if src_ref is not None:
+        base = b * bb
+        kcb = jnp.stack([kcb[src_ref[0, base + r] - base]
+                         for r in range(bb)], axis=0)
+        vcb = jnp.stack([vcb[src_ref[0, base + r] - base]
+                         for r in range(bb)], axis=0)
+        kc_out[:, 0] = kcb
+        vc_out[:, 0] = vcb
     l = kcb.shape[1]
     kxb = kx[:, 0]                                   # [bbE, LencP, inner]
     vxb = vx[:, 0]
@@ -193,8 +209,8 @@ def mega_decode_step(stacked: Dict[str, Array], x: Array,
                      bias_row: Array, bias0: Array, enc_mask: Array,
                      cache_index: Array, group: int, heads: int,
                      eps: float = 1e-6, bb: int = 8,
-                     interpret: bool = False
-                     ) -> Tuple[Array, Array, Array]:
+                     src: "Array | None" = None,
+                     interpret: bool = False):
     """One full decoder step over all layers.
 
     x [B, d] (token embeds, compute dtype); caches [B, N, L, inner];
@@ -202,6 +218,10 @@ def mega_decode_step(stacked: Dict[str, Array], x: Array,
     bias0 [1, H] f32; enc_mask [B0, LencP] int.  Returns (hidden [B, d]
     after final norm, k_new [B, N, inner], v_new same) — caller scatters
     the new rows into the caches at ``cache_index``.
+
+    With ``src`` [B] int32 (beam search), the caches are first permuted
+    by rows in-kernel (the deferred previous-step beam reorder) and the
+    permuted caches are returned as two extra outputs (donated buffers).
     """
     bsz, d = x.shape
     _, n_layers, l, inner = k_cache.shape
@@ -240,48 +260,82 @@ def mega_decode_step(stacked: Dict[str, Array], x: Array,
     new_spec = pl.BlockSpec((bb, inner), lambda i, b: (b, i),
                             memory_space=pltpu.VMEM)
 
-    hidden, k_new, v_new = pl.pallas_call(
-        kernel,
+    idx_spec = pl.BlockSpec((1, 1), lambda i, b: (0, 0),
+                            memory_space=pltpu.SMEM)
+    in_specs = [
+        idx_spec,                                        # cache_index
+        row_spec,                                        # x
+        wspec(3, d),                                     # ln
+        wspec(d, 3 * inner),                             # wqkv
+        wspec(inner, d),                                 # wo_self
+        wspec(d, inner),                                 # wq_cross
+        wspec(inner, d),                                 # wo_cross
+        wspec(d, d_ff),                                  # wi
+        wspec(d_ff, d),                                  # wo_ff
+        const2(1, d),                                    # final ln
+        const2(l, heads),                                # bias_row
+        const2(1, heads),                                # bias0
+        const2(inner, heads),                            # seg
+        const2(heads, inner),                            # seg_t
+        pl.BlockSpec((b0, lencp), lambda i, b: (0, 0),
+                     memory_space=pltpu.VMEM),           # enc mask (full)
+        cache_spec,                                      # k cache
+        cache_spec,                                      # v cache
+        cross_spec,                                      # k cross
+        cross_spec,                                      # v cross
+    ]
+    out_specs = [row_spec, new_spec, new_spec]
+    out_shape = [
+        jax.ShapeDtypeStruct((bsz, d), cdt),
+        jax.ShapeDtypeStruct((bsz, n_layers * inner), cdt),
+        jax.ShapeDtypeStruct((bsz, n_layers * inner), cdt),
+    ]
+    args = [idx, x, stacked["ln"], stacked["wqkv"], stacked["wo_self"],
+            stacked["wq_cross"], stacked["wo_cross"], stacked["wi"],
+            stacked["wo_ff"], stacked["final_ln"], bias_row, bias0, seg,
+            seg_t, enc_mask, k_cache, v_cache, k_cross, v_cross]
+    aliases = {}
+
+    if src is not None:
+        # deferred beam permutation: src after idx; permuted caches out
+        # (aliased to the cache inputs, which shift by one position)
+        def kernel_fn(idx_ref, src_ref, x_in, ln_r, wqkv_r, wo_s, wq_c,
+                      wo_c, wi_r, wo_f, fln, bias_r, bias0_r, seg_r,
+                      seg_t_r, encmask, kc, vc, kx, vx,
+                      x_out, knew, vnew, kc_out, vc_out, xs):
+            kernel(idx_ref, x_in, ln_r, wqkv_r, wo_s, wq_c, wo_c, wi_r,
+                   wo_f, fln, bias_r, bias0_r, seg_r, seg_t_r, encmask,
+                   kc, vc, kx, vx, x_out, knew, vnew, xs,
+                   src_ref=src_ref, kc_out=kc_out, vc_out=vc_out)
+
+        in_specs.insert(1, pl.BlockSpec((1, bsz), lambda i, b: (0, 0),
+                                        memory_space=pltpu.SMEM))
+        args.insert(1, jnp.asarray(src, jnp.int32).reshape(1, bsz))
+        out_specs += [cache_spec, cache_spec]
+        out_shape += [jax.ShapeDtypeStruct(k_cache.shape, cdt),
+                      jax.ShapeDtypeStruct(v_cache.shape, cdt)]
+        aliases = {16: 3, 17: 4}  # k_cache/v_cache inputs -> permuted outs
+    else:
+        kernel_fn = kernel
+
+    out = pl.pallas_call(
+        kernel_fn,
         grid=(n_layers, n_blocks),
-        in_specs=[
-            pl.BlockSpec((1, 1), lambda i, b: (0, 0),
-                         memory_space=pltpu.SMEM),          # cache_index
-            row_spec,                                        # x
-            wspec(3, d),                                     # ln
-            wspec(d, 3 * inner),                             # wqkv
-            wspec(inner, d),                                 # wo_self
-            wspec(d, inner),                                 # wq_cross
-            wspec(inner, d),                                 # wo_cross
-            wspec(d, d_ff),                                  # wi
-            wspec(d_ff, d),                                  # wo_ff
-            const2(1, d),                                    # final ln
-            const2(l, heads),                                # bias_row
-            const2(1, heads),                                # bias0
-            const2(inner, heads),                            # seg
-            const2(heads, inner),                            # seg_t
-            pl.BlockSpec((b0, lencp), lambda i, b: (0, 0),
-                         memory_space=pltpu.VMEM),           # enc mask (full)
-            cache_spec,                                      # k cache
-            cache_spec,                                      # v cache
-            cross_spec,                                      # k cross
-            cross_spec,                                      # v cross
-        ],
-        out_specs=(row_spec, new_spec, new_spec),
-        out_shape=(
-            jax.ShapeDtypeStruct((bsz, d), cdt),
-            jax.ShapeDtypeStruct((bsz, n_layers * inner), cdt),
-            jax.ShapeDtypeStruct((bsz, n_layers * inner), cdt),
-        ),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
         scratch_shapes=[pltpu.VMEM((n_blocks, bb, d), cdt)],
+        input_output_aliases=aliases,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=112 * 1024 * 1024),
         interpret=interpret,
-    )(idx, x, stacked["ln"], stacked["wqkv"], stacked["wo_self"],
-      stacked["wq_cross"], stacked["wo_cross"], stacked["wi"],
-      stacked["wo_ff"], stacked["final_ln"], bias_row, bias0, seg, seg_t,
-      enc_mask, k_cache, v_cache, k_cross, v_cross)
-    return (hidden, k_new.reshape(bsz, n_layers, inner),
-            v_new.reshape(bsz, n_layers, inner))
+    )(*args)
+    hidden, k_new, v_new = out[:3]
+    k_new = k_new.reshape(bsz, n_layers, inner)
+    v_new = v_new.reshape(bsz, n_layers, inner)
+    if src is not None:
+        return hidden, k_new, v_new, out[3], out[4]
+    return hidden, k_new, v_new
 
 
 # ---------------------------------------------------------------------------
@@ -385,11 +439,17 @@ def make_mega_decode_fns(cfg, t5_params: Dict[str, Any], max_length: int,
         vx = jnp.einsum("bld,ndi->bnli", enc, stacked["wv_cross"],
                         preferred_element_type=jnp.float32).astype(cdt)
         pad = [(0, 0), (0, 0), (0, lencp - lenc), (0, 0)]
-        return {
+        cache = {
             "self_k": jnp.zeros((batch, n, max_length, inner), cdt),
             "self_v": jnp.zeros((batch, n, max_length, inner), cdt),
             "cross": {"k": jnp.pad(kx, pad), "v": jnp.pad(vx, pad)},
         }
+        if group > 1:
+            # beam search: the beam permutation is DEFERRED — stored here
+            # by reorder_cache and applied inside the next step's kernel
+            # while the cache streams through VMEM anyway
+            cache["pending_src"] = jnp.arange(batch, dtype=jnp.int32)
+        return cache
 
     def step(tokens: Array, cache, index, enc_mask: Array):
         x = emb[tokens].astype(cdt)                   # [B, d]
@@ -399,18 +459,27 @@ def make_mega_decode_fns(cfg, t5_params: Dict[str, Any], max_length: int,
         lencp = cache["cross"]["k"].shape[2]
         mask_p = jnp.pad(enc_mask.astype(jnp.int32),
                          [(0, 0), (0, lencp - enc_mask.shape[1])])
-        hidden, k_new, v_new = mega_decode_step(
+        src = cache.get("pending_src")
+        out = mega_decode_step(
             stacked, x, cache["self_k"], cache["self_v"],
             cache["cross"]["k"], cache["cross"]["v"],
             bias_row, bias0, mask_p, index, group, heads,
-            eps=cfg.layer_norm_epsilon, bb=bb, interpret=interpret)
+            eps=cfg.layer_norm_epsilon, bb=bb, src=src,
+            interpret=interpret)
+        if src is not None:
+            hidden, k_new, v_new, self_k, self_v = out
+        else:
+            hidden, k_new, v_new = out
+            self_k, self_v = cache["self_k"], cache["self_v"]
         new_cache = {
             "self_k": jax.lax.dynamic_update_slice(
-                cache["self_k"], k_new[:, :, None, :], (0, 0, index, 0)),
+                self_k, k_new[:, :, None, :], (0, 0, index, 0)),
             "self_v": jax.lax.dynamic_update_slice(
-                cache["self_v"], v_new[:, :, None, :], (0, 0, index, 0)),
+                self_v, v_new[:, :, None, :], (0, 0, index, 0)),
             "cross": cache["cross"],
         }
+        if src is not None:
+            new_cache["pending_src"] = src
         # tied-embedding logits (models/t5.py logits_from_hidden)
         if cfg.tie_word_embeddings:
             hidden = hidden * (cfg.d_model ** -0.5)
@@ -420,4 +489,8 @@ def make_mega_decode_fns(cfg, t5_params: Dict[str, Any], max_length: int,
             logits = hidden @ lm
         return logits.astype(jnp.float32), new_cache
 
-    return DecodeFns(init_cache, step)
+    def reorder_cache(cache, flat_src):
+        return {**cache, "pending_src": flat_src.astype(jnp.int32)}
+
+    return DecodeFns(init_cache, step,
+                     reorder_cache if group > 1 else None)

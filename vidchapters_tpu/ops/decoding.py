@@ -32,6 +32,10 @@ NEG_INF = -1.0e7
 class DecodeFns(NamedTuple):
     init_cache: Callable[[int, int, Array], Any]
     step: Callable[[Array, Any, Array, Array], Tuple[Array, Any]]
+    # optional override for beam-search cache reordering (e.g. the mega
+    # decode path defers the permutation into the next step's kernel,
+    # which streams the cache anyway — see ops/decode_megakernel.py)
+    reorder_cache: Any = None
 
 
 def make_decode_fns(model, params, max_length: int) -> DecodeFns:
@@ -181,7 +185,10 @@ def _permute_rows(x: Array, src: Array) -> Array:
     same permutation at bandwidth. Exact for any dtype: each output row
     accumulates exactly one input row scaled by 1.0."""
     b = x.shape[0]
-    if x.size < (1 << 20):
+    # measured crossover on v5e: the 604 MB stacked mega caches reorder
+    # 2.3x faster as a matmul, while the standard path's 25 MB per-layer
+    # leaves are better off with the native gather
+    if x.size < (1 << 26):
         return jnp.take(x, src, axis=0)
     onehot = jax.nn.one_hot(src, b, dtype=x.dtype)       # [B, B]
     flat = x.reshape(b, -1)
@@ -300,12 +307,15 @@ def beam_search(fns: DecodeFns, enc_out: Array, enc_mask: Array,
         # every step dominates decode time otherwise.
         flat_src = (jnp.arange(batch)[:, None] * K + src_beams).reshape(-1)
 
-        def reorder(path, x):
-            if any(getattr(k, "key", None) == "cross" for k in path):
-                return x
-            return _permute_rows(x, flat_src)
+        if fns.reorder_cache is not None:
+            cache = fns.reorder_cache(cache, flat_src)
+        else:
+            def reorder(path, x):
+                if any(getattr(k, "key", None) == "cross" for k in path):
+                    return x
+                return _permute_rows(x, flat_src)
 
-        cache = jax.tree_util.tree_map_with_path(reorder, cache)
+            cache = jax.tree_util.tree_map_with_path(reorder, cache)
 
         return (i + 1, running_seqs, running_scores, finished_seqs,
                 finished_scores, finished_flags, new_tokens, cache)
