@@ -94,17 +94,19 @@ def _fused_decode_enabled() -> bool:
 
 
 # cross-layer decode megakernel (ops/decode_megakernel.py): ONE Pallas
-# program per decode step over all decoder layers, replacing ~300 small
-# HLO ops with ~25. Measured 5.48 vs 5.33 videos/s (beam-4/256/bs16) on
-# v5e — op count was NOT the decode bottleneck; the step time lives in
-# the kernel/step body itself (BENCH_NOTES.md). Default OFF until it
-# beats the standard path. make_generate_fn falls back to the standard
-# path when the batch/beam geometry doesn't tile.
-USE_MEGA_DECODE = False
+# program per decode step over all decoder layers, with the beam cache
+# permutation folded into the kernel's streaming pass. 15.85 vs 5.33
+# videos/s (beam-4/256/bs16) on v5e — BENCH_NOTES.md round 2.
+# True / False / None (auto: only on TPU backends); make_generate_fn
+# falls back to the standard path when the batch/beam geometry doesn't
+# tile (beams not in {1,2,4,8} or batch*beams % block != 0).
+USE_MEGA_DECODE = None
 
 
 def _mega_decode_enabled() -> bool:
-    return bool(USE_MEGA_DECODE)
+    if USE_MEGA_DECODE is not None:
+        return USE_MEGA_DECODE
+    return jax.default_backend() not in ("cpu", "gpu")
 
 
 def _apply_dropout(module: nn.Module, x: Array, rate: float,

@@ -125,16 +125,19 @@ def _mega_kernel(idx_ref, x_in, ln, wqkv, wo_s, wq_c, wo_c, wi, wo_f, fln,
     knew[...] = k_new
     vnew[...] = v_new
 
-    kcb = kc[:, 0]                                   # [bb, L, inner]
-    vcb = vc[:, 0]
     if src_ref is not None:
+        # dynamic row reads must go through the REF (dynamic_slice on a
+        # loaded value has no Mosaic lowering)
         base = b * bb
-        kcb = jnp.stack([kcb[src_ref[0, base + r] - base]
+        kcb = jnp.stack([kc[src_ref[0, base + r] - base, 0]
                          for r in range(bb)], axis=0)
-        vcb = jnp.stack([vcb[src_ref[0, base + r] - base]
+        vcb = jnp.stack([vc[src_ref[0, base + r] - base, 0]
                          for r in range(bb)], axis=0)
         kc_out[:, 0] = kcb
         vc_out[:, 0] = vcb
+    else:
+        kcb = kc[:, 0]                               # [bb, L, inner]
+        vcb = vc[:, 0]
     l = kcb.shape[1]
     kxb = kx[:, 0]                                   # [bbE, LencP, inner]
     vxb = vx[:, 0]
