@@ -139,6 +139,8 @@ def _mega_kernel(idx_ref, x_in, ln, wqkv, wo_s, wq_c, wo_c, wi, wo_f, fln,
         kcb = kc[:, 0]                               # [bb, L, inner]
         vcb = vc[:, 0]
     l = kcb.shape[1]
+    kxb = kx[:, 0]                                   # [bbE, LencP, inner]
+    vxb = vx[:, 0]
 
     prod = (kcb * q2[:, None, :]).astype(cdt)        # [bb, L, inner]
     s = head_scores(prod) + bias_row[...][None]      # [bb, L, H] f32
@@ -156,38 +158,27 @@ def _mega_kernel(idx_ref, x_in, ln, wqkv, wo_s, wq_c, wo_c, wi, wo_f, fln,
     x = x + mm(ctx, wo_s[0])
 
     # ---- cross-attention (per-example KV shared across beams) ----
-    # head-major MXU path: cross KV is stored [B0, N*H, LencP, dkv] so each
-    # example's block reads as [H, LencP, dkv] and both score and context
-    # are single 1-batch-dim dot_generals over heads (replaces ~13M VPU
-    # element-ops per cell of the segment-matmul formulation)
     h = rms(x, ln[0, 1])
     qc = mm(h, wq_c[0])                                  # [bb, inner]
     ctx_parts = []
     n_ex = bb // group
     for e_i in range(n_ex):
         qe = qc[e_i * group:(e_i + 1) * group]           # [g, inner]
-        q_h = jnp.stack([qe[:, hh * dkv:(hh + 1) * dkv]
-                         for hh in range(heads)], axis=0)  # [H, g, dkv]
-        kxh = kx[e_i]                                    # [H, LencP, dkv]
-        vxh = vx[e_i]
-        s = jax.lax.dot_general(
-            q_h.astype(cdt), kxh, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=f32)                  # [H, g, LencP]
+        prod = (kxb[e_i][None] * qe[:, None, :]).astype(cdt)  # [g, LencP, inner]
+        s = head_scores(prod)                            # [g, LencP, H] f32
         # encmask is the FULL [B0, LencP] block (a bbe-row block would
         # violate the (8,128) block rule); dynamic row read as in
         # decode_attention.py:98
-        valid = encmask[b * n_ex + e_i][None, None, :] > 0
+        valid = encmask[b * n_ex + e_i][None, :, None] > 0
         s = jnp.where(valid, s, NEG_INF)
-        mx = jnp.max(s, axis=2, keepdims=True)
+        mx = jnp.max(s, axis=1, keepdims=True)
         e = jnp.exp(s - mx)
-        p = (e / jnp.sum(e, axis=2, keepdims=True)).astype(cdt)
-        cx = jax.lax.dot_general(
-            p, vxh, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=f32).astype(cdt)      # [H, g, dkv]
-        ctx_parts.append(jnp.concatenate(
-            [cx[hh] for hh in range(heads)], axis=1))    # [g, inner]
+        p = e / jnp.sum(e, axis=1, keepdims=True)
+        p_exp = expand_heads(p)                          # [g, LencP, inner]
+        ctx_parts.append(
+            jnp.sum((p_exp * vxb[e_i][None]).astype(f32), axis=1))
     ctx_c = (jnp.concatenate(ctx_parts, axis=0)
-             if n_ex > 1 else ctx_parts[0])              # [bb, inner]
+             if n_ex > 1 else ctx_parts[0]).astype(cdt)  # [bb, inner]
     x = x + mm(ctx_c, wo_c[0])
 
     # ---- feed-forward (t5-base: relu) ----
@@ -262,9 +253,7 @@ def mega_decode_step(stacked: Dict[str, Array], x: Array,
     cache_spec = pl.BlockSpec((bb, 1, l, inner),
                               lambda i, b: (b, i, 0, 0),
                               memory_space=pltpu.VMEM)
-    # cross KV is head-major [B0, N*H, LencP, dkv]: a (bbe, H) block at
-    # row-block b, layer i reads as per-example [H, LencP, dkv]
-    cross_spec = pl.BlockSpec((bbe, heads, lencp, dkv),
+    cross_spec = pl.BlockSpec((bbe, 1, lencp, inner),
                               lambda i, b: (b, i, 0, 0),
                               memory_space=pltpu.VMEM)
     row_spec = pl.BlockSpec((bb, d), lambda i, b: (b, 0),
@@ -448,17 +437,10 @@ def make_mega_decode_fns(cfg, t5_params: Dict[str, Any], max_length: int,
         b0, lenc, _ = enc_out.shape
         lencp = _round_up(lenc, 16)
         enc = enc_out.astype(cdt)
-
-        def project(w):
-            # [B0, Lenc, d] x [N, d, inner] -> head-major [B0, N*H, Lenc, dkv]
-            kv = jnp.einsum("bld,ndi->bnli", enc, w,
-                            preferred_element_type=jnp.float32).astype(cdt)
-            kv = kv.reshape(b0, n, lenc, heads, cfg.d_kv)
-            return kv.transpose(0, 1, 3, 2, 4).reshape(
-                b0, n * heads, lenc, cfg.d_kv)
-
-        kx = project(stacked["wk_cross"])
-        vx = project(stacked["wv_cross"])
+        kx = jnp.einsum("bld,ndi->bnli", enc, stacked["wk_cross"],
+                        preferred_element_type=jnp.float32).astype(cdt)
+        vx = jnp.einsum("bld,ndi->bnli", enc, stacked["wv_cross"],
+                        preferred_element_type=jnp.float32).astype(cdt)
         pad = [(0, 0), (0, 0), (0, lencp - lenc), (0, 0)]
         cache = {
             "self_k": jnp.zeros((batch, n, max_length, inner), cdt),
