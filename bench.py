@@ -72,7 +72,9 @@ def main() -> None:
         "denoising_output_tokens": jnp.asarray(
             np_rng.integers(2, 32000, (batch, den_out)), jnp.int32),
     }
-    step_rng = jax.random.PRNGKey(1)
+    from vidchapters_tpu.runtime.rng import fast_train_key
+
+    step_rng = fast_train_key(1)
 
     # warmup / compile; fetch a scalar to the host — on the axon remote
     # platform block_until_ready returns before execution finishes, so a

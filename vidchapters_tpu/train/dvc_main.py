@@ -32,6 +32,7 @@ from vidchapters_tpu.models.vid2seq import Vid2Seq
 from vidchapters_tpu.runtime.checkpoint import CheckpointManager
 from vidchapters_tpu.runtime.mesh import create_mesh, is_main_process
 from vidchapters_tpu.runtime.meters import MetricLogger
+from vidchapters_tpu.runtime.rng import fast_train_key
 from vidchapters_tpu.train.dvc_train import (
     TrainState,
     evaluate,
@@ -71,6 +72,7 @@ def main(cfg: ExperimentConfig,
 
     model = Vid2Seq(cfg.model)
     rng = jax.random.PRNGKey(cfg.train.seed)
+    step_key = fast_train_key(cfg.train.seed)  # rbg dropout stream (runtime/rng.py)
 
     # init (or import) parameters
     d = cfg.data
@@ -130,7 +132,7 @@ def main(cfg: ExperimentConfig,
                               else jnp.asarray(v))
                           for k, v in batch.items()
                           if isinstance(v, np.ndarray)}
-                state, metrics = train_step(state, arrays, rng)
+                state, metrics = train_step(state, arrays, step_key)
                 logger.update(**{k: float(v) for k, v in metrics.items()})
                 if not np.isfinite(float(metrics["total_loss"])):
                     raise RuntimeError("Loss is not finite, stopping training")

@@ -26,6 +26,7 @@ from vidchapters_tpu.data.grounding_dataset import GroundingDataset, grounding_c
 from vidchapters_tpu.models.grounding import MomentDETR
 from vidchapters_tpu.runtime.checkpoint import CheckpointManager
 from vidchapters_tpu.runtime.meters import MetricLogger
+from vidchapters_tpu.runtime.rng import fast_train_key
 from vidchapters_tpu.train.grounding_train import (
     GroundingTrainState,
     build_grounding_optimizer,
@@ -76,6 +77,7 @@ def main(train_jsonl: str, val_jsonl: str, v_feat_dirs: List[str],
     first = next(batches(train_ds, min(batch_size, len(train_ds)), cfg.max_v_l,
                          max_spans, False, seed, tokenize))
     rng = jax.random.PRNGKey(seed)
+    step_key = fast_train_key(seed)
     if text_encoder is not None:
         src_txt = text_encoder.apply({"params": text_params},
                                      jnp.asarray(first["query_tokens"]),
@@ -121,7 +123,7 @@ def main(train_jsonl: str, val_jsonl: str, v_feat_dirs: List[str],
                           else jnp.asarray(v))
                       for k, v in batch.items() if isinstance(v, np.ndarray)}
             with mesh:
-                state, metrics = train_step(state, arrays, rng)
+                state, metrics = train_step(state, arrays, step_key)
             logger.update(loss=float(metrics["total"]))
         stats = {"epoch": epoch, **logger.global_averages()}
 

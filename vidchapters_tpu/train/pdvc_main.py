@@ -23,6 +23,7 @@ from vidchapters_tpu.data.pdvc_dataset import PDVCDataset, Translator, pdvc_coll
 from vidchapters_tpu.models.pdvc import PDVC
 from vidchapters_tpu.runtime.checkpoint import CheckpointManager
 from vidchapters_tpu.runtime.meters import MetricLogger
+from vidchapters_tpu.runtime.rng import fast_train_key
 from vidchapters_tpu.train.pdvc_train import (
     PDVCTrainState,
     build_pdvc_optimizer,
@@ -85,6 +86,7 @@ def main(train_json: str, val_json: str, features_path, cfg: PDVCConfig,
     model = PDVC(cfg)
     first = pdvc_collate([train_ds[0]])
     rng = jax.random.PRNGKey(seed)
+    step_key = fast_train_key(seed)
     params = model.init({"params": rng}, jnp.asarray(first["video"]),
                         jnp.asarray(first["video_mask"]),
                         method=model.init_all)["params"]
@@ -115,7 +117,7 @@ def main(train_json: str, val_json: str, features_path, cfg: PDVCConfig,
             batch = pdvc_collate([train_ds[int(i)] for i in order[s:s + batch_size]])
             arrays = {k: jnp.asarray(v) for k, v in batch.items()
                       if isinstance(v, np.ndarray)}
-            state, metrics = train_step(state, arrays, rng)
+            state, metrics = train_step(state, arrays, step_key)
             logger.update(loss=float(metrics["total"]))
 
         def val_batches():

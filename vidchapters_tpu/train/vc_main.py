@@ -21,6 +21,7 @@ from vidchapters_tpu.data.vc_dataset import VideoCaptioningDataset, vc_collate
 from vidchapters_tpu.models.vid2seq import Vid2Seq
 from vidchapters_tpu.runtime.checkpoint import CheckpointManager
 from vidchapters_tpu.runtime.meters import MetricLogger
+from vidchapters_tpu.runtime.rng import fast_train_key
 from vidchapters_tpu.train.dvc_train import TrainState
 from vidchapters_tpu.train.vc_train import (
     evaluate_vc,
@@ -48,6 +49,7 @@ def main(train_json: str, val_json: str, features_path,
 
     model = Vid2Seq(model_cfg)
     rng = jax.random.PRNGKey(seed)
+    step_key = fast_train_key(seed)
     d = data_cfg
     if init_params is None:
         init_params = model.init(
@@ -76,7 +78,7 @@ def main(train_json: str, val_json: str, features_path,
                 "output_tokens": jnp.asarray(tokenize_batch(
                     batch["output_text"], tokenizer, d.max_output_tokens)),
             }
-            state, metrics = train_step(state, arrays, rng)
+            state, metrics = train_step(state, arrays, step_key)
             logger.update(loss=float(metrics["loss"]))
 
         _, metrics = evaluate_vc(model, state.params, val_ds, tokenizer,
