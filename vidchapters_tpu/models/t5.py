@@ -32,6 +32,11 @@ Array = jax.Array
 
 NEG_INF = -1e9  # large-negative additive mask (safe in bf16)
 
+# Residual-stream pad quantum: T5Stack pads sequences to this multiple once
+# at stack entry (and Vid2Seq pads the fused encoder states once) so the
+# attention kernels' 128-row blocking never pads per layer.
+SEQ_PAD_BLOCK = 128
+
 # gradient checkpointing of each T5 block during training; disable on chips
 # with HBM to spare for ~25% fewer recomputed FLOPs
 REMAT_BLOCKS = True
@@ -466,7 +471,21 @@ class T5Stack(nn.Module):
                  enc_mask: Optional[Array] = None,
                  deterministic: bool = True) -> Array:
         """Full-sequence forward (training / encoding)."""
-        b, l, _ = inputs_embeds.shape
+        b, l_orig, _ = inputs_embeds.shape
+        # ENCODER ONLY: pad the residual stream ONCE to the attention
+        # kernel's 128-row block so no per-layer q/k/v pad/unpad ops remain
+        # (~5 ms/step of pads in the round-2 profile at the reference
+        # recipe).  Exact: padded positions are masked out as keys and
+        # their query rows are sliced off before return.  The decoder's
+        # shorter streams (256/304) pad ~1 MB tensors per layer — cheaper
+        # than carrying +26% rows through its FF/projections.
+        l = (l_orig if self.is_decoder
+             else -(-l_orig // SEQ_PAD_BLOCK) * SEQ_PAD_BLOCK)
+        if l != l_orig:
+            inputs_embeds = jnp.pad(
+                inputs_embeds, ((0, 0), (0, l - l_orig), (0, 0)))
+            attention_mask = jnp.pad(
+                attention_mask, ((0, 0), (0, l - l_orig)))
         rate = self.dropout_rate
         x = _apply_dropout(self, inputs_embeds.astype(_dtype(self.cfg)),
                            rate, deterministic)
@@ -496,7 +515,8 @@ class T5Stack(nn.Module):
                 body(blk, x, self_bias, attention_mask, enc_out, enc_mask),
                 self.is_decoder)
         x = self.final_norm(x)
-        return _apply_dropout(self, x, rate, deterministic)
+        x = _apply_dropout(self, x, rate, deterministic)
+        return x[:, :l_orig] if l != l_orig else x
 
     # ----- incremental decoding -----
 

@@ -16,6 +16,7 @@ import jax.numpy as jnp
 
 from vidchapters_tpu.config import Vid2SeqConfig
 from vidchapters_tpu.models.t5 import (
+    SEQ_PAD_BLOCK,
     T5ForConditionalGeneration,
     label_smoothed_cross_entropy,
     shift_right,
@@ -62,6 +63,15 @@ class Vid2Seq(nn.Module):
             masks.append(attention_mask.astype(jnp.int32))
         enc_out = jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
         enc_mask = jnp.concatenate(masks, axis=1) if len(masks) > 1 else masks[0]
+        # Pad the fused states to the attention block quantum once so the
+        # decoder's cross-attention never pads K/V per layer (12 layers x
+        # fwd+bwd x 2 passes at the reference recipe's 1100-token fusion).
+        # Padded keys carry mask 0 — consumers are mask-correct by contract.
+        l = enc_out.shape[1]
+        lp = -(-l // SEQ_PAD_BLOCK) * SEQ_PAD_BLOCK
+        if lp != l:
+            enc_out = jnp.pad(enc_out, ((0, 0), (0, lp - l), (0, 0)))
+            enc_mask = jnp.pad(enc_mask, ((0, 0), (0, lp - l)))
         return enc_out, enc_mask
 
     def __call__(self, video: Optional[Array], input_ids: Optional[Array],

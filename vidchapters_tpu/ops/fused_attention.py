@@ -97,8 +97,12 @@ def _keep_scale(seed, b, h, q0, block_q, lk, rate):
 def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, mask_ref, out_ref,
                 *, dropout_rate: float, has_bias: bool = True):
     # q_ref [1,1,bq,D]; k/v [1,1,Lk,D]; bias [1,1,bq,Lk]; mask [B,Lk] (full)
-    q = q_ref[0, 0].astype(jnp.float32)
-    k = k_ref[0, 0].astype(jnp.float32)
+    # Dots keep their operands in the INPUT dtype with f32 accumulation:
+    # bf16 multiplicands hit the MXU's native bf16xbf16->f32 mode (an
+    # explicit f32 upcast forces the 3-pass f32 MXU path, ~3x slower on
+    # v5e) and produce the same products — bf16 values are exact in f32.
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
     v = v_ref[0, 0]
     scores = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
     if has_bias:
@@ -176,8 +180,12 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, mask_ref,
     """Single backward pass: dq/dk/dv per (batch, head), and — when bias is
     present — dbias accumulated across the innermost batch grid dimension
     (one softmax recompute instead of two)."""
-    k = k_ref[0, 0].astype(jnp.float32)
-    v = v_ref[0, 0].astype(jnp.float32)
+    # operands stay in the input dtype for every dot (f32 accumulation);
+    # see the forward kernel's dtype note — f32 upcasts forfeit the MXU's
+    # native bf16 mode.  ds/p are cast back to the input dtype for their
+    # dots (standard flash-backward practice; dbias keeps unrounded f32).
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
     head_id, batch_id = pl.program_id(0), pl.program_id(1)
     valid = mask_ref[batch_id][None, :] > 0
     dk_ref[0, 0] = jnp.zeros_like(dk_ref[0, 0])
@@ -190,9 +198,9 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, mask_ref,
             db_ref[0, 0] = jnp.zeros_like(db_ref[0, 0])
 
     def body(n, _):
-        q_blk = q_ref[0, 0, pl.ds(n * BLOCK_Q, BLOCK_Q)].astype(jnp.float32)
+        q_blk = q_ref[0, 0, pl.ds(n * BLOCK_Q, BLOCK_Q)]
         out_blk = out_ref[0, 0, pl.ds(n * BLOCK_Q, BLOCK_Q)].astype(jnp.float32)
-        dout_blk = dout_ref[0, 0, pl.ds(n * BLOCK_Q, BLOCK_Q)].astype(jnp.float32)
+        dout_blk = dout_ref[0, 0, pl.ds(n * BLOCK_Q, BLOCK_Q)]
         scores = jnp.dot(q_blk, k.T, preferred_element_type=jnp.float32)
         if has_bias:
             scores = scores + bias_ref[0, 0, pl.ds(n * BLOCK_Q, BLOCK_Q)
@@ -203,7 +211,7 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, mask_ref,
         p = e / jnp.sum(e, axis=-1, keepdims=True)
         # delta = rowsum(dp_dropped . p_dropped) = rowsum(dout . out) holds
         # with dropout too, since both factors carry the same keep mask
-        delta_blk = jnp.sum(dout_blk * out_blk, axis=-1)
+        delta_blk = jnp.sum(dout_blk.astype(jnp.float32) * out_blk, axis=-1)
         dp = jnp.dot(dout_blk, v.T, preferred_element_type=jnp.float32)
         pd = p
         if dropout_rate > 0.0:
@@ -213,12 +221,13 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, mask_ref,
             dp = dp * keep
             pd = p * keep
         ds = p * (dp - delta_blk[:, None])
+        ds_c = ds.astype(k.dtype)
         dq_ref[0, 0, pl.ds(n * BLOCK_Q, BLOCK_Q)] = jnp.dot(
-            ds, k, preferred_element_type=jnp.float32).astype(dq_ref.dtype)
-        dk_ref[0, 0] += jnp.dot(ds.T, q_blk,
+            ds_c, k, preferred_element_type=jnp.float32).astype(dq_ref.dtype)
+        dk_ref[0, 0] += jnp.dot(ds_c.T, q_blk,
                                 preferred_element_type=jnp.float32
                                 ).astype(dk_ref.dtype)
-        dv_ref[0, 0] += jnp.dot(pd.T, dout_blk,
+        dv_ref[0, 0] += jnp.dot(pd.astype(dout_blk.dtype).T, dout_blk,
                                 preferred_element_type=jnp.float32
                                 ).astype(dv_ref.dtype)
         if has_bias:
