@@ -143,3 +143,28 @@ def test_mega_handles_nondefault_shapes(setup):
     mega_seqs = np.asarray(beam_search(mega, enc_out[:b0], enc_mask[:b0],
                                        MAX_LEN, num_beams=2))
     np.testing.assert_array_equal(mega_seqs, ref_seqs)
+
+
+def test_mega_chunked_cache_parity(setup, monkeypatch):
+    """Prefix-skip chunking (CACHE_CHUNK < max_len): greedy and beam tokens
+    must match the standard path exactly with the cache streamed in 2
+    chunks whose dead cells clamp their index maps."""
+    from vidchapters_tpu.ops import decode_megakernel as dm
+
+    cfg, model, params, enc_out, enc_mask = setup
+    monkeypatch.setattr(dm, "CACHE_CHUNK", 8)  # MAX_LEN=16 -> 2 chunks
+    ref = make_decode_fns(model, params, MAX_LEN)
+    mega = make_mega_decode_fns(cfg, params, MAX_LEN, num_beams=1,
+                                interpret=True)
+    ref_seqs = np.asarray(greedy_decode(ref, enc_out, enc_mask, MAX_LEN))
+    mega_seqs = np.asarray(greedy_decode(mega, enc_out, enc_mask, MAX_LEN))
+    np.testing.assert_array_equal(ref_seqs, mega_seqs)
+
+    b0 = 2
+    mega_b = make_mega_decode_fns(cfg, params, MAX_LEN, num_beams=4,
+                                  interpret=True)
+    ref_seqs = np.asarray(beam_search(ref, enc_out[:b0], enc_mask[:b0],
+                                      MAX_LEN, num_beams=4))
+    mega_seqs = np.asarray(beam_search(mega_b, enc_out[:b0], enc_mask[:b0],
+                                       MAX_LEN, num_beams=4))
+    np.testing.assert_array_equal(ref_seqs, mega_seqs)

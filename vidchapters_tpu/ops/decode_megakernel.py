@@ -51,41 +51,58 @@ from jax.experimental.pallas import tpu as pltpu
 Array = jax.Array
 NEG_INF = -1e9
 
+# Self-cache chunk rows for the prefix-skip grid dimension: small enough
+# that early decode steps skip most of the cache stream, large enough to
+# keep the grid-cell count modest (256-slot cache -> 2 chunks; measured
+# on v5e: 64-row chunks' extra cells cost more than their skipped DMA at
+# worst-case decode length).  Lengths not divisible by it fall back to a
+# single full-length chunk.
+CACHE_CHUNK = 128
+
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _mega_kernel(idx_ref, x_in, ln, wqkv, wo_s, wq_c, wo_c, wi, wo_f, fln,
+def _mega_kernel(idx_sp, x_in, ln, wqkv, wo_s, wq_c, wo_c, wi, wo_f, fln,
                  bias_row, bias0, seg, seg_t, encmask, kc, vc, kx, vx,
-                 x_out, knew, vnew, xs,
+                 x_out, knew, vnew, xs, q2s, ms, dens, ctxs,
                  *, n_layers: int, bb: int, group: int, heads: int,
-                 dkv: int, eps: float, cdt,
+                 dkv: int, eps: float, cdt, chunk: int, n_chunks: int,
                  src_ref=None, kc_out=None, vc_out=None):
-    """One (layer, batch-block) grid cell; layouts in module docstring.
+    """One (layer, batch-block, cache-chunk) grid cell; layouts in the
+    module docstring.
 
     All attention math is batched over the block's rows — no per-row
     loops, no transposed matmul operands (seg/seg_t give both contraction
     orientations), at most one free+contract matmul shape per op.
 
+    The self cache streams in ``chunk``-row pieces along a third grid
+    dimension; chunks whose rows are all >= ``idx`` are DEAD — their index
+    map clamps to the last live chunk (consecutive identical block indices
+    skip the DMA) and their compute is skipped, so per-step cache traffic
+    is proportional to the decoded prefix, paged-attention style.  The
+    online-softmax state (running max / denom / unnormalised context)
+    lives in VMEM scratch across the chunk cells; projections, the
+    current-token row, cross-attention and the FF run once per
+    (layer, block) in the first/last chunk cells.
+
     With ``src_ref`` (beam search), the previous step's beam permutation
-    is applied HERE: cache rows are gathered in VMEM while the block is
-    resident anyway and the permuted block is written back through the
-    aliased ``kc_out``/``vc_out`` — the separate 2.4 GB reorder pass
-    disappears (beams only permute within an example, so every source row
-    lives in the same block).
+    is applied HERE: cache rows are gathered in VMEM while the (live)
+    chunk is resident anyway and the permuted chunk is written back
+    through the aliased ``kc_out``/``vc_out`` — the separate 2.4 GB
+    reorder pass disappears (beams only permute within an example, so
+    every source row lives in the same block).
     """
     i = pl.program_id(0)
     b = pl.program_id(1)
-    idx = idx_ref[0, 0]
+    c = pl.program_id(2)
+    idx = idx_sp[0]
     inner = heads * dkv
     f32 = jnp.float32
-
-    @pl.when(i == 0)
-    def _():
-        xs[b] = x_in[...]
-
-    x = xs[b]                                        # [bb, d] cdt
+    # chunks holding any row < idx; at least one so chunk 0's specs are
+    # well-defined at idx == 0 (its rows are masked out anyway)
+    live = jnp.maximum((idx + chunk - 1) // chunk, 1)
 
     def rms(x, w):
         xf = x.astype(f32)
@@ -116,85 +133,119 @@ def _mega_kernel(idx_ref, x_in, ln, wqkv, wo_s, wq_c, wo_c, wi, wo_f, fln,
             p.astype(cdt), seg_tc, (((nd - 1,), (0,)), ((), ())),
             preferred_element_type=f32).astype(cdt)
 
-    # ---- self-attention (cache rows < idx, current token appended) ----
-    h = rms(x, ln[0, 0])
-    qkv = mm(h, wqkv[0])                             # [bb, 3*inner]
-    q2 = qkv[:, :inner]
-    k_new = qkv[:, inner:2 * inner]
-    v_new = qkv[:, 2 * inner:]
-    knew[...] = k_new
-    vnew[...] = v_new
+    def expand_heads_f32(p):
+        nd = p.ndim
+        return jax.lax.dot_general(
+            p, seg_t[...], (((nd - 1,), (0,)), ((), ())),
+            preferred_element_type=f32)
 
-    if src_ref is not None:
-        # dynamic row reads must go through the REF (dynamic_slice on a
-        # loaded value has no Mosaic lowering)
-        base = b * bb
-        kcb = jnp.stack([kc[src_ref[0, base + r] - base, 0]
-                         for r in range(bb)], axis=0)
-        vcb = jnp.stack([vc[src_ref[0, base + r] - base, 0]
-                         for r in range(bb)], axis=0)
-        kc_out[:, 0] = kcb
-        vc_out[:, 0] = vcb
-    else:
-        kcb = kc[:, 0]                               # [bb, L, inner]
-        vcb = vc[:, 0]
-    l = kcb.shape[1]
-    kxb = kx[:, 0]                                   # [bbE, LencP, inner]
-    vxb = vx[:, 0]
-
-    prod = (kcb * q2[:, None, :]).astype(cdt)        # [bb, L, inner]
-    s = head_scores(prod) + bias_row[...][None]      # [bb, L, H] f32
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (bb, l, heads), 1)
-    s = jnp.where(row_ids < idx, s, NEG_INF)
-    s_new = head_scores((q2 * k_new).astype(cdt)) + bias0[...]   # [bb, H]
-    m = jnp.maximum(jnp.max(s, axis=1), s_new)       # [bb, H]
-    e = jnp.exp(s - m[:, None, :])
-    e_new = jnp.exp(s_new - m)                       # [bb, H]
-    denom = jnp.sum(e, axis=1) + e_new               # [bb, H]
-    p_exp = expand_heads(e / denom[:, None, :])      # [bb, L, inner]
-    ctx = jnp.sum((p_exp * vcb).astype(f32), axis=1)  # [bb, inner]
-    ctx = (ctx + expand_heads(e_new / denom).astype(f32)
-           * v_new.astype(f32)).astype(cdt)
-    x = x + mm(ctx, wo_s[0])
-
-    # ---- cross-attention (per-example KV shared across beams) ----
-    h = rms(x, ln[0, 1])
-    qc = mm(h, wq_c[0])                                  # [bb, inner]
-    ctx_parts = []
-    n_ex = bb // group
-    for e_i in range(n_ex):
-        qe = qc[e_i * group:(e_i + 1) * group]           # [g, inner]
-        prod = (kxb[e_i][None] * qe[:, None, :]).astype(cdt)  # [g, LencP, inner]
-        s = head_scores(prod)                            # [g, LencP, H] f32
-        # encmask is the FULL [B0, LencP] block (a bbe-row block would
-        # violate the (8,128) block rule); dynamic row read as in
-        # decode_attention.py:98
-        valid = encmask[b * n_ex + e_i][None, :, None] > 0
-        s = jnp.where(valid, s, NEG_INF)
-        mx = jnp.max(s, axis=1, keepdims=True)
-        e = jnp.exp(s - mx)
-        p = e / jnp.sum(e, axis=1, keepdims=True)
-        p_exp = expand_heads(p)                          # [g, LencP, inner]
-        ctx_parts.append(
-            jnp.sum((p_exp * vxb[e_i][None]).astype(f32), axis=1))
-    ctx_c = (jnp.concatenate(ctx_parts, axis=0)
-             if n_ex > 1 else ctx_parts[0]).astype(cdt)  # [bb, inner]
-    x = x + mm(ctx_c, wo_c[0])
-
-    # ---- feed-forward (t5-base: relu) ----
-    h = rms(x, ln[0, 2])
-    hh = jnp.maximum(mm(h, wi[0]), 0.0).astype(cdt)
-    x = x + mm(hh, wo_f[0])
-
-    xs[b] = x
-
-    @pl.when(i == n_layers - 1)
+    # ---- first chunk cell: projections + accumulator reset ----
+    @pl.when(jnp.logical_and(i == 0, c == 0))
     def _():
-        x_out[...] = rms(x, fln[0])
+        xs[b] = x_in[...]
 
-    @pl.when(i < n_layers - 1)
+    @pl.when(c == 0)
     def _():
-        x_out[...] = x
+        x = xs[b]                                    # [bb, d] cdt
+        h = rms(x, ln[0, 0])
+        qkv = mm(h, wqkv[0])                         # [bb, 3*inner]
+        q2s[...] = qkv[:, :inner]
+        knew[...] = qkv[:, inner:2 * inner]
+        vnew[...] = qkv[:, 2 * inner:]
+        ms[...] = jnp.full_like(ms[...], NEG_INF)
+        dens[...] = jnp.zeros_like(dens[...])
+        ctxs[...] = jnp.zeros_like(ctxs[...])
+
+    # ---- live chunk cells: online-softmax partial over cache rows ----
+    @pl.when(c < live)
+    def _():
+        q2 = q2s[...]
+        if src_ref is not None:
+            # dynamic row reads must go through the REF (dynamic_slice on
+            # a loaded value has no Mosaic lowering)
+            base = b * bb
+            kcb = jnp.stack([kc[src_ref[0, base + r] - base, 0]
+                             for r in range(bb)], axis=0)
+            vcb = jnp.stack([vc[src_ref[0, base + r] - base, 0]
+                             for r in range(bb)], axis=0)
+            kc_out[:, 0] = kcb
+            vc_out[:, 0] = vcb
+        else:
+            kcb = kc[:, 0]                           # [bb, C, inner]
+            vcb = vc[:, 0]
+        prod = (kcb * q2[:, None, :]).astype(cdt)    # [bb, C, inner]
+        s = head_scores(prod) + bias_row[pl.ds(c * chunk, chunk)][None]
+        row_ids = (jax.lax.broadcasted_iota(jnp.int32, (bb, chunk, heads), 1)
+                   + c * chunk)
+        s = jnp.where(row_ids < idx, s, NEG_INF)     # [bb, C, H] f32
+        m_new = jnp.maximum(ms[...], jnp.max(s, axis=1))
+        scale = jnp.exp(ms[...] - m_new)             # [bb, H]
+        # explicit zero for masked rows: when a chunk has NO valid row,
+        # m_new == NEG_INF and exp(s - m_new) would be exp(0) == 1
+        e = jnp.where(row_ids < idx, jnp.exp(s - m_new[:, None, :]), 0.0)
+        dens[...] = dens[...] * scale + jnp.sum(e, axis=1)
+        p_exp = expand_heads(e)                      # [bb, C, inner]
+        part = jnp.sum((p_exp * vcb).astype(f32), axis=1)
+        ctxs[...] = ctxs[...] * expand_heads_f32(scale) + part
+        ms[...] = m_new
+
+    # ---- last chunk cell: current-token row, cross-attention, FF ----
+    @pl.when(c == n_chunks - 1)
+    def _():
+        x = xs[b]
+        q2 = q2s[...]
+        k_new = knew[...]
+        v_new = vnew[...]
+        s_new = head_scores((q2 * k_new).astype(cdt)) + bias0[...]  # [bb, H]
+        m = jnp.maximum(ms[...], s_new)
+        scale = jnp.exp(ms[...] - m)                 # [bb, H]
+        e_new = jnp.exp(s_new - m)                   # [bb, H]
+        denom = dens[...] * scale + e_new            # [bb, H]
+        ctx = (ctxs[...] * expand_heads_f32(scale)
+               + expand_heads_f32(e_new) * v_new.astype(f32))
+        ctx = (ctx / expand_heads_f32(denom)).astype(cdt)
+        x = x + mm(ctx, wo_s[0])
+
+        # ---- cross-attention (per-example KV shared across beams) ----
+        kxb = kx[:, 0]                               # [bbE, LencP, inner]
+        vxb = vx[:, 0]
+        h = rms(x, ln[0, 1])
+        qc = mm(h, wq_c[0])                          # [bb, inner]
+        ctx_parts = []
+        n_ex = bb // group
+        for e_i in range(n_ex):
+            qe = qc[e_i * group:(e_i + 1) * group]   # [g, inner]
+            prod = (kxb[e_i][None] * qe[:, None, :]).astype(cdt)
+            s = head_scores(prod)                    # [g, LencP, H] f32
+            # encmask is the FULL [B0, LencP] block (a bbe-row block would
+            # violate the (8,128) block rule); dynamic row read as in
+            # decode_attention.py:98
+            valid = encmask[b * n_ex + e_i][None, :, None] > 0
+            s = jnp.where(valid, s, NEG_INF)
+            mx = jnp.max(s, axis=1, keepdims=True)
+            e = jnp.exp(s - mx)
+            p = e / jnp.sum(e, axis=1, keepdims=True)
+            p_exp = expand_heads(p)                  # [g, LencP, inner]
+            ctx_parts.append(
+                jnp.sum((p_exp * vxb[e_i][None]).astype(f32), axis=1))
+        ctx_c = (jnp.concatenate(ctx_parts, axis=0)
+                 if n_ex > 1 else ctx_parts[0]).astype(cdt)  # [bb, inner]
+        x = x + mm(ctx_c, wo_c[0])
+
+        # ---- feed-forward (t5-base: relu) ----
+        h = rms(x, ln[0, 2])
+        hh = jnp.maximum(mm(h, wi[0]), 0.0).astype(cdt)
+        x = x + mm(hh, wo_f[0])
+
+        xs[b] = x
+
+        @pl.when(i == n_layers - 1)
+        def _():
+            x_out[...] = rms(x, fln[0])
+
+        @pl.when(i < n_layers - 1)
+        def _():
+            x_out[...] = x
 
 
 def segment_matrix(heads: int, dkv: int) -> np.ndarray:
@@ -236,37 +287,42 @@ def mega_decode_step(stacked: Dict[str, Array], x: Array,
     n_blocks = bsz // bb
     cdt = x.dtype
     d_ff = stacked["wi"].shape[2]
+    # cache chunking (prefix-skip): dead chunks clamp their index map to
+    # the last live chunk — no DMA — and skip compute
+    chunk = CACHE_CHUNK if l % CACHE_CHUNK == 0 else l
+    n_chunks = l // chunk
 
-    idx = jnp.asarray(cache_index, jnp.int32).reshape(1, 1)
+    idx = jnp.asarray(cache_index, jnp.int32).reshape(1)
     seg_np = segment_matrix(heads, dkv)
     seg = jnp.asarray(seg_np)
     seg_t = jnp.asarray(np.ascontiguousarray(seg_np.T))
     kernel = functools.partial(
         _mega_kernel, n_layers=n_layers, bb=bb, group=group, heads=heads,
-        dkv=dkv, eps=eps, cdt=cdt)
+        dkv=dkv, eps=eps, cdt=cdt, chunk=chunk, n_chunks=n_chunks)
+
+    def chunk_clamped(c, idx_ref):
+        live = jnp.maximum((idx_ref[0] + chunk - 1) // chunk, 1)
+        return jnp.minimum(c, live - 1)
 
     wspec = lambda *shape: pl.BlockSpec(
-        (1,) + shape, lambda i, b: (i,) + (0,) * len(shape),
+        (1,) + shape, lambda i, b, c, s: (i,) + (0,) * len(shape),
         memory_space=pltpu.VMEM)
-    const2 = lambda s0, s1: pl.BlockSpec((s0, s1), lambda i, b: (0, 0),
+    const2 = lambda s0, s1: pl.BlockSpec((s0, s1), lambda i, b, c, s: (0, 0),
                                          memory_space=pltpu.VMEM)
-    cache_spec = pl.BlockSpec((bb, 1, l, inner),
-                              lambda i, b: (b, i, 0, 0),
+    cache_spec = pl.BlockSpec((bb, 1, chunk, inner),
+                              lambda i, b, c, s: (b, i, chunk_clamped(c, s), 0),
                               memory_space=pltpu.VMEM)
     cross_spec = pl.BlockSpec((bbe, 1, lencp, inner),
-                              lambda i, b: (b, i, 0, 0),
+                              lambda i, b, c, s: (b, i, 0, 0),
                               memory_space=pltpu.VMEM)
-    row_spec = pl.BlockSpec((bb, d), lambda i, b: (b, 0),
+    row_spec = pl.BlockSpec((bb, d), lambda i, b, c, s: (b, 0),
                             memory_space=pltpu.VMEM)
     # new k/v rows land in a 2-D [B, N*inner] output (lane-offset i*inner)
     # so the block shape satisfies the (8, 128) rule
-    new_spec = pl.BlockSpec((bb, inner), lambda i, b: (b, i),
+    new_spec = pl.BlockSpec((bb, inner), lambda i, b, c, s: (b, i),
                             memory_space=pltpu.VMEM)
 
-    idx_spec = pl.BlockSpec((1, 1), lambda i, b: (0, 0),
-                            memory_space=pltpu.SMEM)
     in_specs = [
-        idx_spec,                                        # cache_index
         row_spec,                                        # x
         wspec(3, d),                                     # ln
         wspec(d, 3 * inner),                             # wqkv
@@ -280,7 +336,7 @@ def mega_decode_step(stacked: Dict[str, Array], x: Array,
         const2(1, heads),                                # bias0
         const2(inner, heads),                            # seg
         const2(heads, inner),                            # seg_t
-        pl.BlockSpec((b0, lencp), lambda i, b: (0, 0),
+        pl.BlockSpec((b0, lencp), lambda i, b, c, s: (0, 0),
                      memory_space=pltpu.VMEM),           # enc mask (full)
         cache_spec,                                      # k cache
         cache_spec,                                      # v cache
@@ -293,46 +349,60 @@ def mega_decode_step(stacked: Dict[str, Array], x: Array,
         jax.ShapeDtypeStruct((bsz, n_layers * inner), cdt),
         jax.ShapeDtypeStruct((bsz, n_layers * inner), cdt),
     ]
-    args = [idx, x, stacked["ln"], stacked["wqkv"], stacked["wo_self"],
+    args = [x, stacked["ln"], stacked["wqkv"], stacked["wo_self"],
             stacked["wq_cross"], stacked["wo_cross"], stacked["wi"],
             stacked["wo_ff"], stacked["final_ln"], bias_row, bias0, seg,
             seg_t, enc_mask, k_cache, v_cache, k_cross, v_cross]
     aliases = {}
+    scratch = [
+        pltpu.VMEM((n_blocks, bb, d), cdt),              # xs
+        pltpu.VMEM((bb, inner), cdt),                    # q2s
+        pltpu.VMEM((bb, heads), jnp.float32),            # ms
+        pltpu.VMEM((bb, heads), jnp.float32),            # dens
+        pltpu.VMEM((bb, inner), jnp.float32),            # ctxs
+    ]
 
     if src is not None:
-        # deferred beam permutation: src after idx; permuted caches out
-        # (aliased to the cache inputs, which shift by one position)
-        def kernel_fn(idx_ref, src_ref, x_in, ln_r, wqkv_r, wo_s, wq_c,
+        # deferred beam permutation: src after the scalar idx; permuted
+        # caches out (aliased to the cache inputs)
+        def kernel_fn(idx_sp, src_ref, x_in, ln_r, wqkv_r, wo_s, wq_c,
                       wo_c, wi_r, wo_f, fln, bias_r, bias0_r, seg_r,
                       seg_t_r, encmask, kc, vc, kx, vx,
-                      x_out, knew, vnew, kc_out, vc_out, xs):
-            kernel(idx_ref, x_in, ln_r, wqkv_r, wo_s, wq_c, wo_c, wi_r,
+                      x_out, knew, vnew, kc_out, vc_out,
+                      xs, q2s, ms, dens, ctxs):
+            kernel(idx_sp, x_in, ln_r, wqkv_r, wo_s, wq_c, wo_c, wi_r,
                    wo_f, fln, bias_r, bias0_r, seg_r, seg_t_r, encmask,
-                   kc, vc, kx, vx, x_out, knew, vnew, xs,
+                   kc, vc, kx, vx, x_out, knew, vnew,
+                   xs, q2s, ms, dens, ctxs,
                    src_ref=src_ref, kc_out=kc_out, vc_out=vc_out)
 
-        in_specs.insert(1, pl.BlockSpec((1, bsz), lambda i, b: (0, 0),
+        in_specs.insert(0, pl.BlockSpec((1, bsz), lambda i, b, c, s: (0, 0),
                                         memory_space=pltpu.SMEM))
-        args.insert(1, jnp.asarray(src, jnp.int32).reshape(1, bsz))
+        args.insert(0, jnp.asarray(src, jnp.int32).reshape(1, bsz))
         out_specs += [cache_spec, cache_spec]
         out_shape += [jax.ShapeDtypeStruct(k_cache.shape, cdt),
                       jax.ShapeDtypeStruct(v_cache.shape, cdt)]
-        aliases = {16: 3, 17: 4}  # k_cache/v_cache inputs -> permuted outs
+        # input indices include the scalar-prefetch operand (idx, src,
+        # then 14 smalls) -> k/v cache inputs at 16/17
+        aliases = {16: 3, 17: 4}
     else:
         kernel_fn = kernel
 
     out = pl.pallas_call(
         kernel_fn,
-        grid=(n_layers, n_blocks),
-        in_specs=in_specs,
-        out_specs=tuple(out_specs),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_layers, n_blocks, n_chunks),
+            in_specs=in_specs,
+            out_specs=tuple(out_specs),
+            scratch_shapes=scratch,
+        ),
         out_shape=tuple(out_shape),
-        scratch_shapes=[pltpu.VMEM((n_blocks, bb, d), cdt)],
         input_output_aliases=aliases,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=112 * 1024 * 1024),
         interpret=interpret,
-    )(*args)
+    )(idx, *args)
     hidden, k_new, v_new = out[:3]
     k_new = k_new.reshape(bsz, n_layers, inner)
     v_new = v_new.reshape(bsz, n_layers, inner)
