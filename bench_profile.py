@@ -55,7 +55,9 @@ def capture(out_dir: str, steps: int) -> None:
         "denoising_output_tokens": jnp.asarray(
             np_rng.integers(2, 32000, (batch, den_out)), jnp.int32),
     }
-    step_rng = jax.random.PRNGKey(1)
+    from vidchapters_tpu.runtime.rng import fast_train_key
+
+    step_rng = fast_train_key(1)  # the production dropout stream (rbg)
     t0 = time.time()
     state, metrics = train_step(state, batch_dict, step_rng)
     print(f"compile+first step: {time.time()-t0:.0f}s "

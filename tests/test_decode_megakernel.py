@@ -168,3 +168,62 @@ def test_mega_chunked_cache_parity(setup, monkeypatch):
     mega_seqs = np.asarray(beam_search(mega_b, enc_out[:b0], enc_mask[:b0],
                                        MAX_LEN, num_beams=4))
     np.testing.assert_array_equal(ref_seqs, mega_seqs)
+
+
+def test_mega_int8_cross_kv_wiring_exact(setup, monkeypatch):
+    """The int8 path's scale-folds (k-scale into q, v-scale into context)
+    are EXACTLY the dequantized computation: feeding the exact path the
+    dequantized cross KV must reproduce the quantized path's logits to
+    f32 rounding.  This pins the wiring; quantization NOISE itself is
+    bounded separately below."""
+    from vidchapters_tpu.ops import decode_megakernel as dm
+
+    cfg, model, params, enc_out, enc_mask = setup
+    exact = make_mega_decode_fns(cfg, params, MAX_LEN, num_beams=1,
+                                 interpret=True)
+    monkeypatch.setattr(dm, "QUANTIZE_CROSS_KV", True)
+    quant = make_mega_decode_fns(cfg, params, MAX_LEN, num_beams=1,
+                                 interpret=True)
+    b = enc_out.shape[0]
+    cache_q = quant.init_cache(b, enc_out)
+    assert cache_q["cross"]["k"].dtype == jnp.int8
+    cache_e = exact.init_cache(b, enc_out)
+    cache_e["cross"]["k"] = (cache_q["cross"]["k"].astype(jnp.float32)
+                             * cache_q["cross"]["k_scale"])
+    cache_e["cross"]["v"] = (cache_q["cross"]["v"].astype(jnp.float32)
+                             * cache_q["cross"]["v_scale"])
+    tokens = jnp.zeros((b,), jnp.int32)
+    for i in range(2):
+        log_e, cache_e = exact.step(tokens, cache_e, i, enc_mask)
+        log_q, cache_q = quant.step(tokens, cache_q, i, enc_mask)
+        np.testing.assert_allclose(np.asarray(log_q), np.asarray(log_e),
+                                   rtol=1e-5, atol=1e-5)
+        tokens = jnp.argmax(log_e, -1).astype(jnp.int32)
+
+
+def test_mega_int8_cross_kv_noise_bounded(setup, monkeypatch):
+    """Quantization noise bound.  NOTE: this random-weight config is a
+    pathological worst case — T5's normal(1.0) init with the unscaled
+    256-dim QK dot produces huge scores, so absolute int8 error on scores
+    is large and near-uniform attention amplifies it.  Trained T5 scores
+    are orders of magnitude smaller; this asserts a coarse ceiling only."""
+    from vidchapters_tpu.ops import decode_megakernel as dm
+
+    cfg, model, params, enc_out, enc_mask = setup
+    exact = make_mega_decode_fns(cfg, params, MAX_LEN, num_beams=1,
+                                 interpret=True)
+    monkeypatch.setattr(dm, "QUANTIZE_CROSS_KV", True)
+    quant = make_mega_decode_fns(cfg, params, MAX_LEN, num_beams=1,
+                                 interpret=True)
+    b = enc_out.shape[0]
+    cache_e = exact.init_cache(b, enc_out)
+    cache_q = quant.init_cache(b, enc_out)
+    tokens = jnp.zeros((b,), jnp.int32)
+    for i in range(3):
+        log_e, cache_e = exact.step(tokens, cache_e, i, enc_mask)
+        log_q, cache_q = quant.step(tokens, cache_q, i, enc_mask)
+        e = np.asarray(log_e, np.float32)
+        q = np.asarray(log_q, np.float32)
+        rel = np.linalg.norm(q - e) / max(np.linalg.norm(e), 1e-9)
+        assert rel < 0.10, (i, rel)
+        tokens = jnp.argmax(log_e, -1).astype(jnp.int32)

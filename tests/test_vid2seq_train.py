@@ -142,3 +142,39 @@ def test_generate_decodes_time_tokens(setup):
     seqs = generate(params, video, inp, jax.random.PRNGKey(0))
     assert seqs.shape == (2, 6)
     assert seqs.dtype == jnp.int32
+
+
+def test_rbg_dropout_stream_loss_equivalence(setup):
+    """The production trainers draw dropout with rbg keys
+    (runtime/rng.fast_train_key — RngBitGenerator is ~2x cheaper than
+    fused threefry on v5e, BENCH_NOTES.md round 2).  Same Bernoulli law,
+    different stream: training under either key family must track the
+    same loss curve within dropout noise, and the rbg stream must be
+    deterministic."""
+    from vidchapters_tpu.runtime.rng import fast_train_key
+
+    cfg, model, params, (video, inp, attn, labels) = setup
+    batch = {"video": video, "input_tokens": inp, "output_tokens": labels,
+             "denoising_input_tokens": inp,
+             "denoising_output_tokens": labels}
+
+    def run(key):
+        tx = build_optimizer(OptimConfig(lr=1e-3, clip_max_norm=1.0,
+                                         fraction_warmup_steps=0.0), 100)
+        train_step = jax.jit(make_train_step(model, tx))
+        state = TrainState(params, tx.init(params), jnp.array(0))
+        losses = []
+        for _ in range(12):
+            state, metrics = train_step(state, batch, key)
+            losses.append(float(metrics["total_loss"]))
+        return np.asarray(losses)
+
+    threefry = run(jax.random.PRNGKey(0))
+    rbg = run(fast_train_key(0))
+    rbg2 = run(fast_train_key(0))
+    np.testing.assert_array_equal(rbg, rbg2)  # deterministic stream
+    assert not np.array_equal(rbg, threefry)  # different stream
+    # same law: both decrease, curves stay within dropout noise of each
+    # other (loss starts ~5+; per-step dropout noise is ~0.1 here)
+    assert np.mean(rbg[-3:]) < np.mean(rbg[:3])
+    assert abs(np.mean(rbg) - np.mean(threefry)) < 0.25 * np.mean(threefry)
