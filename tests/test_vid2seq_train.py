@@ -178,3 +178,40 @@ def test_rbg_dropout_stream_loss_equivalence(setup):
     # other (loss starts ~5+; per-step dropout noise is ~0.1 here)
     assert np.mean(rbg[-3:]) < np.mean(rbg[:3])
     assert abs(np.mean(rbg) - np.mean(threefry)) < 0.25 * np.mean(threefry)
+
+
+def test_dense_remat_attention_branch(setup, monkeypatch):
+    """The dense-remat training attention (decoder self-attn at recipe
+    scale) must train like the saved-probs path: finite decreasing loss,
+    deterministic under a fixed key, and a ~(1-rate) keep fraction in its
+    hash mask."""
+    from vidchapters_tpu.models import t5 as t5_mod
+
+    monkeypatch.setattr(t5_mod, "DENSE_REMAT_MIN_ELEMS", 1)
+    cfg, model, params, (video, inp, attn, labels) = setup
+    tx = build_optimizer(OptimConfig(lr=1e-3, clip_max_norm=1.0,
+                                     fraction_warmup_steps=0.0), 100)
+    train_step = jax.jit(make_train_step(model, tx))
+    state = TrainState(params, tx.init(params), jnp.array(0))
+    batch = {"video": video, "input_tokens": inp, "output_tokens": labels,
+             "denoising_input_tokens": inp,
+             "denoising_output_tokens": labels}
+    key = jax.random.PRNGKey(3)
+    losses = []
+    for _ in range(12):
+        state, metrics = train_step(state, batch, key)
+        losses.append(float(metrics["total_loss"]))
+    assert np.all(np.isfinite(losses))
+    assert np.mean(losses[-3:]) < np.mean(losses[:3])
+    # determinism of the rematerialized dropout
+    state2 = TrainState(params, tx.init(params), jnp.array(0))
+    _, m2 = jax.jit(make_train_step(model, tx))(state2, batch, key)
+    np.testing.assert_allclose(float(m2["total_loss"]), losses[0], rtol=1e-6)
+
+    # mask statistics
+    keep = t5_mod._dense_keep_scale(jnp.asarray([7], jnp.uint32),
+                                    (2, 3, 64, 64), 0.1)
+    frac = float((np.asarray(keep) > 0).mean())
+    assert abs(frac - 0.9) < 0.02
+    np.testing.assert_allclose(np.asarray(keep)[np.asarray(keep) > 0],
+                               1 / 0.9, rtol=1e-6)

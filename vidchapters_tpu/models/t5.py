@@ -37,6 +37,12 @@ NEG_INF = -1e9  # large-negative additive mask (safe in bf16)
 # attention kernels' 128-row blocking never pads per layer.
 SEQ_PAD_BLOCK = 128
 
+# Training attentions with Lq*Lk at or above this rematerialize their
+# probs (hash-mask dropout, no O(L^2) residual) instead of letting XLA
+# save + layout-copy the f32 score tensor; below it the plain dense path
+# with saved probs is cheaper.
+DENSE_REMAT_MIN_ELEMS = 256 * 256
+
 # gradient checkpointing of each T5 block during training; disable on chips
 # with HBM to spare for ~25% fewer recomputed FLOPs
 REMAT_BLOCKS = True
@@ -112,6 +118,27 @@ def _mega_decode_enabled() -> bool:
     if USE_MEGA_DECODE is not None:
         return USE_MEGA_DECODE
     return jax.default_backend() not in ("cpu", "gpu")
+
+
+def _dense_keep_scale(seed: Array, shape, rate: float) -> Array:
+    """Recomputable dropout keep/(1-rate) mask over a [B, H, Lq, Lk] score
+    tensor — murmur3-finalizer over absolute positions, the same family as
+    ops/fused_attention._keep_scale, so a jax.checkpoint around attention
+    carries no O(L^2) residual (fwd and bwd rebuild the identical mask)."""
+    b, h, lq, lk = shape
+    pos = jax.lax.broadcasted_iota(jnp.uint32, (b * h, lq * lk), 1)
+    row = jax.lax.broadcasted_iota(jnp.uint32, (b * h, lq * lk), 0)
+    x = pos + row * jnp.uint32(lq * lk)
+    x = x ^ (seed[0] * jnp.uint32(0x9E3779B1))
+    x = x * jnp.uint32(0xCC9E2D51)
+    x = x ^ (x >> 16)
+    x = x * jnp.uint32(0x85EBCA6B)
+    x = x ^ (x >> 13)
+    x = x * jnp.uint32(0xC2B2AE35)
+    x = x ^ (x >> 16)
+    thresh = jnp.uint32(min(int(rate * 2**32), 2**32 - 1))
+    keep = jnp.where(x >= thresh, 1.0 / (1.0 - rate), 0.0)
+    return keep.astype(jnp.float32).reshape(shape)
 
 
 def _apply_dropout(module: nn.Module, x: Array, rate: float,
@@ -317,6 +344,34 @@ class T5Attention(nn.Module):
         elif use_chunked:
             out = self._chunked_attention(q, k, v, bias, key_mask,
                                           dropout_rate, deterministic)
+        elif (not deterministic and dropout_rate > 0.0
+              and q.shape[2] * k.shape[2] >= DENSE_REMAT_MIN_ELEMS):
+            # mid-size training attention (decoder self-attn at the
+            # reference recipe: 256/304): rematerialize instead of saving
+            # the f32 [B,H,Lq,Lk] probs — XLA was inserting a 35 MB
+            # transposed layout copy of the saved probs per layer-pass for
+            # the dv contraction (~12 ms/step in the round-2 profile).
+            # Dropout uses the same recomputable hash mask as the fused
+            # kernel so the checkpoint carries no O(L^2) residual.
+            seed = jax.random.bits(self.make_rng("dropout"), (1,),
+                                   jnp.uint32)
+
+            @jax.checkpoint
+            def dense_attention(q, k, v, seed):
+                scores = jnp.einsum("bhqd,bhkd->bhqk", q, k
+                                    ).astype(jnp.float32)
+                if bias is not None:
+                    scores = scores + bias.astype(jnp.float32)
+                if key_mask is not None:
+                    scores = jnp.where(
+                        key_mask[:, None, None, :].astype(bool),
+                        scores, NEG_INF)
+                probs = jax.nn.softmax(scores, axis=-1)
+                keep = _dense_keep_scale(seed, probs.shape, dropout_rate)
+                return jnp.einsum("bhqk,bhkd->bhqd",
+                                  (probs * keep).astype(q.dtype), v)
+
+            out = dense_attention(q, k, v, seed)
         else:
             scores = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32)
             if bias is not None:

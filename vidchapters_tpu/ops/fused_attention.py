@@ -71,10 +71,17 @@ def _pad_to(x: Array, size: int, axis: int) -> Array:
 
 def _keep_scale(seed, b, h, q0, block_q, lk, rate):
     """[block_q, lk] f32 mask: keep / (1 - rate) or 0, deterministic in
-    (seed, b, h, absolute position) — recomputed identically in fwd + bwd."""
-    rows = jax.lax.broadcasted_iota(jnp.uint32, (block_q, lk), 0)
-    cols = jax.lax.broadcasted_iota(jnp.uint32, (block_q, lk), 1)
-    x = (rows + jnp.uint32(q0)) * jnp.uint32(lk) + cols
+    (seed, b, h, absolute position) — recomputed identically in fwd + bwd.
+
+    One murmur3-finalizer hash yields TWO 16-bit Bernoulli decisions (lane
+    j < lk/2 uses the low half, its partner j + lk/2 the high half), so the
+    per-element hash cost — the largest VPU item in the backward kernel's
+    softmax-recompute loop — is halved.  16-bit thresholds quantize the
+    rate to 1/65536, far below dropout-rate precision anyone uses."""
+    half = lk // 2
+    rows = jax.lax.broadcasted_iota(jnp.uint32, (block_q, half), 0)
+    cols = jax.lax.broadcasted_iota(jnp.uint32, (block_q, half), 1)
+    x = (rows + jnp.uint32(q0)) * jnp.uint32(half) + cols
     s = (seed
          ^ (jnp.uint32(b) * jnp.uint32(0x9E3779B1))
          ^ (jnp.uint32(h) * jnp.uint32(0x85EBCA6B)))
@@ -85,8 +92,11 @@ def _keep_scale(seed, b, h, q0, block_q, lk, rate):
     x = x ^ (x >> 13)
     x = x * jnp.uint32(0xC2B2AE35)
     x = x ^ (x >> 16)
-    thresh = jnp.uint32(min(int(rate * 2**32), 2**32 - 1))
-    return jnp.where(x >= thresh, 1.0 / (1.0 - rate), 0.0).astype(jnp.float32)
+    thresh = jnp.uint32(min(int(rate * 65536.0), 65535))
+    inv = jnp.float32(1.0 / (1.0 - rate))
+    lo = jnp.where((x & jnp.uint32(0xFFFF)) >= thresh, inv, 0.0)
+    hi = jnp.where((x >> 16) >= thresh, inv, 0.0)
+    return jnp.concatenate([lo, hi], axis=1).astype(jnp.float32)
 
 
 # ---------------------------------------------------------------------------
@@ -107,8 +117,12 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, mask_ref, out_ref,
     scores = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
     if has_bias:
         scores = scores + bias_ref[0, 0].astype(jnp.float32)
-    valid = mask_ref[pl.program_id(0)][None, :] > 0
-    scores = jnp.where(valid, scores, NEG_INF)
+    # additive key mask: one [1, Lk] row per cell, one add per element
+    # (a compare+select per element costs a second VPU slot); masked keys
+    # land at score - 1e9 and underflow to 0 in the exp exactly as before
+    madd = (mask_ref[pl.program_id(0)][None, :].astype(jnp.float32)
+            - 1.0) * -NEG_INF
+    scores = scores + madd
     m = jnp.max(scores, axis=-1, keepdims=True)
     e = jnp.exp(scores - m)
     s = jnp.sum(e, axis=-1, keepdims=True)
@@ -175,7 +189,7 @@ def _fused_forward(q, k, v, bias, key_mask, seed, dropout_rate,
 
 def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, mask_ref,
                 out_ref, dout_ref, dq_ref, dk_ref, dv_ref, *dbias_ref,
-                n_q_blocks: int, dropout_rate: float,
+                n_q_blocks: int, block_q: int, dropout_rate: float,
                 has_bias: bool = True):
     """Single backward pass: dq/dk/dv per (batch, head), and — when bias is
     present — dbias accumulated across the innermost batch grid dimension
@@ -187,7 +201,8 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, mask_ref,
     k = k_ref[0, 0]
     v = v_ref[0, 0]
     head_id, batch_id = pl.program_id(0), pl.program_id(1)
-    valid = mask_ref[batch_id][None, :] > 0
+    # additive key mask (see forward kernel): computed once per cell
+    madd = (mask_ref[batch_id][None, :].astype(jnp.float32) - 1.0) * -NEG_INF
     dk_ref[0, 0] = jnp.zeros_like(dk_ref[0, 0])
     dv_ref[0, 0] = jnp.zeros_like(dv_ref[0, 0])
     if has_bias:
@@ -198,14 +213,14 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, mask_ref,
             db_ref[0, 0] = jnp.zeros_like(db_ref[0, 0])
 
     def body(n, _):
-        q_blk = q_ref[0, 0, pl.ds(n * BLOCK_Q, BLOCK_Q)]
-        out_blk = out_ref[0, 0, pl.ds(n * BLOCK_Q, BLOCK_Q)].astype(jnp.float32)
-        dout_blk = dout_ref[0, 0, pl.ds(n * BLOCK_Q, BLOCK_Q)]
+        q_blk = q_ref[0, 0, pl.ds(n * block_q, block_q)]
+        out_blk = out_ref[0, 0, pl.ds(n * block_q, block_q)].astype(jnp.float32)
+        dout_blk = dout_ref[0, 0, pl.ds(n * block_q, block_q)]
         scores = jnp.dot(q_blk, k.T, preferred_element_type=jnp.float32)
         if has_bias:
-            scores = scores + bias_ref[0, 0, pl.ds(n * BLOCK_Q, BLOCK_Q)
+            scores = scores + bias_ref[0, 0, pl.ds(n * block_q, block_q)
                                        ].astype(jnp.float32)
-        scores = jnp.where(valid, scores, NEG_INF)
+        scores = scores + madd
         m = jnp.max(scores, axis=-1, keepdims=True)
         e = jnp.exp(scores - m)
         p = e / jnp.sum(e, axis=-1, keepdims=True)
@@ -216,13 +231,13 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, mask_ref,
         pd = p
         if dropout_rate > 0.0:
             keep = _keep_scale(seed_ref[0, 0], batch_id, head_id,
-                               n * BLOCK_Q, BLOCK_Q, p.shape[1],
+                               n * block_q, block_q, p.shape[1],
                                dropout_rate)
             dp = dp * keep
             pd = p * keep
         ds = p * (dp - delta_blk[:, None])
         ds_c = ds.astype(k.dtype)
-        dq_ref[0, 0, pl.ds(n * BLOCK_Q, BLOCK_Q)] = jnp.dot(
+        dq_ref[0, 0, pl.ds(n * block_q, block_q)] = jnp.dot(
             ds_c, k, preferred_element_type=jnp.float32).astype(dq_ref.dtype)
         dk_ref[0, 0] += jnp.dot(ds_c.T, q_blk,
                                 preferred_element_type=jnp.float32
@@ -231,7 +246,7 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, mask_ref,
                                 preferred_element_type=jnp.float32
                                 ).astype(dv_ref.dtype)
         if has_bias:
-            db_ref[0, 0, pl.ds(n * BLOCK_Q, BLOCK_Q)] += ds.astype(
+            db_ref[0, 0, pl.ds(n * block_q, block_q)] += ds.astype(
                 db_ref.dtype)
         return 0
 
@@ -253,7 +268,11 @@ def _fused_backward_impl(q, k, v, bias, key_mask, seed, dropout_rate, out, dout,
                     interpret=False):
     b, h, lq, d = q.shape
     lk = k.shape[2]
-    nq = lq // BLOCK_Q
+    # bigger backward blocks (256 rows when they divide lq) = fewer
+    # serial loop iterations and fatter MXU dots; the keep mask depends
+    # only on absolute positions, so fwd (128) and bwd blocks agree
+    bwd_bq = 512 if lq % 512 == 0 else (256 if lq % 256 == 0 else BLOCK_Q)
+    nq = lq // bwd_bq
     has_bias = bias is not None
     if has_bias and bias.shape[0] != 1:
         # batched bias: per-batch gradient equals dS directly; recompute via
@@ -290,7 +309,7 @@ def _fused_backward_impl(q, k, v, bias, key_mask, seed, dropout_rate, out, dout,
         out_shapes.append(jax.ShapeDtypeStruct((1, h, lq, lk), jnp.float32))
 
     results = pl.pallas_call(
-        functools.partial(_bwd_kernel, n_q_blocks=nq,
+        functools.partial(_bwd_kernel, n_q_blocks=nq, block_q=bwd_bq,
                           dropout_rate=dropout_rate, has_bias=has_bias),
         # the merged backward holds bias (bf16, lq x lk) + dbias (f32,
         # lq x lk) resident; at lq = lk = 1024 that is ~0.5 MB over the
