@@ -1,0 +1,77 @@
+"""ASR factory throughput: Whisper large-v2 transcription on one chip.
+
+The reference runs WhisperX/faster-whisper large-v2 per video on GPU
+(/root/reference/asr_extract/whisper_inference.py:28-50) — the largest
+offline compute in the VidChapters-7M data factory (817K videos).  This
+measures the JAX Whisper (models/whisper.py) batched greedy decode at
+large-v2 scale over 30 s mel chunks and reports AUDIO-seconds transcribed
+per wall-second (random weights => no early EOS, so this is the
+worst-case full-224-token decode; real speech stops much earlier).
+
+    python bench_asr.py [--batch 8] [--steps 224]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--steps", type=int, default=224)
+    a = p.parse_args()
+
+    from vidchapters_tpu.models.whisper import LARGE_V2, Whisper
+
+    cfg = LARGE_V2
+    model = Whisper(cfg)
+    rng = np.random.default_rng(0)
+    mel = jnp.asarray(rng.normal(size=(a.batch, cfg.num_mel_bins, 3000)),
+                      jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), mel[:1],
+                        jnp.ones((1, 4), jnp.int32))["params"]
+
+    from vidchapters_tpu.ops.decoding import make_decode_fns
+
+    @jax.jit
+    def run(params, mel):
+        enc = model.apply({"params": params}, mel, method=model.encode)
+        fns = make_decode_fns(model, params, a.steps)
+        cache = fns.init_cache(enc.shape[0], enc)
+        tokens = jnp.full((enc.shape[0],), 50258, jnp.int32)  # <|sot|>
+
+        def body(i, carry):
+            tokens, cache, acc = carry
+            logits, cache = fns.step(tokens, cache, i, None)
+            nxt = jnp.argmax(logits, -1).astype(jnp.int32)
+            return nxt, cache, acc + jnp.sum(logits[:, 0])
+
+        tokens, cache, acc = jax.lax.fori_loop(
+            0, a.steps, body, (tokens, cache, jnp.float32(0)))
+        return acc
+
+    acc = run(params, mel)
+    float(acc)  # compile + barrier
+    t0 = time.perf_counter()
+    acc = run(params, mel)
+    float(acc)
+    dt = time.perf_counter() - t0
+    audio_s = a.batch * 30.0
+    print(json.dumps({
+        "metric": "whisper_largev2_audio_seconds_per_sec_per_chip",
+        "value": round(audio_s / dt, 1),
+        "unit": "audio-s/s",
+        "batch": a.batch,
+        "decode_steps": a.steps,
+    }))
+
+
+if __name__ == "__main__":
+    main()
