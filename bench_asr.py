@@ -26,6 +26,9 @@ def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--steps", type=int, default=224)
+    p.add_argument("--dtype", default=None,
+                   help="cast params (e.g. bfloat16) like the transcriber's"
+                        " param_dtype option")
     a = p.parse_args()
 
     from vidchapters_tpu.models.whisper import LARGE_V2, Whisper
@@ -37,6 +40,9 @@ def main() -> None:
                       jnp.float32)
     params = model.init(jax.random.PRNGKey(0), mel[:1],
                         jnp.ones((1, 4), jnp.int32))["params"]
+    if a.dtype:
+        dt = jnp.dtype(a.dtype)
+        params = jax.tree_util.tree_map(lambda x: x.astype(dt), params)
 
     from vidchapters_tpu.ops.decoding import make_decode_fns
 
@@ -70,6 +76,7 @@ def main() -> None:
         "unit": "audio-s/s",
         "batch": a.batch,
         "decode_steps": a.steps,
+        "dtype": a.dtype or "float32",
     }))
 
 

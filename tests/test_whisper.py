@@ -92,3 +92,4 @@ def test_log_mel_spectrogram_shape():
     assert mel.shape == (80, N_FRAMES)
     assert np.isfinite(mel).all()
     assert mel.max() <= (mel.min() + 8.0) / 1.0 + 10  # clamped dynamic range
+

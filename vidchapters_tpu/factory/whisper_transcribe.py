@@ -69,12 +69,26 @@ class JaxWhisperTranscriber:
                  condition_on_previous_text: bool = False,
                  prompt_len: int = 64,
                  prompt_reset_on_temperature: float = 0.5,
-                 seed: int = 0):
+                 seed: int = 0,
+                 param_dtype: Optional[str] = None):
         import jax
         import jax.numpy as jnp
 
         from vidchapters_tpu.ops.decoding import make_decode_fns
 
+        if param_dtype is not None:
+            # bf16 params halve the dominant cost of large-v2 decode: the
+            # ~3.6 GB/step stream of f32 decoder weights (BENCH_NOTES.md
+            # "ASR factory").  Flax Dense without an explicit dtype
+            # computes in the promoted params/input dtype, so this casts
+            # the whole model's compute.  Standard inference practice;
+            # openai-whisper itself defaults to fp16 on GPU
+            # (whisper/transcribe.py decode_options fp16=True).
+            dt = jnp.dtype(param_dtype)
+            params = jax.tree_util.tree_map(
+                lambda x: x.astype(dt)
+                if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
+                params)
         self.model = model
         self.params = params
         self.max_decode_len = max_decode_len

@@ -351,3 +351,4 @@ def load_hf_whisper(name_or_path: str):
         num_heads=c.encoder_attention_heads, d_ff=c.encoder_ffn_dim)
     sd = {k: v.numpy() for k, v in hf.state_dict().items()}
     return Whisper(cfg), convert_hf_whisper(sd)
+
