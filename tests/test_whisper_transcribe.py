@@ -231,3 +231,25 @@ def test_conditioning_off_is_default_and_unchanged():
              ).astype(np.float32)
     out = tr.transcribe(audio)
     assert set(out) == {"text", "start", "end"}
+
+
+def test_transcribe_param_dtype_bfloat16():
+    """param_dtype="bfloat16" (the throughput/memory option) transcribes
+    end-to-end with the whole tree cast."""
+    import jax.numpy as jnp
+
+    cfg = WhisperConfig(vocab_size=TIMESTAMP_BEGIN + 1501, num_mel_bins=80,
+                        d_model=32, encoder_layers=1, decoder_layers=1,
+                        num_heads=4, d_ff=64, max_source_positions=1500,
+                        max_target_positions=64, dtype="float32")
+    model = Whisper(cfg)
+    rng = jax.random.PRNGKey(0)
+    mel = jnp.zeros((1, 80, 3000), jnp.float32)
+    params = model.init({"params": rng}, mel,
+                        jnp.zeros((1, 4), jnp.int32))["params"]
+    tr = JaxWhisperTranscriber(model, params, max_decode_len=8,
+                               param_dtype="bfloat16")
+    leaves = jax.tree_util.tree_leaves(tr.params)
+    assert all(leaf.dtype == jnp.bfloat16 for leaf in leaves)
+    out = tr.transcribe(np.zeros(16000 * 5, np.float32))
+    assert set(out) == {"text", "start", "end"}
