@@ -105,7 +105,8 @@ def _keep_scale(seed, b, h, q0, block_q, lk, rate):
 
 
 def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, mask_ref, out_ref,
-                *, dropout_rate: float, has_bias: bool = True):
+                *, dropout_rate: float, block_q: int,
+                has_bias: bool = True):
     # q_ref [1,1,bq,D]; k/v [1,1,Lk,D]; bias [1,1,bq,Lk]; mask [B,Lk] (full)
     # Dots keep their operands in the INPUT dtype with f32 accumulation:
     # bf16 multiplicands hit the MXU's native bf16xbf16->f32 mode (an
@@ -130,7 +131,7 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, mask_ref, out_ref,
     if dropout_rate > 0.0:
         probs = probs * _keep_scale(
             seed_ref[0, 0], pl.program_id(0), pl.program_id(1),
-            pl.program_id(2) * BLOCK_Q, probs.shape[0], probs.shape[1],
+            pl.program_id(2) * block_q, probs.shape[0], probs.shape[1],
             dropout_rate)
     out_ref[0, 0] = jnp.dot(probs.astype(v.dtype), v,
                             preferred_element_type=jnp.float32
@@ -141,12 +142,17 @@ def _fused_forward(q, k, v, bias, key_mask, seed, dropout_rate,
                    interpret=False):
     b, h, lq, d = q.shape
     lk = k.shape[2]
-    nq = lq // BLOCK_Q
+    # short query streams (decoder cross-attn: 256/304) run as ONE
+    # 8-aligned block — kernel cost is linear in the PADDED q rows, so
+    # rounding 304 up to 384 for 128-blocking wasted 26% of those calls
+    bq = lq if lq <= 512 else BLOCK_Q
+    assert lq % bq == 0 and bq % 8 == 0, (lq, bq)
+    nq = lq // bq
     has_bias = bias is not None
     if not has_bias:  # (8, 128) dummy satisfies Mosaic tiling; never read
         bias = jnp.zeros((1, 1, 8, 128), q.dtype)
     bias_b = bias.shape[0]  # 1 (broadcast) or b
-    bias_spec = (pl.BlockSpec((1, 1, BLOCK_Q, lk),
+    bias_spec = (pl.BlockSpec((1, 1, bq, lk),
                               lambda i, j, n: (0 if bias_b == 1 else i,
                                                j, n, 0),
                               memory_space=pltpu.VMEM)
@@ -156,12 +162,12 @@ def _fused_forward(q, k, v, bias, key_mask, seed, dropout_rate,
 
     out = pl.pallas_call(
         functools.partial(_fwd_kernel, dropout_rate=dropout_rate,
-                          has_bias=has_bias),
+                          block_q=bq, has_bias=has_bias),
         grid=(b, h, nq),
         in_specs=[
             pl.BlockSpec((1, 1), lambda i, j, n: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, BLOCK_Q, d), lambda i, j, n: (i, j, n, 0),
+            pl.BlockSpec((1, 1, bq, d), lambda i, j, n: (i, j, n, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, lk, d), lambda i, j, n: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -173,7 +179,7 @@ def _fused_forward(q, k, v, bias, key_mask, seed, dropout_rate,
             pl.BlockSpec((b, lk), lambda i, j, n: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, BLOCK_Q, d),
+        out_specs=pl.BlockSpec((1, 1, bq, d),
                                lambda i, j, n: (i, j, n, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h, lq, d), q.dtype),
@@ -271,7 +277,10 @@ def _fused_backward_impl(q, k, v, bias, key_mask, seed, dropout_rate, out, dout,
     # bigger backward blocks (256 rows when they divide lq) = fewer
     # serial loop iterations and fatter MXU dots; the keep mask depends
     # only on absolute positions, so fwd (128) and bwd blocks agree
-    bwd_bq = 512 if lq % 512 == 0 else (256 if lq % 256 == 0 else BLOCK_Q)
+    bwd_bq = (lq if lq <= 512 else
+              (512 if lq % 512 == 0 else
+               (256 if lq % 256 == 0 else BLOCK_Q)))
+    assert lq % bwd_bq == 0 and bwd_bq % 8 == 0, (lq, bwd_bq)
     nq = lq // bwd_bq
     has_bias = bias is not None
     if has_bias and bias.shape[0] != 1:
@@ -393,7 +402,8 @@ def fused_attention_padded(q: Array, k: Array, v: Array, bias: Array,
     if seed is None:
         seed = jnp.zeros((1, 1), jnp.uint32)
     lq, lk = q.shape[2], k.shape[2]
-    lqp = ((lq + BLOCK_Q - 1) // BLOCK_Q) * BLOCK_Q
+    lqp = (((lq + 7) // 8) * 8 if lq <= 512
+           else ((lq + BLOCK_Q - 1) // BLOCK_Q) * BLOCK_Q)
     lkp = ((lk + BLOCK_Q - 1) // BLOCK_Q) * BLOCK_Q
     if lqp != lq:
         q = _pad_to(q, lqp, 2)
