@@ -180,3 +180,42 @@ def test_http_surface_end_to_end():
         assert code == 404
     finally:
         httpd.shutdown()
+
+
+def test_close_fails_stranded_requests_and_rejects_new(monkeypatch):
+    """ADVICE r2: requests queued behind the shutdown sentinel must not
+    block forever — close() drains them with an error — and enqueues after
+    close() are rejected."""
+    from vidchapters_tpu.serve import _Pending
+
+    engine = _tiny_engine()
+    engine.coalesce = True
+    # strand a request deterministically: never start the dispatcher
+    stranded = _Pending(np.zeros((8, 16), np.float32),
+                        np.zeros(32, np.int32), 32)
+    engine._queue.put(stranded)
+    engine.close()
+    assert stranded.event.is_set()
+    assert isinstance(stranded.error, RuntimeError)
+    with pytest.raises(RuntimeError, match="closed"):
+        engine.generate_chapters(np.zeros((8, 16), np.float32), 10.0)
+
+
+def test_get_raw_video_zero_frames_falls_back(monkeypatch):
+    """ADVICE r2: ffmpeg succeeding with zero decoded frames must return the
+    zeros fallback, not a zero-length array."""
+    import subprocess as sp
+
+    from vidchapters_tpu.data import vc_dataset as vc
+
+    real_run = sp.run
+
+    def fake_run(cmd, **kw):
+        if cmd[0] == "ffprobe":
+            return type("R", (), {"stdout": "64,64"})()
+        return type("R", (), {"stdout": b""})()  # ffmpeg: zero frames
+
+    monkeypatch.setattr(vc.subprocess, "run", fake_run)
+    frames = vc.get_raw_video("whatever.mp4", resolution=32)
+    assert frames.shape == (1, 32, 32, 3)
+    assert (frames == 0).all()

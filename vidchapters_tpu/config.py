@@ -205,13 +205,23 @@ class PDVCConfig:
     max_eseq_length: int = 10  # max predicted event count bins
     dropout: float = 0.1
     with_box_refine: bool = True
-    caption_decoder_type: str = "light"  # "light" | "dsa" | "none"
+    # caption-head dispatch (PDVC/pdvc/CaptioningHead/__init__.py:6-24 +
+    # the gpt2 branch at PDVC/pdvc/pdvc.py:56-57): "light" = LSTM,
+    # "standard" (alias "dsa") = LSTM w/ deformable soft attention,
+    # "gpt2" = prefix-conditioned GPT-2, "none" = localization-only puppet
+    caption_decoder_type: str = "light"
     vocab_size: int = 1111  # word-level vocab (dataset-dependent)
     max_caption_len: int = 30
     rnn_size: int = 512
     cap_nheads: int = 8
     cap_dec_n_points: int = 4
     cap_num_feature_levels: int = 4
+    # gpt2 caption-head geometry (defaults = HF gpt2, the reference's choice)
+    cap_gpt2_n_layer: int = 12
+    cap_gpt2_n_head: int = 12
+    cap_gpt2_n_embd: int = 768
+    cap_gpt2_vocab: int = 50257
+    cap_gpt2_eos: int = 50256
     # loss coefficients (PDVC/opts.py defaults)
     cls_loss_coef: float = 2.0
     count_loss_coef: float = 0.1

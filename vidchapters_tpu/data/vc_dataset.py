@@ -51,7 +51,10 @@ def get_raw_video(video_path: Optional[str], resolution: int = 224
              "-f", "rawvideo", "-pix_fmt", "rgb24", "pipe:"],
             capture_output=True, check=True).stdout
         frames = np.frombuffer(out, np.uint8)
-        return frames.reshape(-1, resolution, resolution, 3).copy()
+        frames = frames.reshape(-1, resolution, resolution, 3).copy()
+        if frames.shape[0] == 0:  # ffmpeg succeeded but decoded no frames
+            return np.zeros((1, resolution, resolution, 3), np.uint8)
+        return frames
     except Exception:
         return np.zeros((1, resolution, resolution, 3), np.uint8)
 

@@ -70,16 +70,29 @@ class GPT2(nn.Module):
     cfg: GPT2Config
 
     @nn.compact
-    def __call__(self, inputs_embeds: Array,
+    def __call__(self, inputs_embeds: Optional[Array] = None,
                  attn_mask: Optional[Array] = None,
-                 position_offset: int = 0) -> Array:
-        """inputs_embeds [B, L, D] -> logits [B, L, V] (tied head)."""
+                 position_offset: int = 0,
+                 tokens: Optional[Array] = None,
+                 prefix_embeds: Optional[Array] = None) -> Array:
+        """inputs_embeds [B, L, D] -> logits [B, L, V] (tied head).
+
+        Alternatively pass ``tokens`` [B, T] (+ optional ``prefix_embeds``
+        [B, P, D] prepended) and the embed happens here with the tied wte —
+        the prefix-conditioned form PDVC's gpt2 caption head uses
+        (PDVC/pdvc/pdvc.py:413-416)."""
         cfg = self.cfg
         dt = jnp.dtype(cfg.dtype)
         wte = self.param("wte", nn.initializers.normal(0.02),
                          (cfg.vocab_size, cfg.n_embd), jnp.float32)
         wpe = self.param("wpe", nn.initializers.normal(0.01),
                          (cfg.n_positions, cfg.n_embd), jnp.float32)
+        if tokens is not None:
+            tok = wte[tokens]
+            inputs_embeds = (tok if prefix_embeds is None else
+                             jnp.concatenate(
+                                 [prefix_embeds.astype(tok.dtype), tok],
+                                 axis=1))
         l = inputs_embeds.shape[1]
         x = inputs_embeds.astype(dt) + wpe[None,
                                            position_offset:position_offset + l].astype(dt)

@@ -477,6 +477,108 @@ class DSACaptioner(nn.Module):
         return toks.T, lps.T
 
 
+class PuppetCaptioner(nn.Module):
+    """No-op caption head for localization-only runs
+    (PuppetCaptionModel, CaptioningHead/Puppet.py): uniform log-probs so the
+    caption NLL is a constant with zero gradient, empty samples."""
+
+    cfg: PDVCConfig
+
+    def setup(self):
+        pass
+
+    def teacher_forced_logprobs(self, feats: Array, seq: Array) -> Array:
+        n, l = seq.shape
+        v = self.cfg.vocab_size + 1
+        return jnp.zeros((n, l - 1, v), jnp.float32)
+
+    __call__ = teacher_forced_logprobs
+
+    def greedy_sample(self, feats: Array, max_len: int) -> Tuple[Array, Array]:
+        n = feats.shape[0]
+        return (jnp.zeros((n, max_len), jnp.int32),
+                jnp.zeros((n, max_len), jnp.float32))
+
+
+class GPT2Captioner(nn.Module):
+    """GPT-2 caption head conditioned on a projected event-query prefix
+    (PDVC/pdvc/pdvc.py:56-57, 413-427: ``inputs_embeds =
+    [query2cap(event); wte(seq)]``, prefix label -100)."""
+
+    cfg: PDVCConfig
+
+    def setup(self):
+        from vidchapters_tpu.models.gpt2 import GPT2, GPT2Config
+
+        c = self.cfg
+        self.gpt2 = GPT2(GPT2Config(
+            vocab_size=c.cap_gpt2_vocab, n_embd=c.cap_gpt2_n_embd,
+            n_layer=c.cap_gpt2_n_layer, n_head=c.cap_gpt2_n_head),
+            name="gpt2")
+        self.query2cap = nn.Dense(c.cap_gpt2_n_embd, name="query2cap")
+
+    def teacher_forced_logprobs(self, feats: Array, seq: Array) -> Array:
+        """feats [N, C]; seq [N, L]. Returns [N, L-1, V] log-probs predicting
+        seq[:, 1:], aligning with the LSTM heads' convention: inputs =
+        [prefix ; wte(seq[:, :-1])], so logits position j>=1 predicts
+        seq[:, j] (pdvc.py:413-418 with HF's internal label shift)."""
+        prefix = self.query2cap(feats)[:, None]  # [N, 1, D]
+        logits = self.gpt2(tokens=seq[:, :-1], prefix_embeds=prefix)
+        return jax.nn.log_softmax(logits[:, 1:], axis=-1)
+
+    __call__ = teacher_forced_logprobs
+
+    def greedy_sample(self, feats: Array, max_len: int) -> Tuple[Array, Array]:
+        """Greedy continuation after the projected prefix (the reference's
+        ``cap_head.generate(inputs_embeds=query2cap(clip))`` eval path,
+        pdvc.py:516-519). Tokens after the first EOS are zeroed to match the
+        LSTM heads' sample contract."""
+        cfg = self.cfg
+        prefix = self.query2cap(feats)[:, None]
+        n, p, d = prefix.shape
+
+        def body(carry, _):
+            embeds, length, alive = carry
+            logits = self.gpt2(embeds)
+            last = jax.lax.dynamic_slice_in_dim(logits, length - 1, 1,
+                                                axis=1)[:, 0]
+            logp = jax.nn.log_softmax(last, axis=-1)
+            nxt = jnp.argmax(logp, axis=-1).astype(jnp.int32)
+            lp = jnp.take_along_axis(logp, nxt[:, None], axis=-1)[:, 0]
+            nxt = jnp.where(alive, nxt, 0)
+            lp = jnp.where(alive, lp, 0.0)
+            alive = alive & (nxt != cfg.cap_gpt2_eos) & (nxt != 0)
+            embeds = jax.lax.dynamic_update_slice(
+                embeds, self.gpt2.embed(nxt)[:, None].astype(embeds.dtype),
+                (0, length, 0))
+            return (embeds, length + 1, alive), (nxt, lp)
+
+        embeds0 = jnp.zeros((n, p + max_len, d), prefix.dtype)
+        embeds0 = embeds0.at[:, :p].set(prefix)
+        init = (embeds0, jnp.asarray(p), jnp.ones(n, bool))
+        # plain lax.scan: eval-only path, params already exist (module calls
+        # inside the body are pure reads)
+        _, (toks, lps) = jax.lax.scan(body, init, None, length=max_len)
+        return toks.T, lps.T
+
+
+def build_captioner(cfg: PDVCConfig) -> nn.Module:
+    """Caption-head dispatch on ``cfg.caption_decoder_type``
+    (PDVC/pdvc/CaptioningHead/__init__.py:6-24; "standard" is the
+    reference's name for the DSA head, "dsa" accepted as an alias; the
+    gpt2 branch lives at PDVC/pdvc/pdvc.py:56-57)."""
+    kind = cfg.caption_decoder_type
+    if kind == "none":
+        return PuppetCaptioner(cfg, name="captioner")
+    if kind == "light":
+        return LSTMCaptioner(cfg, name="captioner")
+    if kind in ("standard", "dsa"):
+        return DSACaptioner(cfg, name="captioner")
+    if kind == "gpt2":
+        return GPT2Captioner(cfg, name="captioner")
+    raise ValueError(f"caption decoder type is invalid: {kind!r}")
+
+
 # ---------------------------------------------------------------------------
 # Full PDVC model
 # ---------------------------------------------------------------------------
@@ -514,7 +616,7 @@ class PDVC(nn.Module):
                             for i in range(cfg.dec_layers)]
         self.bbox_heads = [BoxMLP(cfg.hidden_dim, name=f"bbox_head_{i}")
                            for i in range(cfg.dec_layers)]
-        self.captioner = LSTMCaptioner(cfg, name="captioner")
+        self.captioner = build_captioner(cfg)
 
     # -- encoder ------------------------------------------------------------
 
@@ -639,11 +741,50 @@ class PDVC(nn.Module):
                                 axis=-1))
             boxes_layers.append(boxes)
 
+        # caption context for the DSA head: the final layer's pre-refinement
+        # reference (the one its boxes use — reference passes
+        # reference[:, feat_bigids] to the standard head, pdvc.py:390) plus
+        # the encoder memory the head deformably samples from
+        cap_reference = (init_reference if cfg.dec_layers == 1
+                         else inter_references[cfg.dec_layers - 2])
         return {
             "pred_logits": jnp.stack(logits_layers),  # [Lyr, B, Q, 1]
             "pred_count": jnp.stack(count_layers),  # [Lyr, B, max_eseq+1]
             "pred_boxes": jnp.stack(boxes_layers),  # [Lyr, B, Q, 2] (c, l)
             "hs": hs,  # [Lyr, B, Q, C]
+            "cap_reference": cap_reference,  # [B, Q, 1]
+            "memory": memory,  # [B, S, C]
+            "memory_mask": mask_flat,  # [B, S]
+            "valid_ratios": valid_ratios,  # [B, L]
+            "spatial_shapes": spatial_shapes,  # static tuple of ints
+        }
+
+    def caption_context(self, outputs: Dict[str, Any],
+                        query_idx: Optional[Array] = None) -> Dict[str, Any]:
+        """Per-event DSA context from a forward's outputs: reference points
+        per level and the per-event-broadcast encoder memory
+        (pdvc.py:385-396: the standard head gets hs/reference gathered at the
+        matched query ids plus `others` = memory/mask/shapes).
+
+        ``query_idx`` [B, T] selects queries per batch row (matched events);
+        ``None`` takes all Q queries. Returns arrays flattened to N = B*T
+        leading dim, matching the flat feats the caption methods receive.
+        """
+        ref = outputs["cap_reference"]  # [B, Q, 1]
+        vr = outputs["valid_ratios"]  # [B, L]
+        memory, mmask = outputs["memory"], outputs["memory_mask"]
+        if query_idx is not None:
+            ref = jnp.take_along_axis(ref, query_idx[..., None], axis=1)
+        b, t = ref.shape[:2]
+        ref_levels = ref[..., 0][:, :, None] * vr[:, None, :]  # [B, T, L]
+        s, c = memory.shape[1:]
+        mem = jnp.broadcast_to(memory[:, None], (b, t, s, c))
+        msk = jnp.broadcast_to(mmask[:, None], (b, t, s))
+        return {
+            "reference_points": ref_levels.reshape(b * t, -1),
+            "memory": mem.reshape(b * t, s, c),
+            "memory_mask": msk.reshape(b * t, s),
+            "spatial_shapes": outputs["spatial_shapes"],
         }
 
     def init_all(self, vf: Array, mask: Array) -> Dict[str, Any]:
@@ -652,7 +793,10 @@ class PDVC(nn.Module):
         out = self(vf, mask)
         feats = out["hs"][-1].reshape(-1, self.cfg.hidden_dim)
         dummy = jnp.zeros((feats.shape[0], 2), jnp.int32)
-        self.captioner.teacher_forced_logprobs(feats, dummy)
+        ctx = (self.caption_context(out)
+               if self.cfg.caption_decoder_type in ("standard", "dsa")
+               else None)
+        self.caption_logprobs(feats, dummy, ctx)
         # touch the two-stage proposal projections
         b = vf.shape[0]
         props = jnp.full((b, 1, 2), 0.5, jnp.float32)
@@ -663,8 +807,22 @@ class PDVC(nn.Module):
 
     # -- caption heads -------------------------------------------------------
 
-    def caption_logprobs(self, feats: Array, seq: Array) -> Array:
+    def caption_logprobs(self, feats: Array, seq: Array,
+                         ctx: Optional[Dict[str, Any]] = None) -> Array:
+        """Teacher-forced log-probs from whichever head
+        ``cfg.caption_decoder_type`` selected; the DSA head additionally
+        needs a ``caption_context`` dict."""
+        if self.cfg.caption_decoder_type in ("standard", "dsa"):
+            return self.captioner.teacher_forced_logprobs(
+                feats, seq, ctx["reference_points"], ctx["memory"],
+                ctx["memory_mask"], ctx["spatial_shapes"])
         return self.captioner.teacher_forced_logprobs(feats, seq)
 
-    def caption_sample(self, feats: Array, max_len: int) -> Tuple[Array, Array]:
+    def caption_sample(self, feats: Array, max_len: int,
+                       ctx: Optional[Dict[str, Any]] = None
+                       ) -> Tuple[Array, Array]:
+        if self.cfg.caption_decoder_type in ("standard", "dsa"):
+            return self.captioner.greedy_sample(
+                feats, ctx["reference_points"], ctx["memory"],
+                ctx["memory_mask"], ctx["spatial_shapes"], max_len)
         return self.captioner.greedy_sample(feats, max_len)

@@ -203,7 +203,11 @@ def pdvc_criterion(model: PDVC, params, outputs: Dict[str, Array],
         n_pairs = b * t
         flat_feats = feats.reshape(n_pairs, -1)
         flat_seq = targets["captions"].reshape(n_pairs, -1)
-        logprobs = model.apply({"params": params}, flat_feats, flat_seq,
+        # the DSA head deformably samples encoder memory around each matched
+        # event's reference point (pdvc.py:390: reference[:, feat_bigids])
+        ctx = (model.caption_context(outputs, safe)
+               if cfg.caption_decoder_type in ("standard", "dsa") else None)
+        logprobs = model.apply({"params": params}, flat_feats, flat_seq, ctx,
                                method=model.caption_logprobs)
         loss_caption = caption_nll(logprobs, flat_seq,
                                    valid_pair.reshape(n_pairs))

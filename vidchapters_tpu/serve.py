@@ -96,12 +96,19 @@ class ChapterGenerator:
         self.device_calls = 0  # observability: batched calls made
         self._queue: queue_mod.Queue = queue_mod.Queue()
         self._dispatcher: Optional[threading.Thread] = None
+        self._dispatcher_lock = threading.Lock()
+        self._closed = False
 
     def _ensure_dispatcher(self) -> None:
-        if self._dispatcher is None or not self._dispatcher.is_alive():
-            self._dispatcher = threading.Thread(target=self._dispatch_loop,
-                                                daemon=True)
-            self._dispatcher.start()
+        # locked: two concurrent first requests must not each start a
+        # dispatcher (check-then-start race would degrade coalescing);
+        # a dedicated lock so an in-flight device call (which holds
+        # self._lock) cannot delay enqueueing
+        with self._dispatcher_lock:
+            if self._dispatcher is None or not self._dispatcher.is_alive():
+                self._dispatcher = threading.Thread(
+                    target=self._dispatch_loop, daemon=True)
+                self._dispatcher.start()
 
     def _batch_bucket(self, n: int) -> int:
         for b in self.batch_buckets:
@@ -199,6 +206,8 @@ class ChapterGenerator:
         tokens = np.zeros(bucket, np.int32)
         tokens[:min(len(ids), bucket)] = ids[:bucket]
         if self.coalesce:
+            if self._closed:
+                raise RuntimeError("ChapterGenerator is closed")
             pending = _Pending(video, tokens, bucket)
             self._ensure_dispatcher()
             self._queue.put(pending)
@@ -228,10 +237,24 @@ class ChapterGenerator:
                     np.repeat(pad[None], n, axis=0))
 
     def close(self) -> None:
-        """Stop the dispatcher thread (pending requests still complete)."""
+        """Stop the dispatcher thread. The batch already on the device
+        completes; requests still queued when the shutdown sentinel lands
+        are failed fast (error set + event signalled) so no caller blocks
+        forever, and new enqueues are rejected."""
+        self._closed = True
         if self._dispatcher is not None and self._dispatcher.is_alive():
             self._queue.put(None)
             self._dispatcher.join(timeout=5.0)
+        # drain requests stranded behind (or racing) the sentinel
+        while True:
+            try:
+                item = self._queue.get_nowait()
+            except queue_mod.Empty:
+                break
+            if item is not None:
+                item.error = RuntimeError("ChapterGenerator closed before "
+                                          "this request was dispatched")
+                item.event.set()
 
 
 def _make_handler(engine: ChapterGenerator):

@@ -125,8 +125,12 @@ def _pick_decode_fns(model: Vid2Seq, params, gen: GenerationConfig,
     from vidchapters_tpu.models import t5 as t5_mod
 
     beams = gen.num_beams if gen.num_beams > 1 else 1
+    # gen.num_beams >= 1 keeps the sampling path (num_beams == 0 routes to
+    # nucleus_sample in make_generate_fn) on the standard decode fns — the
+    # megakernel geometry guard was only validated for greedy/beam decode
     use_mega = (t5_mod._mega_decode_enabled()
                 and not gen.use_nucleus_sampling
+                and gen.num_beams >= 1
                 and isinstance(params, dict) and "t5" in params
                 and beams in (1, 2, 4, 8))
     if use_mega:

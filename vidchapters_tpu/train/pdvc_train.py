@@ -74,8 +74,10 @@ def make_pdvc_infer(model: PDVC, cfg: PDVCConfig) -> Callable:
         hs_last = out["hs"][-1]
         b, q, c = hs_last.shape
         feats = hs_last.reshape(b * q, c)
+        ctx = (model.caption_context(out)
+               if cfg.caption_decoder_type in ("standard", "dsa") else None)
         seq, lps = model.apply({"params": params}, feats, cfg.max_caption_len,
-                               method=model.caption_sample)
+                               ctx, method=model.caption_sample)
         seq = seq.reshape(b, q, -1)
         cap_scores = lps.sum(-1).reshape(b, q)
         return pdvc_postprocess(out, durations, seq, cap_scores)
