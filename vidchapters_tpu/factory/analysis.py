@@ -11,32 +11,17 @@ from __future__ import annotations
 from collections import Counter
 from typing import Callable, Dict, Iterable, Optional
 
-# tiny stopword profiles for the most common languages in VidChapters-7M
-_PROFILES = {
-    "en": {"the", "and", "of", "to", "a", "in", "is", "you", "that", "it",
-           "for", "this", "with", "on", "are", "we", "be", "have"},
-    "es": {"el", "la", "de", "que", "y", "en", "los", "del", "se", "las",
-           "por", "un", "para", "con", "una", "es"},
-    "fr": {"le", "la", "de", "et", "les", "des", "est", "un", "une", "que",
-           "pour", "dans", "qui", "nous", "vous", "pas"},
-    "de": {"der", "die", "und", "das", "ist", "von", "mit", "den", "nicht",
-           "ein", "eine", "auf", "sie", "wir", "ich"},
-    "pt": {"de", "que", "e", "o", "da", "em", "um", "para", "com", "uma",
-           "os", "no", "na", "por", "mais", "você"},
-    "ru": {"и", "в", "не", "на", "что", "это", "как", "с", "по", "то", "мы",
-           "вы", "так", "его", "но"},
-}
-
 
 def detect_language(text: str) -> str:
-    """Stopword-overlap language id; 'unknown' when nothing matches."""
-    words = set(text.lower().split())
-    best, best_score = "unknown", 0
-    for lang, profile in _PROFILES.items():
-        score = len(words & profile)
-        if score > best_score:
-            best, best_score = lang, score
-    return best
+    """Char n-gram language id (factory/langid.py — the langdetect-model
+    equivalent of analysis/language.py:8,67); 'unknown' on empty or
+    featureless text."""
+    from vidchapters_tpu.factory import langid
+
+    try:
+        return langid.detect(text)
+    except ValueError:
+        return "unknown"
 
 
 def language_stats(asr: Dict[str, dict],

@@ -87,3 +87,17 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
 def batch_specs_for(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
     return {k: NamedSharding(mesh, P(mesh.axis_names[0]))
             for k in batch}
+
+
+def host_local_to_global(x, mesh: Mesh):
+    """Assemble per-host batch shards into one global batch-sharded array.
+
+    Single-process: a plain ``device_put`` onto the data sharding.
+    Multi-process (each host's EpochIterator yields its own rows, like the
+    reference's DistributedSampler, dvc.py:280-324): the global array is
+    built from process-local data without any cross-host copy — each host
+    contributes the rows its local devices own."""
+    sharding = batch_sharding(mesh)
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    return jax.make_array_from_process_local_data(sharding, x)

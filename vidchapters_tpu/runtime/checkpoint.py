@@ -54,26 +54,46 @@ class CheckpointManager:
 
     def _save_tree(self, name: str, tree: Any, meta: Dict[str, Any]) -> None:
         path = self.dir / name
+        multiproc = jax.process_count() > 1
+        main = jax.process_index() == 0
         if _HAS_ORBAX:
             ckptr = ocp.StandardCheckpointer()
             tmp = self.dir / (name + ".tmp")
-            if tmp.exists():
+            if main and tmp.exists():
                 import shutil
 
                 shutil.rmtree(tmp)
+            if multiproc:  # all hosts wait for the cleanup, then co-save
+                from jax.experimental import multihost_utils
+
+                multihost_utils.sync_global_devices(f"ckpt_clean_{name}")
             ckptr.save(tmp.absolute(), tree)
             ckptr.wait_until_finished()
-            if path.exists():
-                import shutil
+            if multiproc:
+                from jax.experimental import multihost_utils
 
-                shutil.rmtree(path)
-            os.rename(tmp, path)
-        else:  # flat-npz fallback
+                multihost_utils.sync_global_devices(f"ckpt_saved_{name}")
+            if main:  # single filesystem mutator for the atomic swap
+                if path.exists():
+                    import shutil
+
+                    shutil.rmtree(path)
+                os.rename(tmp, path)
+            if multiproc:
+                from jax.experimental import multihost_utils
+
+                multihost_utils.sync_global_devices(f"ckpt_swap_{name}")
+        elif main:  # flat-npz fallback
             flat = jax.tree_util.tree_flatten_with_path(tree)[0]
             arrays = {"/".join(str(k) for k in kp): np.asarray(v)
                       for kp, v in flat}
             np.savez(str(path) + ".npz", **arrays)
-        (self.dir / (name + ".meta.json")).write_text(json.dumps(meta))
+        if main:
+            (self.dir / (name + ".meta.json")).write_text(json.dumps(meta))
+        if multiproc:
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices(f"ckpt_meta_{name}")
 
     def _restore_tree(self, name: str, target: Any) -> Any:
         path = self.dir / name

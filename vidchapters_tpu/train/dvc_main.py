@@ -118,17 +118,19 @@ def main(cfg: ExperimentConfig,
                                num_shards=jax.process_count(),
                                shard_index=jax.process_index())
             it.set_epoch(epoch)
-            from vidchapters_tpu.parallel.sharding import batch_sharding
+            from vidchapters_tpu.parallel.sharding import host_local_to_global
 
-            n_data = mesh.devices.shape[0]
-            shard = (batch_sharding(mesh)
-                     if cfg.train.batch_size % max(n_data, 1) == 0 else None)
+            # per-host batches assemble into one global batch-sharded array
+            # (multi-host: make_array_from_process_local_data; the local
+            # batch must tile over this host's slice of the data axis)
+            n_local_data = mesh.devices.shape[0] // jax.process_count()
+            use_shard = cfg.train.batch_size % max(n_local_data, 1) == 0
             for step_i, batch in enumerate(logger.log_every(
                     it, cfg.train.print_freq, f"Epoch [{epoch}] {name}")):
                 prof = cfg.train.profile_dir
                 if prof and epoch == 0 and step_i == cfg.train.profile_start:
                     jax.profiler.start_trace(prof)
-                arrays = {k: (jax.device_put(v, shard) if shard is not None
+                arrays = {k: (host_local_to_global(v, mesh) if use_shard
                               else jnp.asarray(v))
                           for k, v in batch.items()
                           if isinstance(v, np.ndarray)}
@@ -184,7 +186,11 @@ if __name__ == "__main__":
     import argparse
 
     from vidchapters_tpu.config import load_config
+    from vidchapters_tpu.runtime.mesh import maybe_initialize_distributed
 
+    # multi-host rendezvous before any backend use (env-driven:
+    # VIDCHAPTERS_NUM_PROCESSES / _PROCESS_ID / _COORDINATOR)
+    maybe_initialize_distributed()
     p = argparse.ArgumentParser()
     p.add_argument("--config", required=True, help="experiment json")
     a = p.parse_args()
