@@ -29,6 +29,10 @@ def main() -> None:
     p.add_argument("--dtype", default=None,
                    help="cast params (e.g. bfloat16) like the transcriber's"
                         " param_dtype option")
+    p.add_argument("--beam", type=int, default=0,
+                   help="beam size; 0/1 = greedy. beam 5 matches the "
+                        "faster-whisper default the reference's --faster "
+                        "factory path runs (whisper_inference.py:40-43)")
     a = p.parse_args()
 
     from vidchapters_tpu.models.whisper import LARGE_V2, Whisper
@@ -46,17 +50,30 @@ def main() -> None:
 
     from vidchapters_tpu.ops.decoding import make_decode_fns
 
+    beams = max(a.beam, 1)
+
     @jax.jit
     def run(params, mel):
         enc = model.apply({"params": params}, mel, method=model.encode)
         fns = make_decode_fns(model, params, a.steps)
+        if beams > 1:  # beam rows ride the batch dim like _beam_decode
+            enc = jnp.repeat(enc, beams, axis=0)
         cache = fns.init_cache(enc.shape[0], enc)
         tokens = jnp.full((enc.shape[0],), 50258, jnp.int32)  # <|sot|>
 
         def body(i, carry):
             tokens, cache, acc = carry
             logits, cache = fns.step(tokens, cache, i, None)
-            nxt = jnp.argmax(logits, -1).astype(jnp.int32)
+            if beams > 1:
+                flat = logits.reshape(a.batch, -1)
+                _, idx = jax.lax.top_k(flat, beams)
+                parent = (jnp.arange(a.batch)[:, None] * beams
+                          + idx // logits.shape[-1]).reshape(-1)
+                cache = jax.tree_util.tree_map(
+                    lambda x: jnp.take(x, parent, axis=0), cache)
+                nxt = (idx % logits.shape[-1]).reshape(-1).astype(jnp.int32)
+            else:
+                nxt = jnp.argmax(logits, -1).astype(jnp.int32)
             return nxt, cache, acc + jnp.sum(logits[:, 0])
 
         tokens, cache, acc = jax.lax.fori_loop(
@@ -77,6 +94,7 @@ def main() -> None:
         "batch": a.batch,
         "decode_steps": a.steps,
         "dtype": a.dtype or "float32",
+        "beam": a.beam,
     }))
 
 

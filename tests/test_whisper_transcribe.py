@@ -253,3 +253,66 @@ def test_transcribe_param_dtype_bfloat16():
     assert all(leaf.dtype == jnp.bfloat16 for leaf in leaves)
     out = tr.transcribe(np.zeros(16000 * 5, np.float32))
     assert set(out) == {"text", "start", "end"}
+
+
+# ---------------------------------------------------------------------------
+# beam decode (VERDICT r2 #6: the faster-whisper default path)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.slow
+def test_beam_decode_finds_higher_likelihood_than_greedy():
+    """Beam-5 must select a sequence whose average log-prob is >= greedy's
+    on the same (random-weight) model — the defining property of beam
+    search; also deterministic across calls."""
+    import jax.numpy as jnp
+
+    greedy = _tiny_transcriber(temperatures=(0.0,),
+                               compression_ratio_threshold=None,
+                               logprob_threshold=None)
+    beam = _tiny_transcriber(temperatures=(0.0,),
+                             compression_ratio_threshold=None,
+                             logprob_threshold=None, beam_size=5)
+    assert beam._beam_decode is not None and greedy._beam_decode is None
+    mel = np.zeros((80, 3000), np.float32)
+    enc = beam._encode(beam.params, jnp.asarray(mel[None]))
+    prefix = jnp.asarray(np.asarray([beam.sot_sequence], np.int32))
+
+    g_seq, g_lp, g_n, g_nsp = greedy._decode(
+        greedy.params, enc, prefix, jnp.zeros((1,), jnp.float32),
+        jax.random.PRNGKey(0))
+    b_seq, b_lp, b_n, b_nsp = beam._beam_decode(beam.params, enc, prefix)
+    g_avg = float(g_lp[0]) / float(g_n[0])
+    b_avg = float(b_lp[0]) / float(b_n[0])
+    assert b_avg >= g_avg - 1e-5, (b_avg, g_avg)
+    # no_speech probe agrees between the two decoders (same prefix pass)
+    np.testing.assert_allclose(np.asarray(b_nsp), np.asarray(g_nsp),
+                               atol=1e-5)
+    # deterministic
+    b_seq2, b_lp2, _, _ = beam._beam_decode(beam.params, enc, prefix)
+    np.testing.assert_array_equal(np.asarray(b_seq), np.asarray(b_seq2))
+    # shapes line up with the greedy contract (prefix + generated)
+    assert b_seq.shape[1] == g_seq.shape[1] == beam.max_decode_len
+
+
+@pytest.mark.slow
+def test_beam_transcribe_window_and_batch_paths():
+    """The temperature-0 rung routes through beam in both the per-window
+    and the lockstep batched APIs, and produces a well-formed result."""
+    tr = _tiny_transcriber(temperatures=(0.0, 0.5),
+                           compression_ratio_threshold=None,
+                           logprob_threshold=None,
+                           no_speech_threshold=None, beam_size=3)
+    mel = np.zeros((80, 3000), np.float32)
+    toks, avg_lp, nsp, temp = tr._decode_window(mel, 0)
+    assert temp == 0.0  # accepted on the beam rung
+    assert np.isfinite(avg_lp)
+    audio = np.zeros(16000 * 2, np.float32)
+    outs = tr.transcribe_batch([audio, audio])
+    assert len(outs) == 2
+    for o in outs:
+        assert set(o) == {"text", "start", "end"}
+    # batched beam equals the single-window beam per element (lockstep
+    # batching must not change the decode)
+    single = tr.transcribe(audio)
+    assert outs[0] == single and outs[1] == single

@@ -70,7 +70,8 @@ class JaxWhisperTranscriber:
                  prompt_len: int = 64,
                  prompt_reset_on_temperature: float = 0.5,
                  seed: int = 0,
-                 param_dtype: Optional[str] = None):
+                 param_dtype: Optional[str] = None,
+                 beam_size: Optional[int] = None):
         import jax
         import jax.numpy as jnp
 
@@ -181,6 +182,85 @@ class JaxWhisperTranscriber:
         self._decode = jax.jit(_decode)
         self._jnp = jnp
 
+        # static-shape beam search for the temperature-0 rung, matching the
+        # faster-whisper default decode the reference's --faster factory
+        # path runs (asr_extract/whisper_inference.py:28-29,40-43:
+        # beam_size=5); higher-temperature retries stay on sampling, like
+        # faster-whisper. Final beam ranking = average log-prob per token
+        # (openai-whisper MaximumLikelihoodRanker with length_penalty=None).
+        self.beam_size = beam_size
+        NEG = -1e30
+
+        def _beam_decode(params, enc, prefix):
+            K = self.beam_size
+            b = enc.shape[0]
+            enc_k = jnp.repeat(enc, K, axis=0)
+            cache = fns.init_cache(b * K, enc_k)
+            tok_k = jnp.repeat(prefix, K, axis=0)
+            p_len = prefix.shape[1]
+            no_speech = jnp.zeros((b,), jnp.float32)
+            for i in range(p_len):
+                logits, cache = fns.step(tok_k[:, i], cache, jnp.asarray(i),
+                                         None)
+                if i == p_len - 3:
+                    probs = jax.nn.softmax(logits.astype(jnp.float32), -1)
+                    no_speech = (probs.reshape(b, K, -1)[:, 0, NO_SPEECH]
+                                 if NO_SPEECH < vocab
+                                 else jnp.zeros((b,), jnp.float32))
+            logp = jax.nn.log_softmax(
+                (logits + suppress_j).astype(jnp.float32), -1)
+            first = logp.reshape(b, K, vocab)[:, 0]  # beams identical so far
+            sum_lp, cur = jax.lax.top_k(first, K)  # [B, K]
+            cur = cur.astype(jnp.int32)
+            max_gen = max_decode_len - p_len
+            seqbuf = jnp.zeros((b, K, max_gen), jnp.int32)
+            seqbuf = seqbuf.at[:, :, 0].set(cur)
+            done = cur == EOT
+            n_tok = jnp.ones((b, K), jnp.float32)
+            # a finished beam persists as its own single EOT candidate
+            eot_only = jnp.full((vocab,), NEG).at[EOT].set(0.0)
+
+            def body(carry, i):
+                cur, cache, seqbuf, sum_lp, n_tok, done = carry
+                logits, cache = fns.step(cur.reshape(-1), cache,
+                                         p_len + i, None)
+                logp = jax.nn.log_softmax(
+                    (logits + suppress_j).astype(jnp.float32),
+                    -1).reshape(b, K, vocab)
+                cand = jnp.where(done[..., None], eot_only[None, None], logp)
+                flat = (sum_lp[..., None] + cand).reshape(b, K * vocab)
+                top, idx = jax.lax.top_k(flat, K)
+                parent = idx // vocab
+                tok = (idx % vocab).astype(jnp.int32)
+                flatsel = (jnp.arange(b)[:, None] * K + parent).reshape(-1)
+                cache = jax.tree_util.tree_map(
+                    lambda x: jnp.take(x, flatsel, axis=0), cache)
+                seqbuf = jnp.take_along_axis(seqbuf, parent[..., None],
+                                             axis=1)
+                pdone = jnp.take_along_axis(done, parent, axis=1)
+                pn = jnp.take_along_axis(n_tok, parent, axis=1)
+                seqbuf = seqbuf.at[:, :, i + 1].set(
+                    jnp.where(pdone, EOT, tok))
+                n_tok = pn + jnp.where(pdone, 0.0, 1.0)
+                done = pdone | (tok == EOT)
+                return (tok, cache, seqbuf, top, n_tok, done), ()
+
+            (cur, cache, seqbuf, sum_lp, n_tok, done), _ = jax.lax.scan(
+                body, (cur, cache, seqbuf, sum_lp, n_tok, done),
+                jnp.arange(max_gen - 1))
+            score = sum_lp / jnp.maximum(n_tok, 1.0)
+            best = jnp.argmax(score, axis=1)
+            best_seq = jnp.take_along_axis(
+                seqbuf, best[:, None, None], axis=1)[:, 0]
+            seq = jnp.concatenate([tok_k.reshape(b, K, -1)[:, 0], best_seq],
+                                  axis=1)
+            bl = jnp.take_along_axis(sum_lp, best[:, None], 1)[:, 0]
+            bn = jnp.take_along_axis(n_tok, best[:, None], 1)[:, 0]
+            return seq, bl, bn, no_speech
+
+        self._beam_decode = (jax.jit(_beam_decode)
+                             if beam_size and beam_size > 1 else None)
+
     def _tokens_to_text(self, tokens: List[int]) -> str:
         text_toks = [t for t in tokens if t < TIMESTAMP_BEGIN]
         if self.decode_tokens is not None:
@@ -218,9 +298,13 @@ class JaxWhisperTranscriber:
         temp = 0.0
         for ti, temp in enumerate(self.temperatures):
             key = jax.random.fold_in(self._rng, window_index * 131 + ti)
-            seq, sum_lp, n_tok, nsp = self._decode(
-                self.params, enc, prefix,
-                jnp.full((1,), temp, jnp.float32), key)
+            if temp == 0.0 and self._beam_decode is not None:
+                seq, sum_lp, n_tok, nsp = self._beam_decode(
+                    self.params, enc, prefix)
+            else:
+                seq, sum_lp, n_tok, nsp = self._decode(
+                    self.params, enc, prefix,
+                    jnp.full((1,), temp, jnp.float32), key)
             seq = np.asarray(seq)[0]
             toks = []
             for t in seq[len(prefix_list):]:
@@ -368,8 +452,13 @@ class JaxWhisperTranscriber:
             accepted: List[Optional[tuple]] = [None] * n
             for ti in range(len(self.temperatures)):
                 key = jax.random.fold_in(self._rng, window_index * 131 + ti)
-                seq, sum_lp, n_tok, nsp = self._decode(
-                    self.params, enc, prefix, jnp.asarray(temps), key)
+                if (self._beam_decode is not None
+                        and not np.any(temps > 0)):  # first (temp-0) rung
+                    seq, sum_lp, n_tok, nsp = self._beam_decode(
+                        self.params, enc, prefix)
+                else:
+                    seq, sum_lp, n_tok, nsp = self._decode(
+                        self.params, enc, prefix, jnp.asarray(temps), key)
                 seq = np.asarray(seq)
                 sum_lp, n_tok, nsp = (np.asarray(sum_lp), np.asarray(n_tok),
                                       np.asarray(nsp))
