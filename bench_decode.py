@@ -74,8 +74,11 @@ def main() -> None:
             _ = int(np.asarray(seqs)[0, 0])
         dt = (time.perf_counter() - t0) / a.reps
         vps = a.batch / dt
+        # reference estimate: HF fp32 generate beam-4 on A100 ~1.5
+        # videos/s (launch-overhead bound; BASELINE.md ratio table)
         results[path] = {"sec_per_call": round(dt, 3),
-                         "videos_per_sec": round(vps, 3)}
+                         "videos_per_sec": round(vps, 3),
+                         "vs_baseline": round(vps / 1.5, 2)}
         seqs_by_path[path] = np.asarray(seqs)
         print(f"{path}: {dt:.3f}s/call -> {vps:.2f} videos/s", flush=True)
 

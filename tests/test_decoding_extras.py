@@ -81,3 +81,29 @@ def test_grounding_speech_branch():
                        vid_mask, src_speech * 0.0, sp_mask)
     assert np.abs(np.asarray(out["pred_spans"])
                   - np.asarray(out2["pred_spans"])).max() > 1e-6
+
+
+def test_topk_pallas_matches_lax_top_k_with_ties():
+    """The single-pass Pallas top-k (beam body hot path on TPU) must match
+    lax.top_k exactly, including the smallest-index tie-break."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from vidchapters_tpu.ops.decoding import _topk_iterative, _topk_pallas
+
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(16, 1000)).astype(np.float32)
+    # inject exact ties
+    x[0, 5] = x[0, 905] = x[0].max() + 1.0
+    x[3, 10] = x[3, 11] = x[3, 12] = x[3].max() + 2.0
+    xj = jnp.asarray(x)
+    for k in (1, 4, 8):
+        ref_v, ref_i = jax.lax.top_k(xj, k)
+        it_v, it_i = _topk_iterative(xj, k)
+        pl_v, pl_i = _topk_pallas(xj, k, interpret=True)
+        np.testing.assert_array_equal(np.asarray(it_i), np.asarray(ref_i))
+        np.testing.assert_array_equal(np.asarray(pl_i), np.asarray(ref_i))
+        np.testing.assert_allclose(np.asarray(pl_v), np.asarray(ref_v))
+        np.testing.assert_allclose(np.asarray(it_v), np.asarray(ref_v))

@@ -69,17 +69,33 @@ QUANTIZE_CROSS_KV = False
 # single full-length chunk.
 CACHE_CHUNK = 128
 
+# Attention score/context reductions on the MXU via a block-diagonal q
+# build (qbd[r, d, h] = q[r, d] * seg[d, h]) and one-batch-dim dot_generals
+# that keep the [rows, inner] lane layout (no head-major relayouts — the
+# v4 mistake).  Spends H-times redundant MXU FLOPs to delete the
+# [rows, L, inner] elementwise product/reduce chains the VPU was burning
+# ~40% of the step on.  fp32 mode keeps the VPU formulation so decode
+# stays bit-exact with the standard path / HF.
+MXU_SEGMENTS = True
+
+# Rows per batch block (None = group * max(1, 8 // group)).  With the VPU
+# segment products this was best at 8 (v7: 16 rows regressed); the MXU
+# formulation changes the calculus — bigger blocks halve the grid-cell
+# count AND raise MXU row occupancy.
+BATCH_BLOCK_ROWS = None
+
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
 def _mega_kernel(idx_sp, x_in, ln, wqkv, wo_s, wq_c, wo_c, wi, wo_f, fln,
-                 bias_row, bias0, seg, seg_t, encmask, kc, vc, kx, vx,
+                 bias_row, bias0, seg, seg_t, selg, segrep, encmask,
+                 kc, vc, kx, vx,
                  kxs, vxs, x_out, knew, vnew, xs, q2s, ms, dens, ctxs,
                  *, n_layers: int, bb: int, group: int, heads: int,
                  dkv: int, eps: float, cdt, chunk: int, n_chunks: int,
-                 quant: bool,
+                 quant: bool, mxu: bool,
                  src_ref=None, kc_out=None, vc_out=None):
     """One (layer, batch-block, cache-chunk) grid cell; layouts in the
     module docstring.
@@ -111,9 +127,9 @@ def _mega_kernel(idx_sp, x_in, ln, wqkv, wo_s, wq_c, wo_c, wi, wo_f, fln,
     idx = idx_sp[0]
     inner = heads * dkv
     f32 = jnp.float32
-    # chunks holding any row < idx; at least one so chunk 0's specs are
-    # well-defined at idx == 0 (its rows are masked out anyway)
-    live = jnp.maximum((idx + chunk - 1) // chunk, 1)
+    # live chunks include the append-target chunk (row ``idx``) so the
+    # in-kernel row insert below always lands in a streamed+written chunk
+    live = idx // chunk + 1
 
     def rms(x, w):
         xf = x.astype(f32)
@@ -179,13 +195,33 @@ def _mega_kernel(idx_sp, x_in, ln, wqkv, wo_s, wq_c, wo_c, wi, wo_f, fln,
                              for r in range(bb)], axis=0)
             vcb = jnp.stack([vc[src_ref[0, base + r] - base, 0]
                              for r in range(bb)], axis=0)
-            kc_out[:, 0] = kcb
-            vc_out[:, 0] = vcb
+            # the current token's k/v row is appended HERE (row idx of the
+            # last live chunk) during the permutation write-back — the two
+            # 0.57 ms dynamic_update_slice ops outside disappear.  The
+            # inserted row is invisible to this step's scores (masked to
+            # rows < idx); projections ran in the c == 0 cell so the knew /
+            # vnew output blocks (constant index over c) hold the rows.
+            rows_c = jax.lax.broadcasted_iota(
+                jnp.int32, (bb, chunk, inner), 1) + c * chunk
+            at_new = rows_c == idx
+            kc_out[:, 0] = jnp.where(at_new, knew[...][:, None, :], kcb)
+            vc_out[:, 0] = jnp.where(at_new, vnew[...][:, None, :], vcb)
         else:
             kcb = kc[:, 0]                           # [bb, C, inner]
             vcb = vc[:, 0]
-        prod = (kcb * q2[:, None, :]).astype(cdt)    # [bb, C, inner]
-        s = head_scores(prod) + bias_row[pl.ds(c * chunk, chunk)][None]
+        if mxu:
+            # block-diagonal q: qbd[r, d, h] = q[r, d] * seg[d, h]; the
+            # per-head q.k reduction becomes ONE batched (1 batch dim) MXU
+            # dot in the native [rows, inner] layout
+            # minor-dim insertion must happen on a 32-bit type (Mosaic)
+            qbd = (q2.astype(f32)[:, :, None] * seg[...][None]).astype(cdt)
+            s = jax.lax.dot_general(
+                kcb.astype(cdt), qbd, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=f32)          # [bb, C, H]
+            s = s + bias_row[pl.ds(c * chunk, chunk)][None]
+        else:
+            prod = (kcb * q2[:, None, :]).astype(cdt)    # [bb, C, inner]
+            s = head_scores(prod) + bias_row[pl.ds(c * chunk, chunk)][None]
         row_ids = (jax.lax.broadcasted_iota(jnp.int32, (bb, chunk, heads), 1)
                    + c * chunk)
         s = jnp.where(row_ids < idx, s, NEG_INF)     # [bb, C, H] f32
@@ -195,8 +231,16 @@ def _mega_kernel(idx_sp, x_in, ln, wqkv, wo_s, wq_c, wo_c, wi, wo_f, fln,
         # m_new == NEG_INF and exp(s - m_new) would be exp(0) == 1
         e = jnp.where(row_ids < idx, jnp.exp(s - m_new[:, None, :]), 0.0)
         dens[...] = dens[...] * scale + jnp.sum(e, axis=1)
-        p_exp = expand_heads(e)                      # [bb, C, inner]
-        part = jnp.sum((p_exp * vcb).astype(f32), axis=1)
+        if mxu:
+            # ctx2[r, h, d] = sum_l e[r, l, h] v[r, l, d]: batched MXU dot,
+            # then the head-select collapse is a tiny [bb, H, inner] VPU op
+            ctx2 = jax.lax.dot_general(
+                e.astype(cdt), vcb.astype(cdt), (((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=f32)          # [bb, H, inner]
+            part = jnp.sum(ctx2 * seg_t[...][None], axis=1)  # [bb, inner]
+        else:
+            p_exp = expand_heads(e)                  # [bb, C, inner]
+            part = jnp.sum((p_exp * vcb).astype(f32), axis=1)
         ctxs[...] = ctxs[...] * expand_heads_f32(scale) + part
         ms[...] = m_new
 
@@ -233,19 +277,42 @@ def _mega_kernel(idx_sp, x_in, ln, wqkv, wo_s, wq_c, wo_c, wi, wo_f, fln,
                 # [g, inner] multiplies instead of [LencP, inner] dequants
                 qe = qe * kxs[e_i, 0, 0][None, :].astype(cdt)
             kxe = kxb[e_i].astype(cdt)               # int8 -> cdt if quant
-            prod = (kxe[None] * qe[:, None, :]).astype(cdt)
-            s = head_scores(prod)                    # [g, LencP, H] f32
             # encmask is the FULL [B0, LencP] block (a bbe-row block would
             # violate the (8,128) block rule); dynamic row read as in
             # decode_attention.py:98
-            valid = encmask[b * n_ex + e_i][None, :, None] > 0
-            s = jnp.where(valid, s, NEG_INF)
-            mx = jnp.max(s, axis=1, keepdims=True)
-            e = jnp.exp(s - mx)
-            p = e / jnp.sum(e, axis=1, keepdims=True)
-            p_exp = expand_heads(p)                  # [g, LencP, inner]
-            vxe = vxb[e_i].astype(cdt)
-            part = jnp.sum((p_exp * vxe[None]).astype(f32), axis=1)
+            if mxu:
+                # block-diagonal q as ONE [inner, g*H] operand built with
+                # an A^T.B dot against the static beam selector, then the
+                # whole example's scores are a single clean 2-D MXU matmul
+                # (free-dims dot_generals have no Mosaic lowering)
+                qex = jax.lax.dot_general(
+                    qe.astype(f32), selg[...], (((0,), (0,)), ((), ())),
+                    preferred_element_type=f32)      # [inner, g*H]
+                qbd2d = (qex * segrep[...]).astype(cdt)
+                s = jnp.dot(kxe, qbd2d,
+                            preferred_element_type=f32)  # [LencP, g*H]
+                valid = encmask[b * n_ex + e_i][:, None] > 0
+                s = jnp.where(valid, s, NEG_INF)
+                mx = jnp.max(s, axis=0, keepdims=True)
+                e = jnp.exp(s - mx)
+                p = e / jnp.sum(e, axis=0, keepdims=True)
+                vxe = vxb[e_i].astype(cdt)
+                ctx2d = jax.lax.dot_general(
+                    p.astype(cdt), vxe, (((0,), (0,)), ((), ())),
+                    preferred_element_type=f32)      # [g*H, inner]
+                ctx3 = ctx2d.reshape(group, heads, inner)  # major-dim split
+                part = jnp.sum(ctx3 * seg_t[...][None], axis=1)  # [g, inner]
+            else:
+                prod = (kxe[None] * qe[:, None, :]).astype(cdt)
+                s = head_scores(prod)                # [g, LencP, H] f32
+                valid = encmask[b * n_ex + e_i][None, :, None] > 0
+                s = jnp.where(valid, s, NEG_INF)
+                mx = jnp.max(s, axis=1, keepdims=True)
+                e = jnp.exp(s - mx)
+                p = e / jnp.sum(e, axis=1, keepdims=True)
+                p_exp = expand_heads(p)              # [g, LencP, inner]
+                vxe = vxb[e_i].astype(cdt)
+                part = jnp.sum((p_exp * vxe[None]).astype(f32), axis=1)
             if quant:
                 part = part * vxs[e_i, 0, 0][None, :]
             ctx_parts.append(part)
@@ -325,13 +392,23 @@ def mega_decode_step(stacked: Dict[str, Array], x: Array,
     seg_np = segment_matrix(heads, dkv)
     seg = jnp.asarray(seg_np)
     seg_t = jnp.asarray(np.ascontiguousarray(seg_np.T))
+    # static cross-attention MXU operands: beam selector [g, g*H] and the
+    # per-beam tiled segment matrix [inner, g*H]
+    selg_np = np.zeros((group, group * heads), np.float32)
+    for gg in range(group):
+        selg_np[gg, gg * heads:(gg + 1) * heads] = 1.0
+    selg = jnp.asarray(selg_np)
+    segrep = jnp.asarray(np.tile(seg_np, (1, group)))
+    # MXU segment reductions engage for bf16 compute; fp32 keeps the VPU
+    # formulation so decode stays bit-exact with the standard path / HF
+    mxu = bool(MXU_SEGMENTS) and cdt == jnp.bfloat16
     kernel = functools.partial(
         _mega_kernel, n_layers=n_layers, bb=bb, group=group, heads=heads,
         dkv=dkv, eps=eps, cdt=cdt, chunk=chunk, n_chunks=n_chunks,
-        quant=quant)
+        quant=quant, mxu=mxu)
 
     def chunk_clamped(c, idx_ref):
-        live = jnp.maximum((idx_ref[0] + chunk - 1) // chunk, 1)
+        live = idx_ref[0] // chunk + 1
         return jnp.minimum(c, live - 1)
 
     wspec = lambda *shape: pl.BlockSpec(
@@ -366,6 +443,8 @@ def mega_decode_step(stacked: Dict[str, Array], x: Array,
         const2(1, heads),                                # bias0
         const2(inner, heads),                            # seg
         const2(heads, inner),                            # seg_t
+        const2(group, group * heads),                    # selg
+        const2(inner, group * heads),                    # segrep
         pl.BlockSpec((b0, lencp), lambda i, b, c, s: (0, 0),
                      memory_space=pltpu.VMEM),           # enc mask (full)
         cache_spec,                                      # k cache
@@ -388,8 +467,8 @@ def mega_decode_step(stacked: Dict[str, Array], x: Array,
     args = [x, stacked["ln"], stacked["wqkv"], stacked["wo_self"],
             stacked["wq_cross"], stacked["wo_cross"], stacked["wi"],
             stacked["wo_ff"], stacked["final_ln"], bias_row, bias0, seg,
-            seg_t, enc_mask, k_cache, v_cache, k_cross, v_cross,
-            k_cross_scale, v_cross_scale]
+            seg_t, selg, segrep, enc_mask, k_cache, v_cache, k_cross,
+            v_cross, k_cross_scale, v_cross_scale]
     aliases = {}
     scratch = [
         pltpu.VMEM((n_blocks, bb, d), cdt),              # xs
@@ -404,13 +483,13 @@ def mega_decode_step(stacked: Dict[str, Array], x: Array,
         # caches out (aliased to the cache inputs)
         def kernel_fn(idx_sp, src_ref, x_in, ln_r, wqkv_r, wo_s, wq_c,
                       wo_c, wi_r, wo_f, fln, bias_r, bias0_r, seg_r,
-                      seg_t_r, encmask, kc, vc, kx, vx, kxs, vxs,
-                      x_out, knew, vnew, kc_out, vc_out,
+                      seg_t_r, selg_r, segrep_r, encmask, kc, vc, kx, vx,
+                      kxs, vxs, x_out, knew, vnew, kc_out, vc_out,
                       xs, q2s, ms, dens, ctxs):
             kernel(idx_sp, x_in, ln_r, wqkv_r, wo_s, wq_c, wo_c, wi_r,
-                   wo_f, fln, bias_r, bias0_r, seg_r, seg_t_r, encmask,
-                   kc, vc, kx, vx, kxs, vxs, x_out, knew, vnew,
-                   xs, q2s, ms, dens, ctxs,
+                   wo_f, fln, bias_r, bias0_r, seg_r, seg_t_r, selg_r,
+                   segrep_r, encmask, kc, vc, kx, vx, kxs, vxs,
+                   x_out, knew, vnew, xs, q2s, ms, dens, ctxs,
                    src_ref=src_ref, kc_out=kc_out, vc_out=vc_out)
 
         in_specs.insert(0, pl.BlockSpec((1, bsz), lambda i, b, c, s: (0, 0),
@@ -420,8 +499,8 @@ def mega_decode_step(stacked: Dict[str, Array], x: Array,
         out_shape += [jax.ShapeDtypeStruct(k_cache.shape, cdt),
                       jax.ShapeDtypeStruct(v_cache.shape, cdt)]
         # input indices include the scalar-prefetch operand (idx, src,
-        # then 14 smalls) -> k/v cache inputs at 16/17
-        aliases = {16: 3, 17: 4}
+        # then 16 smalls) -> k/v cache inputs at 18/19
+        aliases = {18: 3, 19: 4}
     else:
         kernel_fn = kernel
 
@@ -532,10 +611,14 @@ def make_mega_decode_fns(cfg, t5_params: Dict[str, Any], max_length: int,
 
     cdt = jnp.dtype(cfg.dtype)
     group = max(1, num_beams)
-    bb = group * max(1, 8 // group)
+    bb = BATCH_BLOCK_ROWS or group * max(1, 8 // group)
     stacked = stack_decoder_weights(t5_params, cfg)
     bias_all = precompute_bias_table(t5_params, cfg, max_length)
     emb = jnp.asarray(t5_params["shared"]["embedding"])
+    # logits operand pre-transposed ONCE: the per-step
+    # einsum("bd,vd->bv") was re-laying out the 49 MB table every
+    # iteration inside the decode loop (measured 0.74 ms/step on v5e)
+    emb_t = jnp.swapaxes(emb, 0, 1).astype(cdt)  # materialized pre-loop
     heads = cfg.num_heads
     inner = heads * cfg.d_kv
     n = cfg.num_decoder_layers
@@ -595,23 +678,25 @@ def make_mega_decode_fns(cfg, t5_params: Dict[str, Any], max_length: int,
             v_cross_scale=cache["cross"].get("v_scale"),
             interpret=interpret)
         if src is not None:
+            # the kernel already appended the k/v rows during the
+            # permutation write-back — no DUS needed
             hidden, k_new, v_new, self_k, self_v = out
+            new_cache = {"self_k": self_k, "self_v": self_v,
+                         "cross": cache["cross"], "pending_src": src}
         else:
             hidden, k_new, v_new = out
-            self_k, self_v = cache["self_k"], cache["self_v"]
-        new_cache = {
-            "self_k": jax.lax.dynamic_update_slice(
-                self_k, k_new[:, :, None, :], (0, 0, index, 0)),
-            "self_v": jax.lax.dynamic_update_slice(
-                self_v, v_new[:, :, None, :], (0, 0, index, 0)),
-            "cross": cache["cross"],
-        }
-        if src is not None:
-            new_cache["pending_src"] = src
+            new_cache = {
+                "self_k": jax.lax.dynamic_update_slice(
+                    cache["self_k"], k_new[:, :, None, :], (0, 0, index, 0)),
+                "self_v": jax.lax.dynamic_update_slice(
+                    cache["self_v"], v_new[:, :, None, :], (0, 0, index, 0)),
+                "cross": cache["cross"],
+            }
         # tied-embedding logits (models/t5.py logits_from_hidden)
         if cfg.tie_word_embeddings:
             hidden = hidden * (cfg.d_model ** -0.5)
-            logits = jnp.einsum("bd,vd->bv", hidden, emb.astype(hidden.dtype))
+            logits = jnp.dot(hidden, emb_t.astype(hidden.dtype),
+                             preferred_element_type=jnp.float32)
         else:
             lm = jnp.asarray(t5_params["lm_head"]["kernel"]).astype(cdt)
             logits = hidden @ lm

@@ -215,6 +215,53 @@ def _topk_iterative(x: Array, k: int) -> Tuple[Array, Array]:
     return jnp.stack(vals, axis=1), jnp.stack(idxs, axis=1)
 
 
+def _topk_pallas(x: Array, k: int,
+                 interpret: bool = False) -> Tuple[Array, Array]:
+    """Single-HBM-pass small-k top-k: one Pallas cell holds the whole
+    [batch, beams*vocab] score block in VMEM and runs the k max/mask
+    sweeps there, so HBM sees the 8 MB block once instead of ~2k times
+    (the XLA sweeps re-materialize the masked array every pass — measured
+    0.54 ms/step of the beam body on v5e). Tie-break identical to
+    lax.top_k / _topk_iterative: smallest index wins (argmax via
+    min-of-iota-at-max)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    bsz, n = x.shape
+    neg = jnp.finfo(x.dtype).min
+
+    def kernel(x_ref, vals_ref, idx_ref):
+        xv = x_ref[...]
+        iota = jax.lax.broadcasted_iota(jnp.int32, xv.shape, 1)
+        vals, idxs = [], []
+        for _ in range(k):
+            m = jnp.max(xv, axis=1, keepdims=True)            # [B, 1]
+            at = jnp.where(xv == m, iota, n)
+            ix = jnp.min(at, axis=1, keepdims=True)           # [B, 1]
+            vals.append(m)
+            idxs.append(ix)
+            xv = jnp.where(iota == ix, neg, xv)
+        vals_ref[...] = jnp.concatenate(vals, axis=1)
+        idx_ref[...] = jnp.concatenate(idxs, axis=1)
+
+    vals, idxs = pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((bsz, k), x.dtype),
+                   jax.ShapeDtypeStruct((bsz, k), jnp.int32)),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(x)
+    return vals, idxs
+
+
+def _topk_small(x: Array, k: int) -> Tuple[Array, Array]:
+    """Route small-k top-k to the Pallas kernel on TPU backends."""
+    if jax.default_backend() not in ("cpu", "gpu"):
+        return _topk_pallas(x, k)
+    return _topk_iterative(x, k)
+
+
 def beam_search(fns: DecodeFns, enc_out: Array, enc_mask: Array,
                 max_length: int, num_beams: int = 4,
                 eos_token_id: int = 1, decoder_start_token_id: int = 0,
@@ -271,7 +318,7 @@ def beam_search(fns: DecodeFns, enc_out: Array, enc_mask: Array,
         logp = _unflatten_beams(logp, batch, K)  # [B, K, V]
         cand_scores = running_scores[:, :, None] + logp
         flat = cand_scores.reshape(batch, K * vocab)
-        top_scores, top_idx = _topk_iterative(flat, 2 * K)
+        top_scores, top_idx = _topk_small(flat, 2 * K)
         beam_idx = top_idx // vocab
         token_idx = top_idx % vocab
 
