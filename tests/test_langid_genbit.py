@@ -155,3 +155,38 @@ def test_genbit_statistics_payload():
     assert m["statistics"]["num_tokens"] == 6
     assert "avg_bias_conditional" in m["statistics"]
     assert math.isfinite(m["genbit_score"])
+
+
+def test_analysis_jobs_idempotent(tmp_path):
+    """The sharded language job skips existing outputs (the reference's
+    resumable-job pattern, analysis/language.py:60-61) and the gender job
+    writes the GenBit metrics json."""
+    import pickle
+
+    from vidchapters_tpu.factory.analysis import (
+        analyze_gender_job,
+        analyze_language_job,
+    )
+
+    asr_dir = tmp_path / "asr"
+    asr_dir.mkdir()
+    for i, text in enumerate([HELD_OUT["en"], HELD_OUT["de"], ""]):
+        with open(asr_dir / f"v{i}.pkl", "wb") as f:
+            pickle.dump({"text": [text], "start": [0.0], "end": [1.0]}, f)
+    out = tmp_path / "lang"
+    assert analyze_language_job(str(asr_dir), str(out)) == 3
+    assert analyze_language_job(str(asr_dir), str(out)) == 0  # idempotent
+    langs = {}
+    for f in out.glob("*.pkl"):
+        with open(f, "rb") as fh:
+            langs[f.stem] = pickle.load(fh)["asr_lang"]
+    assert langs == {"v0": "en", "v1": "de", "v2": None}
+
+    chapters = {"vid1": {"chapters": [{"label": "the king and his men"},
+                                      {"label": "she bakes bread"}]}}
+    pkl = tmp_path / "chapters.pkl"
+    with open(pkl, "wb") as f:
+        pickle.dump(chapters, f)
+    metrics = analyze_gender_job(str(pkl), str(tmp_path / "gender.json"))
+    assert metrics["percentage_of_male_gender_definition_words"] > 0
+    assert (tmp_path / "gender.json").exists()

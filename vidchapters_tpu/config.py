@@ -288,6 +288,12 @@ class OptimConfig:
     clip_max_norm: float = 0.1
     schedule: str = "cosine_with_warmup"  # "" | "linear_with_warmup" | cosine
     fraction_warmup_steps: float = 0.01
+    # run clip+adam over ONE flattened parameter vector (optax.flatten):
+    # the per-leaf update emitted ~1.1k tiny param-sized ops per step
+    # (~8 ms of the 184 ms v5e step, BENCH_NOTES round-2 closing profile);
+    # flat state fuses them into a handful of large fusions. Math is
+    # identical up to reduction order in the global-norm clip.
+    fused_flat: bool = True
 
 
 @dataclass(frozen=True)

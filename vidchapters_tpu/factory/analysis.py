@@ -1,9 +1,10 @@
 """Dataset analysis: language / gender / toxicity statistics.
 
 Counterpart of analysis/ (language.py:55-74, gender.py:8-21, nsfw.py:60-121).
-The heavyweight external classifiers (langdetect, GenBit, Detoxify,
-CLIP-NSFW) are pluggable/gated; the built-in language detector is a
-stopword-profile heuristic so the pipeline runs fully offline.
+Language ID runs the char n-gram model in factory/langid.py (the
+langdetect model family); gender metrics the GenBit implementation in
+factory/genbit.py; toxicity/NSFW the Flax BERT / CLIP-MLP classifiers
+below — all fully offline.
 """
 
 from __future__ import annotations
@@ -180,3 +181,98 @@ def build_nsfw_scorer(weights_npz: str):
         return 1.0 / (1.0 + np.exp(-x[..., 0]))
 
     return scorer
+
+
+# ---------------------------------------------------------------------------
+# Idempotent sharded analysis jobs + CLI (the reference's standalone
+# analysis scripts, run manually per README)
+# ---------------------------------------------------------------------------
+
+
+def analyze_language_job(asr_dir: str, out_dir: str, shuffle_seed: int = 0
+                         ) -> int:
+    """Per-video ASR language detection (analysis/language.py:55-74):
+    reads ``<vid>.pkl`` ASR files, writes ``{"asr_lang": code}`` pickles,
+    skips existing outputs so concurrent shards cooperate (the reference's
+    idempotent-resumable job pattern). Returns videos processed."""
+    import pickle
+    import random
+    from pathlib import Path
+
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    files = sorted(Path(asr_dir).glob("*.pkl"))
+    random.Random(shuffle_seed).shuffle(files)
+    done = 0
+    for f in files:
+        target = out / f.name
+        if target.exists():
+            continue
+        with open(f, "rb") as fh:
+            asr = pickle.load(fh)
+        text = " ".join(t for t in asr.get("text", []) if t.strip())
+        if not text:
+            lang = None
+        else:
+            try:
+                lang = detect_language(text)
+            except Exception:
+                lang = "error"  # language.py:68-69
+        with open(target, "wb") as fh:
+            pickle.dump({"asr_lang": lang}, fh)
+        done += 1
+    return done
+
+
+def analyze_gender_job(chapters_pkl: str, out_json: str,
+                       context_window: int = 5, distance_weight: float = 0.95,
+                       percentile_cutoff: int = 80) -> dict:
+    """GenBit-style gender metrics over all chapter titles
+    (analysis/gender.py:8-21); writes the metrics json and returns it."""
+    import json
+    import pickle
+
+    from vidchapters_tpu.factory.genbit import GenBitMetrics
+
+    with open(chapters_pkl, "rb") as f:
+        data = pickle.load(f)
+    titles = [c["label"] for vid in sorted(data)
+              for c in data[vid].get("chapters", [])]
+    g = GenBitMetrics("en", context_window=context_window,
+                      distance_weight=distance_weight,
+                      percentile_cutoff=percentile_cutoff)
+    g.add_data(titles, tokenized=False)
+    metrics = g.get_metrics(output_statistics=True, output_word_list=True)
+    with open(out_json, "w") as f:
+        json.dump(metrics, f, default=float)
+    return metrics
+
+
+def _main() -> None:
+    import argparse
+    import json
+
+    p = argparse.ArgumentParser(
+        description="dataset analysis jobs (language / gender)")
+    sub = p.add_subparsers(dest="job", required=True)
+    pl_ = sub.add_parser("language")
+    pl_.add_argument("--asr-dir", required=True)
+    pl_.add_argument("--out-dir", required=True)
+    pg = sub.add_parser("gender")
+    pg.add_argument("--chapters-pkl", required=True)
+    pg.add_argument("--out-json", required=True)
+    a = p.parse_args()
+    if a.job == "language":
+        n = analyze_language_job(a.asr_dir, a.out_dir)
+        print(json.dumps({"processed": n}))
+    else:
+        m = analyze_gender_job(a.chapters_pkl, a.out_json)
+        print(json.dumps({k: m[k] for k in (
+            "genbit_score",
+            "percentage_of_male_gender_definition_words",
+            "percentage_of_female_gender_definition_words",
+            "percentage_of_non_binary_gender_definition_words")}))
+
+
+if __name__ == "__main__":
+    _main()

@@ -31,11 +31,19 @@ def build_schedule(cfg: OptimConfig, num_training_steps: int) -> optax.Schedule:
 
 
 def build_optimizer(cfg: OptimConfig, num_training_steps: int) -> optax.GradientTransformation:
-    """Adam + global-norm clip (dvc.py:112-116, 346-351)."""
+    """Adam + global-norm clip (dvc.py:112-116, 346-351).
+
+    With ``cfg.fused_flat`` the whole chain runs over one flattened
+    parameter vector (optax.flatten): clip becomes a single vector norm
+    and the Adam update a few large fusions instead of ~1.1k per-leaf
+    ops (the round-2 profile's unattributed tiny-copy tail)."""
     schedule = build_schedule(cfg, num_training_steps)
     chain = []
     if cfg.clip_max_norm > 0:
         chain.append(optax.clip_by_global_norm(cfg.clip_max_norm))
     chain.append(optax.adamw(schedule, b1=cfg.beta1, b2=cfg.beta2,
                              weight_decay=cfg.weight_decay))
-    return optax.chain(*chain)
+    tx = optax.chain(*chain)
+    if getattr(cfg, "fused_flat", False):
+        tx = optax.flatten(tx)
+    return tx
