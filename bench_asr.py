@@ -95,6 +95,7 @@ def main() -> None:
         "decode_steps": a.steps,
         "dtype": a.dtype or "float32",
         "beam": a.beam,
+        "vs_baseline": round(audio_s / dt / 70.0, 2),  # whisperx ~70x RT
     }))
 
 

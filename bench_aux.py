@@ -65,7 +65,8 @@ def bench_pdvc(reps: int = 20) -> None:
     float(metrics["total"])
     dt = (time.perf_counter() - t0) / reps
     print(json.dumps({"metric": "pdvc_train_videos_per_sec_per_chip",
-                      "value": round(b / dt, 2), "unit": "videos/s"}))
+                      "value": round(b / dt, 2), "unit": "videos/s",
+                      "vs_baseline": round(b / dt / 20.0, 2)}))  # A100 est
 
 
 def bench_grounding(reps: int = 20) -> None:
@@ -111,7 +112,8 @@ def bench_grounding(reps: int = 20) -> None:
     float(metrics["total"])
     dt = (time.perf_counter() - t0) / reps
     print(json.dumps({"metric": "momentdetr_train_samples_per_sec_per_chip",
-                      "value": round(b / dt, 1), "unit": "samples/s"}))
+                      "value": round(b / dt, 1), "unit": "samples/s",
+                      "vs_baseline": round(b / dt / 1500.0, 2)}))  # A100 est
 
 
 if __name__ == "__main__":

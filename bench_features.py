@@ -48,6 +48,7 @@ def main() -> None:
         "metric": "clip_vitl14_frames_per_sec_per_chip",
         "value": round(fps, 1),
         "unit": "frames/s",
+        "vs_baseline": round(fps / 600.0, 2),  # A100 clip-pip estimate
         "batch": a.batch,
     }))
 

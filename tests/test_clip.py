@@ -81,3 +81,42 @@ def test_vision_tower_parity(hf_model, rng):
             pixel_values=torch.tensor(pixels).permute(0, 3, 1, 2)).numpy()
     ours = np.asarray(enc.apply({"params": params}, jnp.array(pixels)))
     np.testing.assert_allclose(ours, hf_out, rtol=2e-4, atol=2e-4)
+
+
+def test_vision_fused_attention_matches_einsum():
+    """The fused-kernel vision attention path (TPU default) must match the
+    einsum formulation (interpret-mode Pallas on CPU)."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from vidchapters_tpu.models import clip as clip_mod
+    from vidchapters_tpu.ops import fused_attention as fa
+
+    cfg = clip_mod.CLIPVisionConfig(patch_size=32, width=64, layers=2,
+                                    heads=4, output_dim=32, dtype="float32")
+    enc = clip_mod.CLIPImageEncoder(cfg)
+    rng = np.random.default_rng(0)
+    pixels = jnp.asarray(rng.normal(size=(2, 64, 64, 3)), jnp.float32)
+    params = enc.init(jax.random.PRNGKey(0), pixels)["params"]
+
+    old_flag = clip_mod.USE_FUSED_ATTENTION
+    old_interp = getattr(fa, "INTERPRET", None)
+    try:
+        clip_mod.USE_FUSED_ATTENTION = False
+        ref = enc.apply({"params": params}, pixels)
+        clip_mod.USE_FUSED_ATTENTION = True
+        # run the Pallas kernel in interpret mode on CPU
+        import functools
+        orig = fa.fused_attention_padded
+        fa_interp = functools.partial(orig, interpret=True)
+        fa.fused_attention_padded = fa_interp
+        try:
+            fused = enc.apply({"params": params}, pixels)
+        finally:
+            fa.fused_attention_padded = orig
+    finally:
+        clip_mod.USE_FUSED_ATTENTION = old_flag
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(ref),
+                               atol=2e-4, rtol=2e-4)

@@ -288,12 +288,13 @@ class OptimConfig:
     clip_max_norm: float = 0.1
     schedule: str = "cosine_with_warmup"  # "" | "linear_with_warmup" | cosine
     fraction_warmup_steps: float = 0.01
-    # run clip+adam over ONE flattened parameter vector (optax.flatten):
-    # the per-leaf update emitted ~1.1k tiny param-sized ops per step
-    # (~8 ms of the 184 ms v5e step, BENCH_NOTES round-2 closing profile);
-    # flat state fuses them into a handful of large fusions. Math is
-    # identical up to reduction order in the global-norm clip.
-    fused_flat: bool = True
+    # run clip+adam over ONE flattened parameter vector (optax.flatten).
+    # MEASURED NEGATIVE on v5e at the bs8 recipe (round 3): the flat
+    # concat/unravel adds ~2.4 GB of transient HBM (OOM: 16.23 of
+    # 15.75 GB) and its bandwidth arithmetic (~13.7 ms concat + flat adam
+    # + unravel + per-leaf apply_updates) is a wash against the ~15 ms
+    # per-leaf tail it replaces. Kept as an option for smaller models.
+    fused_flat: bool = False
 
 
 @dataclass(frozen=True)
