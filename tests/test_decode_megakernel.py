@@ -227,3 +227,23 @@ def test_mega_int8_cross_kv_noise_bounded(setup, monkeypatch):
         rel = np.linalg.norm(q - e) / max(np.linalg.norm(e), 1e-9)
         assert rel < 0.10, (i, rel)
         tokens = jnp.argmax(log_e, -1).astype(jnp.int32)
+
+
+def test_mega_four_chunk_beam_ancestry_parity(setup, monkeypatch):
+    """4 cache chunks x beam-4: frozen-chunk composed ancestry maps must
+    reproduce the standard path exactly through many beam permutations and
+    three chunk-freeze transitions (round-3 write-back scheme: only the
+    active chunk is physically rewritten)."""
+    from vidchapters_tpu.ops import decode_megakernel as dm
+
+    cfg, model, params, enc_out, enc_mask = setup
+    monkeypatch.setattr(dm, "CACHE_CHUNK", 4)  # MAX_LEN=16 -> 4 chunks
+    ref = make_decode_fns(model, params, MAX_LEN)
+    mega = make_mega_decode_fns(cfg, params, MAX_LEN, num_beams=4,
+                                interpret=True)
+    b0 = 2
+    ref_seqs = np.asarray(beam_search(ref, enc_out[:b0], enc_mask[:b0],
+                                      MAX_LEN, num_beams=4))
+    mega_seqs = np.asarray(beam_search(mega, enc_out[:b0], enc_mask[:b0],
+                                       MAX_LEN, num_beams=4))
+    np.testing.assert_array_equal(ref_seqs, mega_seqs)
