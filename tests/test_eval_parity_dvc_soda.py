@@ -360,3 +360,30 @@ def test_chased_dp_assignment_matches_reference(ref_modules):
             assert our_score == pytest.approx(ref_score, abs=1e-12), shape
             assert [tuple(p) for p in our_pairs] == \
                    [tuple(p) for p in ref_pairs], (shape, m)
+
+
+def test_eval_vc_matches_reference(ref_modules):
+    """dvc_eval/eval_vc.py COCOEvalCap run live with our scorers injected
+    vs our evals/captioning.py on identical clip-caption fixtures (the
+    GT-boundary VC task's metric, vc.py:169-170)."""
+    from vidchapters_tpu.evals.captioning import eval_vc
+
+    rng = np.random.default_rng(21)
+    vocab = ("chapter intro recipe mix bake bread the a how to make serve "
+             "first second part outro").split()
+    results = {}
+    for i in range(40):
+        gt = " ".join(rng.choice(vocab, size=int(rng.integers(2, 9))))
+        if i % 4 == 0:
+            pred = gt  # exact matches
+        else:
+            pred = " ".join(rng.choice(vocab, size=int(rng.integers(2, 9))))
+        results[f"clip{i}"] = {"sentence": pred, "gt": gt}
+
+    RefCoco = ref_modules["dvc_eval"].COCOEvalCap
+    ref_out = RefCoco(dict(results)).evaluate()
+    ours = eval_vc(results)
+    assert set(ref_out) <= set(ours)
+    for k, v in ref_out.items():
+        assert ours[k] == pytest.approx(v, abs=1e-9), (
+            f"{k}: ours={ours[k]} ref={v}")

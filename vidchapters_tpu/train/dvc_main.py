@@ -125,6 +125,20 @@ def main(cfg: ExperimentConfig,
             # batch must tile over this host's slice of the data axis)
             n_local_data = mesh.devices.shape[0] // jax.process_count()
             use_shard = cfg.train.batch_size % max(n_local_data, 1) == 0
+
+            def _drain(pending_metrics):
+                """Materialize a finished step's metrics (the NaN hard-stop,
+                dvc.py:107-110, fires one step late)."""
+                vals = {k: float(v) for k, v in pending_metrics.items()}
+                logger.update(**vals)
+                if not np.isfinite(vals["total_loss"]):
+                    raise RuntimeError("Loss is not finite, stopping training")
+
+            # one-step-delayed metric fetch: the scalar materialization of
+            # step i-1 happens after step i is dispatched, so host-side
+            # batch prep + the per-call RPC floor overlap device compute
+            # instead of serializing with it (CLAUDE.md platform notes)
+            pending = None
             for step_i, batch in enumerate(logger.log_every(
                     it, cfg.train.print_freq, f"Epoch [{epoch}] {name}")):
                 prof = cfg.train.profile_dir
@@ -135,13 +149,15 @@ def main(cfg: ExperimentConfig,
                           for k, v in batch.items()
                           if isinstance(v, np.ndarray)}
                 state, metrics = train_step(state, arrays, step_key)
-                logger.update(**{k: float(v) for k, v in metrics.items()})
-                if not np.isfinite(float(metrics["total_loss"])):
-                    raise RuntimeError("Loss is not finite, stopping training")
+                if pending is not None:
+                    _drain(pending)
+                pending = metrics
                 if (prof and epoch == 0 and step_i
                         == cfg.train.profile_start + cfg.train.profile_steps):
                     jax.profiler.stop_trace()
                     print(f"profile written to {prof}")
+            if pending is not None:
+                _drain(pending)
 
         epoch_stats = {f"train_{k}": v for k, v in logger.global_averages().items()}
 

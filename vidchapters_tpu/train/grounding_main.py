@@ -113,6 +113,7 @@ def main(train_jsonl: str, val_jsonl: str, v_feat_dirs: List[str],
     log_path = Path(save_dir) / "log.txt"
     for epoch in range(n_epochs):
         logger = MetricLogger()
+        pending = None  # one-step-delayed fetch overlaps host batch prep
         for bi, batch in enumerate(batches(train_ds, batch_size, cfg.max_v_l,
                                            max_spans, True, seed + epoch,
                                            tokenize, num_shards=n_proc,
@@ -124,7 +125,11 @@ def main(train_jsonl: str, val_jsonl: str, v_feat_dirs: List[str],
                       for k, v in batch.items() if isinstance(v, np.ndarray)}
             with mesh:
                 state, metrics = train_step(state, arrays, step_key)
-            logger.update(loss=float(metrics["total"]))
+            if pending is not None:  # one-step-delayed fetch (overlap)
+                logger.update(loss=float(pending["total"]))
+            pending = metrics
+        if pending is not None:
+            logger.update(loss=float(pending["total"]))
         stats = {"epoch": epoch, **logger.global_averages()}
 
         if (epoch + 1) % eval_every == 0 or epoch == n_epochs - 1:

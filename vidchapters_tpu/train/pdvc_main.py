@@ -113,12 +113,17 @@ def main(train_json: str, val_json: str, features_path, cfg: PDVCConfig,
     for epoch in range(start_epoch, n_epochs):
         logger = MetricLogger()
         order = np_rng.permutation(len(train_ds))
+        pending = None  # one-step-delayed fetch overlaps host batch prep
         for s in range(0, len(order) - batch_size + 1, batch_size):
             batch = pdvc_collate([train_ds[int(i)] for i in order[s:s + batch_size]])
             arrays = {k: jnp.asarray(v) for k, v in batch.items()
                       if isinstance(v, np.ndarray)}
             state, metrics = train_step(state, arrays, step_key)
-            logger.update(loss=float(metrics["total"]))
+            if pending is not None:
+                logger.update(loss=float(pending["total"]))
+            pending = metrics
+        if pending is not None:
+            logger.update(loss=float(pending["total"]))
 
         def val_batches():
             for s in range(0, len(val_ds), batch_size):
