@@ -29,6 +29,9 @@ def main() -> None:
     p.add_argument("--dtype", default=None,
                    help="cast params (e.g. bfloat16) like the transcriber's"
                         " param_dtype option")
+    p.add_argument("--mega", action="store_true",
+                   help="cross-layer decode megakernel "
+                        "(ops/whisper_megakernel.py)")
     p.add_argument("--beam", type=int, default=0,
                    help="beam size; 0/1 = greedy. beam 5 matches the "
                         "faster-whisper default the reference's --faster "
@@ -49,13 +52,17 @@ def main() -> None:
         params = jax.tree_util.tree_map(lambda x: x.astype(dt), params)
 
     from vidchapters_tpu.ops.decoding import make_decode_fns
+    from vidchapters_tpu.ops.whisper_megakernel import make_whisper_mega_fns
 
     beams = max(a.beam, 1)
 
     @jax.jit
     def run(params, mel):
         enc = model.apply({"params": params}, mel, method=model.encode)
-        fns = make_decode_fns(model, params, a.steps)
+        if a.mega:
+            fns = make_whisper_mega_fns(cfg, params, a.steps)
+        else:
+            fns = make_decode_fns(model, params, a.steps)
         if beams > 1:  # beam rows ride the batch dim like _beam_decode
             enc = jnp.repeat(enc, beams, axis=0)
         cache = fns.init_cache(enc.shape[0], enc)
@@ -95,6 +102,7 @@ def main() -> None:
         "decode_steps": a.steps,
         "dtype": a.dtype or "float32",
         "beam": a.beam,
+        "mega": bool(a.mega),
         "vs_baseline": round(audio_s / dt / 70.0, 2),  # whisperx ~70x RT
     }))
 

@@ -1,0 +1,136 @@
+"""Whisper cross-layer decode megakernel parity (round 3).
+
+The kernel mirrors models/whisper.py's incremental decode semantics
+(LayerNorm with biases, q*d_head^-0.5 scaling, bias-free k, current-token
+row included, full-encoding cross attention, exact-form GELU). The only
+intentional numeric difference is the in-kernel polynomial erf
+(|err| <= 1.5e-7); tokens must still match the standard path on random
+weights and per-step logits must agree to f32 working precision.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vidchapters_tpu.models.whisper import Whisper, WhisperConfig
+from vidchapters_tpu.ops.decoding import greedy_decode, make_decode_fns
+from vidchapters_tpu.ops.whisper_megakernel import (
+    gelu_erf,
+    make_whisper_mega_fns,
+)
+
+MAX_LEN = 12
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = WhisperConfig(vocab_size=256, num_mel_bins=8, d_model=64,
+                        encoder_layers=1, decoder_layers=2, num_heads=4,
+                        d_ff=128, max_source_positions=30,
+                        max_target_positions=MAX_LEN, dtype="float32")
+    model = Whisper(cfg)
+    rng = np.random.default_rng(0)
+    mel = jnp.asarray(rng.normal(size=(4, 8, 60)), jnp.float32)
+    toks = jnp.zeros((1, 4), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), mel[:1], toks)["params"]
+    enc = model.apply({"params": params}, mel, method=model.encode)
+    return cfg, model, params, enc
+
+
+def test_gelu_erf_matches_xla_exact_gelu():
+    x = jnp.asarray(np.linspace(-6, 6, 4096), jnp.float32)
+    ref = jax.nn.gelu(x, approximate=False)
+    got = gelu_erf(x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-6)
+
+
+def test_mega_step_logits_match_standard(setup):
+    cfg, model, params, enc = setup
+    ref = make_decode_fns(model, params, MAX_LEN)
+    mega = make_whisper_mega_fns(cfg, params, MAX_LEN, interpret=True,
+                                 quantize=False)
+    b = enc.shape[0]
+    cache_r = ref.init_cache(b, enc)
+    cache_m = mega.init_cache(b, enc)
+    toks = jnp.asarray([50, 7, 190, 3], jnp.int32)
+    for i in range(4):
+        lr, cache_r = ref.step(toks, cache_r, jnp.asarray(i), None)
+        lm, cache_m = mega.step(toks, cache_m, jnp.asarray(i), None)
+        np.testing.assert_allclose(np.asarray(lm), np.asarray(lr),
+                                   atol=2e-4, rtol=2e-4)
+        toks = jnp.argmax(lr, axis=-1).astype(jnp.int32)
+
+
+def test_mega_greedy_tokens_match_standard(setup):
+    cfg, model, params, enc = setup
+    ref = make_decode_fns(model, params, MAX_LEN)
+    mega = make_whisper_mega_fns(cfg, params, MAX_LEN, interpret=True,
+                                 quantize=False)
+    enc_mask = jnp.ones((enc.shape[0], enc.shape[1]), jnp.int32)
+    ref_seqs = np.asarray(greedy_decode(ref, enc, enc_mask, MAX_LEN))
+    mega_seqs = np.asarray(greedy_decode(mega, enc, enc_mask, MAX_LEN))
+    np.testing.assert_array_equal(mega_seqs, ref_seqs)
+
+
+def test_mega_int8_cross_close_to_exact(setup):
+    """int8 per-lane cross KV (the large-v2 VMEM requirement) stays close
+    to the unquantized path and keeps greedy tokens stable on this
+    fixture."""
+    cfg, model, params, enc = setup
+    exact = make_whisper_mega_fns(cfg, params, MAX_LEN, interpret=True,
+                                  quantize=False)
+    quant = make_whisper_mega_fns(cfg, params, MAX_LEN, interpret=True,
+                                  quantize=True)
+    b = enc.shape[0]
+    ce = exact.init_cache(b, enc)
+    cq = quant.init_cache(b, enc)
+    assert cq["cross"]["k"].dtype == jnp.int8
+    toks = jnp.asarray([5, 9, 100, 200], jnp.int32)
+    le, _ = exact.step(toks, ce, jnp.asarray(0), None)
+    lq, _ = quant.step(toks, cq, jnp.asarray(0), None)
+    # int8 noise is bounded by the per-lane scale; logits stay close
+    assert float(jnp.max(jnp.abs(le - lq))) < 0.15
+    np.testing.assert_array_equal(np.asarray(jnp.argmax(le, -1)),
+                                  np.asarray(jnp.argmax(lq, -1)))
+
+
+def test_mega_transcriber_integration():
+    """The transcriber picks the megakernel path when enabled and produces
+    the same window decode as the standard path (full-range vocab so the
+    whisper special-token ids are addressable)."""
+    from vidchapters_tpu.factory import whisper_transcribe as wt
+
+    cfg = WhisperConfig(vocab_size=wt.TIMESTAMP_BEGIN + 1501,
+                        num_mel_bins=8, d_model=64, encoder_layers=1,
+                        decoder_layers=2, num_heads=4, d_ff=128,
+                        max_source_positions=30,
+                        max_target_positions=MAX_LEN, dtype="float32")
+    model = Whisper(cfg)
+    mel0 = jnp.zeros((1, 8, 60), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), mel0,
+                        jnp.zeros((1, 4), jnp.int32))["params"]
+    old = wt.USE_MEGA_DECODE
+    try:
+        wt.USE_MEGA_DECODE = False
+        tr_std = wt.JaxWhisperTranscriber(
+            model, params, max_decode_len=MAX_LEN, temperatures=(0.0,),
+            compression_ratio_threshold=None, logprob_threshold=None,
+            no_speech_threshold=None)
+        wt.USE_MEGA_DECODE = True
+        wt.MEGA_INTERPRET = True
+        tr_mega = wt.JaxWhisperTranscriber(
+            model, params, max_decode_len=MAX_LEN, temperatures=(0.0,),
+            compression_ratio_threshold=None, logprob_threshold=None,
+            no_speech_threshold=None)
+    finally:
+        wt.USE_MEGA_DECODE = old
+        wt.MEGA_INTERPRET = False
+    mel = np.zeros((8, 3000), np.float32)[:, :60]
+    # _decode_window takes a full 30 s mel normally; the tiny config's
+    # encoder accepts 60 frames
+    t_std = tr_std._decode_window(mel, 0)
+    t_mega = tr_mega._decode_window(mel, 0)
+    assert t_std[0] == t_mega[0]  # identical tokens
+    assert t_std[3] == t_mega[3] == 0.0

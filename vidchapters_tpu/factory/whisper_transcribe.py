@@ -47,6 +47,20 @@ SOT_PREV = 50361  # <|startofprev|>: prefixes the rolling text prompt
 TIME_PRECISION = 0.02
 
 
+# Cross-layer decode megakernel routing: None = auto (TPU backends only).
+# MEGA_INTERPRET runs the kernel in interpret mode (tests on CPU).
+USE_MEGA_DECODE = None
+MEGA_INTERPRET = False
+
+
+def _mega_enabled() -> bool:
+    import jax
+
+    if USE_MEGA_DECODE is not None:
+        return USE_MEGA_DECODE
+    return jax.default_backend() not in ("cpu", "gpu")
+
+
 def compression_ratio(text: str) -> float:
     """Repetition detector: raw bytes / zlib bytes (whisper/utils.py)."""
     import zlib
@@ -112,7 +126,18 @@ class JaxWhisperTranscriber:
         self._encode = jax.jit(
             lambda p, mel: model.apply({"params": p}, mel, method=model.encode))
 
-        fns = make_decode_fns(model, params, max_decode_len)
+        if _mega_enabled():
+            # cross-layer decode megakernel (ops/whisper_megakernel.py):
+            # one Pallas program per step over all decoder layers instead
+            # of the ~1000-HLO-op unrolled graph
+            from vidchapters_tpu.ops.whisper_megakernel import (
+                make_whisper_mega_fns,
+            )
+
+            fns = make_whisper_mega_fns(model.cfg, params, max_decode_len,
+                                        interpret=MEGA_INTERPRET)
+        else:
+            fns = make_decode_fns(model, params, max_decode_len)
 
         # openai-whisper style suppression: never emit task/language/sot
         # control tokens or <|notimestamps|> mid-transcription
