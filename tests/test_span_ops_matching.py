@@ -133,3 +133,30 @@ def test_auction_agreement_at_pdvc_scale():
     gaps = np.array(results)
     agree = float(np.mean(gaps <= 1e-4))
     assert agree >= 0.99, f"agreement {agree:.3f}, max gap {gaps.max():.2e}"
+
+
+def test_auction_sparse_converges_early_with_padding(monkeypatch):
+    """Padded INVALID targets must not keep the auction running: the exit
+    condition only counts valid unassigned targets. The round-3 profile
+    caught every PDVC instance running the full 1500-round cap (593 of
+    613 ms/step) because invalid slots stay at -1 forever."""
+    rounds = {"n": 0}
+    real_while = jax.lax.while_loop
+
+    def counting_while(cond, body, state):
+        def body_counted(s):
+            rounds["n"] += 1
+            return body(s)
+        return real_while(cond, body_counted, state)
+
+    monkeypatch.setattr(jax.lax, "while_loop", counting_while)
+    rng = np.random.default_rng(3)
+    cost = jnp.asarray(rng.uniform(0, 1, (100, 10)), jnp.float32)
+    valid = jnp.asarray([1, 1, 1, 0, 0, 0, 0, 0, 0, 0], bool)
+    with jax.disable_jit():  # python-level while so the counter ticks
+        assign = auction_lsap(cost, valid)
+    got = np.asarray(assign)
+    assert (got[:3] >= 0).all() and (got[3:] == -1).all()
+    # 3 valid targets over 100 free queries settle in a handful of
+    # rounds; the old cond ran 1500 here
+    assert rounds["n"] < 100, rounds["n"]
