@@ -78,7 +78,7 @@ def bench_grounding(reps: int = 20) -> None:
         make_grounding_train_step,
     )
 
-    cfg = GroundingConfig()
+    cfg = GroundingConfig(dtype="bfloat16")  # the TPU recipe (configs/)
     model = MomentDETR(cfg)
     b, lv, lq = 32, 400, 32  # chapters recipe per-device shapes
     rng = np.random.default_rng(0)

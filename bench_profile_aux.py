@@ -77,7 +77,7 @@ def _make_grounding_step():
         make_grounding_train_step,
     )
 
-    cfg = GroundingConfig()
+    cfg = GroundingConfig(dtype="bfloat16")  # the TPU recipe (configs/)
     model = MomentDETR(cfg)
     b, lv, lq = 32, 400, 32
     rng = np.random.default_rng(0)

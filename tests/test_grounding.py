@@ -120,3 +120,39 @@ def test_postprocess():
     assert float(scores[0, 0]) > float(scores[0, 1])
     # clipped to duration
     assert float(xx[0, 1, 1]) <= 100.0
+
+
+def test_bfloat16_compute_dtype_close_and_trainable(setup):
+    """GroundingConfig.dtype wires the matmul compute dtype (the TPU
+    recipe pins bfloat16, configs/chapters_momentdetr.json): same params,
+    bf16 forward stays close to f32 (softmax/norms/heads run f32), and a
+    bf16 train step produces a finite loss and f32 grads."""
+    cfg, model, params, inputs = setup
+    out32 = model.apply({"params": params}, *inputs)
+    model16 = MomentDETR(tiny_cfg(dtype="bfloat16"))
+    out16 = model16.apply({"params": params}, *inputs)
+    for k in ("pred_logits", "pred_spans", "saliency_scores"):
+        assert out16[k].dtype == jnp.float32
+        np.testing.assert_allclose(np.asarray(out16[k]),
+                                   np.asarray(out32[k]), atol=0.05, rtol=0.1)
+
+    from vidchapters_tpu.models.grounding import grounding_loss
+
+    b = inputs[0].shape[0]
+    targets = {
+        "spans": jnp.asarray([[[0.2, 0.1], [0.6, 0.2]]] * b, jnp.float32),
+        "span_valid": jnp.ones((b, 2), jnp.int32),
+        "saliency_pos_labels": jnp.zeros((b, 2), jnp.int32),
+        "saliency_neg_labels": jnp.ones((b, 2), jnp.int32) * 10,
+    }
+
+    def loss_fn(p):
+        out = model16.apply({"params": p}, *inputs)
+        total, _ = grounding_loss(out, targets, model16.cfg)
+        return total
+
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    assert np.isfinite(float(loss))
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert all(g.dtype == jnp.float32 for g in leaves)
+    assert any(float(jnp.max(jnp.abs(g))) > 0 for g in leaves)

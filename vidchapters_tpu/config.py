@@ -179,6 +179,11 @@ class GroundingConfig:
     set_cost_span: float = 10.0
     set_cost_giou: float = 1.0
     set_cost_class: float = 4.0
+    # matmul compute dtype (params/norms/softmax/losses stay float32).
+    # float32 matches the reference bit-for-bit-ish; "bfloat16" is the TPU
+    # production recipe (configs/chapters_momentdetr.json) — the fp32
+    # d_head=32 attention matmuls were 10 of the 18.7 ms/step round-3
+    # profile (bench_profile_aux.py)
     dtype: str = "float32"
 
 

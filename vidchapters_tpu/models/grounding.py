@@ -59,6 +59,7 @@ class InputProj(nn.Module):
     hidden_dim: int
     n_layers: int = 2
     dropout: float = 0.5
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: Array, deterministic: bool = True) -> Array:
@@ -67,18 +68,24 @@ class InputProj(nn.Module):
         for i in range(self.n_layers):
             x = nn.LayerNorm(epsilon=1e-5, name=f"norm_{i}")(x)
             x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
-            x = nn.Dense(self.hidden_dim, name=f"dense_{i}")(x)
+            x = nn.Dense(self.hidden_dim, dtype=self.dtype,
+                         name=f"dense_{i}")(x)
             if relu_flags[i]:
                 x = jax.nn.relu(x)
         return x
 
 
 class MHAttention(nn.Module):
-    """Scaled multi-head attention with separate q/k/v inputs + key mask."""
+    """Scaled multi-head attention with separate q/k/v inputs + key mask.
+
+    ``dtype`` is the matmul compute dtype (GroundingConfig.dtype; params
+    stay float32); scores and softmax run in float32 regardless.
+    """
 
     dim: int
     heads: int
     dropout: float = 0.1
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, q: Array, k: Array, v: Array,
@@ -87,16 +94,24 @@ class MHAttention(nn.Module):
         d_head = self.dim // self.heads
         b, lq, _ = q.shape
         lk = k.shape[1]
-        qh = nn.Dense(self.dim, name="q")(q).reshape(b, lq, self.heads, d_head)
-        kh = nn.Dense(self.dim, name="k")(k).reshape(b, lk, self.heads, d_head)
-        vh = nn.Dense(self.dim, name="v")(v).reshape(b, lk, self.heads, d_head)
-        scores = jnp.einsum("bqhd,bkhd->bhqk", qh, kh) / math.sqrt(d_head)
+        dt = self.dtype
+        qh = nn.Dense(self.dim, dtype=dt, name="q")(q).reshape(
+            b, lq, self.heads, d_head)
+        kh = nn.Dense(self.dim, dtype=dt, name="k")(k).reshape(
+            b, lk, self.heads, d_head)
+        vh = nn.Dense(self.dim, dtype=dt, name="v")(v).reshape(
+            b, lk, self.heads, d_head)
+        scores = jnp.einsum("bqhd,bkhd->bhqk", qh, kh,
+                            preferred_element_type=jnp.float32)
+        scores = scores / math.sqrt(d_head)
         if key_mask is not None:
             scores = scores + (1.0 - key_mask.astype(jnp.float32))[:, None, None, :] * NEG_INF
-        probs = jax.nn.softmax(scores, axis=-1)
+        probs = jax.nn.softmax(scores, axis=-1).astype(dt)
         probs = nn.Dropout(self.dropout, deterministic=deterministic)(probs)
-        out = jnp.einsum("bhqk,bkhd->bqhd", probs, vh).reshape(b, lq, self.dim)
-        return nn.Dense(self.dim, name="out")(out)
+        out = jnp.einsum("bhqk,bkhd->bqhd", probs, vh,
+                         preferred_element_type=jnp.float32
+                         ).astype(dt).reshape(b, lq, self.dim)
+        return nn.Dense(self.dim, dtype=dt, name="out")(out)
 
 
 class EncoderLayer(nn.Module):
@@ -106,14 +121,16 @@ class EncoderLayer(nn.Module):
     def __call__(self, src: Array, mask: Array, pos: Array,
                  deterministic: bool = True) -> Array:
         cfg = self.cfg
+        dt = jnp.dtype(cfg.dtype)
         qk = src + pos
-        h = MHAttention(cfg.hidden_dim, cfg.nheads, cfg.dropout, name="self_attn")(
+        h = MHAttention(cfg.hidden_dim, cfg.nheads, cfg.dropout, dtype=dt,
+                        name="self_attn")(
             qk, qk, src, key_mask=mask, deterministic=deterministic)
         src = nn.LayerNorm(epsilon=1e-5, name="norm1")(
             src + nn.Dropout(cfg.dropout, deterministic=deterministic)(h))
-        h = nn.Dense(cfg.dim_feedforward, name="ff1")(src)
+        h = nn.Dense(cfg.dim_feedforward, dtype=dt, name="ff1")(src)
         h = nn.Dropout(cfg.dropout, deterministic=deterministic)(jax.nn.relu(h))
-        h = nn.Dense(cfg.hidden_dim, name="ff2")(h)
+        h = nn.Dense(cfg.hidden_dim, dtype=dt, name="ff2")(h)
         return nn.LayerNorm(epsilon=1e-5, name="norm2")(
             src + nn.Dropout(cfg.dropout, deterministic=deterministic)(h))
 
@@ -126,19 +143,22 @@ class DecoderLayer(nn.Module):
                  pos: Array, query_pos: Array,
                  deterministic: bool = True) -> Array:
         cfg = self.cfg
+        dt = jnp.dtype(cfg.dtype)
         qk = tgt + query_pos
-        h = MHAttention(cfg.hidden_dim, cfg.nheads, cfg.dropout, name="self_attn")(
+        h = MHAttention(cfg.hidden_dim, cfg.nheads, cfg.dropout, dtype=dt,
+                        name="self_attn")(
             qk, qk, tgt, deterministic=deterministic)
         tgt = nn.LayerNorm(epsilon=1e-5, name="norm1")(
             tgt + nn.Dropout(cfg.dropout, deterministic=deterministic)(h))
-        h = MHAttention(cfg.hidden_dim, cfg.nheads, cfg.dropout, name="cross_attn")(
+        h = MHAttention(cfg.hidden_dim, cfg.nheads, cfg.dropout, dtype=dt,
+                        name="cross_attn")(
             tgt + query_pos, memory + pos, memory, key_mask=mem_mask,
             deterministic=deterministic)
         tgt = nn.LayerNorm(epsilon=1e-5, name="norm2")(
             tgt + nn.Dropout(cfg.dropout, deterministic=deterministic)(h))
-        h = nn.Dense(cfg.dim_feedforward, name="ff1")(tgt)
+        h = nn.Dense(cfg.dim_feedforward, dtype=dt, name="ff1")(tgt)
         h = nn.Dropout(cfg.dropout, deterministic=deterministic)(jax.nn.relu(h))
-        h = nn.Dense(cfg.hidden_dim, name="ff2")(h)
+        h = nn.Dense(cfg.hidden_dim, dtype=dt, name="ff2")(h)
         return nn.LayerNorm(epsilon=1e-5, name="norm3")(
             tgt + nn.Dropout(cfg.dropout, deterministic=deterministic)(h))
 
@@ -148,12 +168,15 @@ class SpanMLP(nn.Module):
 
     hidden_dim: int
     out_dim: int
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
-        x = jax.nn.relu(nn.Dense(self.hidden_dim, name="fc0")(x))
-        x = jax.nn.relu(nn.Dense(self.hidden_dim, name="fc1")(x))
-        return nn.Dense(self.out_dim, name="fc2")(x)
+        x = jax.nn.relu(nn.Dense(self.hidden_dim, dtype=self.dtype,
+                                 name="fc0")(x))
+        x = jax.nn.relu(nn.Dense(self.hidden_dim, dtype=self.dtype,
+                                 name="fc1")(x))
+        return nn.Dense(self.out_dim, name="fc2")(x.astype(jnp.float32))
 
 
 class MomentDETR(nn.Module):
@@ -166,16 +189,18 @@ class MomentDETR(nn.Module):
                  src_speech_mask: Optional[Array] = None,
                  deterministic: bool = True) -> Dict[str, Array]:
         cfg = self.cfg
-        vid = InputProj(cfg.hidden_dim, dropout=cfg.input_dropout,
+        dt = jnp.dtype(cfg.dtype)  # matmul compute dtype; params stay f32
+        vid = InputProj(cfg.hidden_dim, dropout=cfg.input_dropout, dtype=dt,
                         name="input_vid_proj")(src_vid, deterministic)
-        txt = InputProj(cfg.hidden_dim, dropout=cfg.input_dropout,
+        txt = InputProj(cfg.hidden_dim, dropout=cfg.input_dropout, dtype=dt,
                         name="input_txt_proj")(src_txt, deterministic)
         parts = [vid, txt]
         masks = [src_vid_mask, src_txt_mask]
         pos_vid = sine_position_encoding(src_vid_mask, cfg.hidden_dim)
         poss = [pos_vid, jnp.zeros_like(txt)]
         if cfg.use_speech and src_speech is not None:
-            sp = nn.Dense(cfg.hidden_dim, name="speech_proj")(src_speech)
+            sp = nn.Dense(cfg.hidden_dim, dtype=dt,
+                          name="speech_proj")(src_speech)
             parts.append(sp)
             masks.append(src_speech_mask)
             poss.append(jnp.zeros_like(sp))
@@ -203,13 +228,14 @@ class MomentDETR(nn.Module):
         hs = jnp.stack(intermediates)  # [layers, B, Q, D]
 
         span_dim = 2 if cfg.span_loss_type == "l1" else cfg.max_v_l * 2
-        spans = SpanMLP(cfg.hidden_dim, span_dim, name="span_embed")(hs)
+        spans = SpanMLP(cfg.hidden_dim, span_dim, dtype=dt,
+                        name="span_embed")(hs)
         if cfg.span_loss_type == "l1":
             spans = jax.nn.sigmoid(spans)
-        logits = nn.Dense(2, name="class_embed")(hs)
+        logits = nn.Dense(2, name="class_embed")(hs.astype(jnp.float32))
 
         vid_len = src_vid.shape[1]
-        vid_mem = memory[:, :vid_len]
+        vid_mem = memory[:, :vid_len].astype(jnp.float32)
         saliency = nn.Dense(1, name="saliency_proj")(vid_mem)[..., 0]
 
         out = {
