@@ -72,3 +72,31 @@ def test_other_config_trees_round_trip(tmp_path):
         assert all(not isinstance(getattr(loaded, f.name), dict)
                    or not dataclasses.is_dataclass(type(getattr(cls(), f.name)))
                    for f in dataclasses.fields(cls))
+
+
+def test_default_dataset_paths_from_roots():
+    """PathsConfig roots expand to the reference's standard per-dataset
+    layout (args.py:34-103) when ExperimentConfig.datasets has no entry."""
+    from vidchapters_tpu.config import PathsConfig, default_dataset_paths
+
+    roots = PathsConfig(data_dir="/data", ssd_dir="/ssd")
+    ch = default_dataset_paths(roots, "chapters")
+    assert ch.train_json_path == "/data/AllChapters/chapters_dvc_train.json"
+    assert ch.test_json_path == "/data/AllChapters/chapters_dvc_test.json"
+    assert ch.features_path == "/ssd/chapters_clipvitl14_features"
+    assert ch.subtitles_path == "/ssd/allchapters_asr"
+    yc = default_dataset_paths(roots, "youcook")
+    assert yc.features_path == "/data/YouCook2/clipvitl14.pth"
+    assert yc.val_json_path == "/data/YouCook2/val.json"
+    vt = default_dataset_paths(roots, "vitt")
+    assert vt.val_json_path == "/data/ViTT/dev.json"
+    htm = default_dataset_paths(roots, "htm")
+    assert htm.train_json_path == "/data/howto100m/htm_vid2seq.csv"
+    assert htm.features_path == "/ssd/howto100m_clip_features"
+    # ssd root falls back to data_dir when unset
+    only_data = default_dataset_paths(PathsConfig(data_dir="/d"), "chapters")
+    assert only_data.features_path == "/d/chapters_clipvitl14_features"
+    import pytest
+
+    with pytest.raises(KeyError):
+        default_dataset_paths(roots, "unknown")

@@ -140,6 +140,40 @@ def test_checkpoint_manager_roundtrip(tmp_path):
     assert mgr2.best_value == 2.0
 
 
+def test_checkpoint_manager_retention(tmp_path):
+    """keep_last/keep_best archive rolling copies and prune the oldest
+    (CheckpointConfig knobs; reference keeps one of each, dvc.py:402-441)."""
+    from vidchapters_tpu.runtime.checkpoint import CheckpointManager
+
+    tree = {"w": np.arange(3, dtype=np.float32)}
+    mgr = CheckpointManager(str(tmp_path / "ck"), best_metric="CIDEr",
+                            keep_last=3, keep_best=2)
+    for e in range(5):
+        mgr.save_last(tree, epoch=e)
+        mgr.maybe_save_best({"w": tree["w"] + e}, e, {"CIDEr": float(e)})
+
+    def names(prefix):
+        return sorted(p.name.replace(".npz", "")
+                      for p in (tmp_path / "ck").iterdir()
+                      if p.name.startswith(prefix + "_e")
+                      and not p.name.endswith(".meta.json"))
+
+    # alias + (keep-1) archives, newest retained
+    assert names("last") == ["last_e3", "last_e4"]
+    assert names("best") == ["best_e4"]
+    assert mgr.has("last") and mgr.has("best")
+    target = {"w": np.zeros(3, np.float32)}
+    np.testing.assert_array_equal(
+        mgr.restore("last_e3", target)["w"], tree["w"])
+    np.testing.assert_array_equal(
+        mgr.restore("best_e4", target)["w"], tree["w"] + 4)
+    # keep_*=1 (default) archives nothing extra
+    mgr1 = CheckpointManager(str(tmp_path / "ck1"), best_metric="CIDEr")
+    mgr1.save_last(tree, epoch=0)
+    mgr1.maybe_save_best(tree, 0, {"CIDEr": 1.0})
+    assert not [p for p in (tmp_path / "ck1").iterdir() if "_e" in p.name]
+
+
 def test_collate_input_bucketing(tmp_path, rng):
     from vidchapters_tpu.data.dvc_dataset import collate, pick_bucket
 
@@ -159,6 +193,27 @@ def test_collate_input_bucketing(tmp_path, rng):
     assert batch["input_tokens"].shape == (3, 128)  # bucketed, not 1000
     batch_full = collate(examples, max_input=1000, max_output=64)
     assert batch_full["input_tokens"].shape == (3, 1000)
+    # output side (DataConfig.output_buckets)
+    batch_ob = collate(examples, max_input=1000, max_output=256,
+                       output_buckets=(64, 128, 256))
+    assert batch_ob["output_tokens"].shape == (3, 64)
+    assert batch_full["output_tokens"].shape == (3, 64)  # explicit max
+
+
+def test_tokenize_batch_output_bucketing():
+    """VC training targets pad to the smallest output bucket, preserving
+    content + EOS (DataConfig.output_buckets)."""
+    from vidchapters_tpu.data.tokenizer import build_tokenizer
+    from vidchapters_tpu.train.vc_train import tokenize_batch
+
+    tok = build_tokenizer("", num_bins=10)
+    texts = ["a short title", "another chapter title here"]
+    full = tokenize_batch(texts, tok, 256)
+    assert full.shape == (2, 256)
+    bucketed = tokenize_batch(texts, tok, 256, buckets=(64, 128, 256))
+    assert bucketed.shape == (2, 64)
+    np.testing.assert_array_equal(bucketed, full[:, :64])
+    assert (bucketed == tok.eos_token_id).any(axis=1).all()
 
 
 def test_feature_source_broken_video_fallback(tmp_path):

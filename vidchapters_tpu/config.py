@@ -46,6 +46,44 @@ class PathsConfig:
         return Path(self.data_dir) / DATASET_REGISTRY[name]
 
 
+def default_dataset_paths(paths: "PathsConfig", name: str) -> "DatasetPaths":
+    """Standard file locations under the configured roots, reproducing the
+    reference's per-dataset argparse defaults (args.py:34-103): annotation
+    jsons under DATA_DIR/<folder>, bulk features/ASR under SSD_DIR for the
+    large datasets (chapters/howto100m) and under DATA_DIR otherwise.
+
+    Used by ``dvc_main`` when ``ExperimentConfig.datasets`` has no explicit
+    entry for a combined dataset name."""
+    d = paths.dataset_dir(name)
+    ssd = Path(paths.ssd_dir or paths.data_dir)
+    if name == "htm":
+        return DatasetPaths(
+            train_json_path=str(d / "htm_vid2seq.csv"),
+            features_path=str(ssd / "howto100m_clip_features"),
+            subtitles_path=str(ssd / "htm_sentences"))
+    if name == "chapters":
+        return DatasetPaths(
+            train_json_path=str(d / "chapters_dvc_train.json"),
+            val_json_path=str(d / "chapters_dvc_val.json"),
+            test_json_path=str(d / "chapters_dvc_test.json"),
+            features_path=str(ssd / "chapters_clipvitl14_features"),
+            subtitles_path=str(ssd / "allchapters_asr"))
+    if name == "youcook":
+        return DatasetPaths(
+            train_json_path=str(d / "train.json"),
+            val_json_path=str(d / "val.json"),
+            features_path=str(d / "clipvitl14.pth"),
+            subtitles_path=str(d / "youcook2_asr_align_proc.pkl"))
+    if name == "vitt":
+        return DatasetPaths(
+            train_json_path=str(d / "train.json"),
+            val_json_path=str(d / "dev.json"),
+            test_json_path=str(d / "test.json"),
+            features_path=str(d / "clipvitl14.pth"),
+            subtitles_path=str(d / "subtitles_align_proc.pkl"))
+    raise KeyError(f"no default paths for dataset {name!r}")
+
+
 @dataclass
 class DatasetPaths:
     """Per-dataset file locations (reference: args.py dataset path args)."""
@@ -259,6 +297,8 @@ class DataConfig:
     noise_density: float = 0.25
     mean_noise_span_length: float = 5.0
     # static-shape bucketing for XLA: pad token lengths up to these buckets
+    # (eval-time collate; output side also applies to VC training targets,
+    # where titles run far shorter than max_output_tokens)
     input_buckets: Tuple[int, ...] = (128, 256, 512, 1000)
     output_buckets: Tuple[int, ...] = (64, 128, 256)
 

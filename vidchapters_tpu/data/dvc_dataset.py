@@ -221,7 +221,8 @@ def pick_bucket(n: int, buckets: Sequence[int], cap: int) -> int:
 
 def collate(examples: List[dict], max_input: int, max_output: int,
             max_denoise_out: Optional[int] = None,
-            input_buckets: Optional[Sequence[int]] = None
+            input_buckets: Optional[Sequence[int]] = None,
+            output_buckets: Optional[Sequence[int]] = None
             ) -> Dict[str, np.ndarray]:
     """Zero-pad every token field to static lengths; stack video features.
 
@@ -234,10 +235,16 @@ def collate(examples: List[dict], max_input: int, max_output: int,
     covering the batch instead of ``max_input`` — one compiled program per
     bucket, and decode-time cross-attention KV shrinks with the actual ASR
     length (the per-step KV re-read dominates generation cost).
+    ``output_buckets`` does the same for the target side: decoder FLOPs
+    scale with the padded target length, and chapter/caption targets are
+    usually far shorter than ``DataConfig.max_output_tokens``.
     """
     if input_buckets and "input_tokens" in examples[0]:
         longest = max(len(e["input_tokens"]) for e in examples)
         max_input = pick_bucket(longest, input_buckets, max_input)
+    if output_buckets:
+        longest = max(len(e["output_tokens"]) for e in examples)
+        max_output = pick_bucket(longest, output_buckets, max_output)
     den_in_len, den_out_len = denoise_length_bounds(max_input)
     max_denoise_out = max_denoise_out or den_out_len
     batch: Dict[str, np.ndarray] = {
@@ -327,4 +334,6 @@ class EpochIterator:
             yield collate(examples, self.cfg.max_input_tokens,
                           self.cfg.max_output_tokens, self.max_denoise_out,
                           input_buckets=(self.cfg.input_buckets
-                                         if self.bucket_inputs else None))
+                                         if self.bucket_inputs else None),
+                          output_buckets=(self.cfg.output_buckets
+                                          if self.bucket_inputs else None))

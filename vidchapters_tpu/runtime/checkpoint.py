@@ -27,12 +27,21 @@ except Exception:  # pragma: no cover
 
 class CheckpointManager:
     def __init__(self, save_dir: str, best_metric: str = "CIDEr",
-                 best_mode: str = "max", save_every_epochs: int = 0):
+                 best_mode: str = "max", save_every_epochs: int = 0,
+                 keep_last: int = 1, keep_best: int = 1):
+        """``keep_last`` / ``keep_best`` > 1 additionally archive
+        ``last_e{epoch}`` / ``best_e{epoch}`` copies, pruning the oldest so
+        at most that many exist (the ``last`` / ``best`` aliases always hold
+        the newest and count toward the quota). Matches the reference's
+        rolling-copy policies (dvc.py:402-441 keeps one of each;
+        moment_detr train.py:160-208 keeps best/latest/periodic)."""
         self.dir = Path(save_dir)
         self.dir.mkdir(parents=True, exist_ok=True)
         self.best_metric = best_metric
         self.best_mode = best_mode
         self.save_every_epochs = save_every_epochs
+        self.keep_last = max(1, keep_last)
+        self.keep_best = max(1, keep_best)
         self.best_value: Optional[float] = None
         self._load_state()
 
@@ -113,8 +122,29 @@ class CheckpointManager:
         p = self.dir / (name + ".meta.json")
         return json.loads(p.read_text()) if p.exists() else {}
 
+    def _prune_archives(self, prefix: str, keep: int) -> None:
+        """Drop the oldest ``{prefix}_e{epoch}`` archives beyond ``keep``."""
+        if jax.process_index() != 0:
+            return
+        import re
+        import shutil
+
+        found = []  # (epoch, path)
+        for p in self.dir.iterdir():
+            m = re.fullmatch(rf"{prefix}_e(\d+)(\.npz)?", p.name)
+            if m:
+                found.append((int(m.group(1)), p))
+        for _, p in sorted(found)[:max(0, len(found) - keep)]:
+            shutil.rmtree(p) if p.is_dir() else p.unlink()
+            meta = self.dir / (p.name.replace(".npz", "") + ".meta.json")
+            if meta.exists():
+                meta.unlink()
+
     def save_last(self, tree: Any, epoch: int, extra: Optional[dict] = None) -> None:
         self._save_tree("last", tree, {"epoch": epoch, **(extra or {})})
+        if self.keep_last > 1:
+            self._save_tree(f"last_e{epoch}", tree, {"epoch": epoch})
+            self._prune_archives("last", self.keep_last - 1)
         if self.save_every_epochs and (epoch + 1) % self.save_every_epochs == 0:
             self._save_tree(f"epoch_{epoch}", tree, {"epoch": epoch})
 
@@ -130,6 +160,11 @@ class CheckpointManager:
             self.best_value = float(value)
             self._save_tree("best", tree,
                             {"epoch": epoch, self.best_metric: float(value)})
+            if self.keep_best > 1:
+                self._save_tree(f"best_e{epoch}", tree,
+                                {"epoch": epoch,
+                                 self.best_metric: float(value)})
+                self._prune_archives("best", self.keep_best - 1)
             self._save_state()
         return better
 

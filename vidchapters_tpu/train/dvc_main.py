@@ -42,9 +42,13 @@ from vidchapters_tpu.train.schedules import build_optimizer
 
 
 def build_datasets(cfg: ExperimentConfig, tokenizer):
+    from vidchapters_tpu.config import default_dataset_paths
+
     train_sets, val_sets, test_sets = [], [], []
     for name in cfg.combine_datasets:
-        paths = cfg.datasets[name]
+        # explicit per-dataset paths win; otherwise derive the reference's
+        # standard layout from the configured roots (args.py:34-103)
+        paths = cfg.datasets.get(name) or default_dataset_paths(cfg.paths, name)
         if name == "htm":
             train_sets.append((name, YTPretrainDataset.from_csv(
                 paths.train_json_path, paths.features_path, tokenizer,
@@ -66,7 +70,13 @@ def build_datasets(cfg: ExperimentConfig, tokenizer):
 
 def main(cfg: ExperimentConfig,
          init_params: Optional[Dict] = None) -> Dict[str, float]:
-    tokenizer = build_tokenizer(cfg.tokenizer_path, num_bins=cfg.model.num_bins)
+    # tokenizer: explicit path, else the presave root's t5-base sentencepiece
+    # (the reference resolves HF assets under PRESAVE_DIR, args.py:185)
+    tok_path = cfg.tokenizer_path
+    if not tok_path and cfg.paths.presave_dir:
+        cand = Path(cfg.paths.presave_dir) / "t5-base" / "spiece.model"
+        tok_path = str(cand) if cand.exists() else ""
+    tokenizer = build_tokenizer(tok_path, num_bins=cfg.model.num_bins)
     mesh = create_mesh(cfg.train.mesh)
     train_sets, val_sets, test_sets = build_datasets(cfg, tokenizer)
 
@@ -103,7 +113,9 @@ def main(cfg: ExperimentConfig,
     ckpt = CheckpointManager(cfg.train.checkpoint.save_dir or "/tmp/vidchapters_ckpt",
                              best_metric=cfg.train.checkpoint.best_metric,
                              best_mode=cfg.train.checkpoint.best_mode,
-                             save_every_epochs=cfg.train.checkpoint.save_every_epochs)
+                             save_every_epochs=cfg.train.checkpoint.save_every_epochs,
+                             keep_last=cfg.train.checkpoint.keep_last,
+                             keep_best=cfg.train.checkpoint.keep_best)
     if ckpt.has("last"):  # resume (dvc.py:354-361)
         state = TrainState(*ckpt.restore("last", tuple(state)))
         print(f"resumed from epoch {ckpt.meta('last').get('epoch')}")

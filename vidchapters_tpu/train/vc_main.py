@@ -76,7 +76,8 @@ def main(train_json: str, val_json: str, features_path,
                 "input_tokens": jnp.asarray(tokenize_batch(
                     batch["input_text"], tokenizer, d.max_input_tokens)),
                 "output_tokens": jnp.asarray(tokenize_batch(
-                    batch["output_text"], tokenizer, d.max_output_tokens)),
+                    batch["output_text"], tokenizer, d.max_output_tokens,
+                    buckets=d.output_buckets)),
             }
             state, metrics = train_step(state, arrays, step_key)
             logger.update(loss=float(metrics["loss"]))

@@ -24,13 +24,26 @@ from vidchapters_tpu.models.vid2seq import Vid2Seq
 from vidchapters_tpu.train.dvc_train import make_generate_fn
 
 
-def tokenize_batch(texts: List[str], tokenizer, max_tokens: int) -> np.ndarray:
-    out = np.zeros((len(texts), max_tokens), np.int64)
-    for i, t in enumerate(texts):
+def tokenize_batch(texts: List[str], tokenizer, max_tokens: int,
+                   buckets=None) -> np.ndarray:
+    """Tokenize + zero-pad to ``max_tokens``; with ``buckets``
+    (``DataConfig.output_buckets``-style) pad instead to the smallest
+    bucket covering the batch — chapter titles are far shorter than
+    ``max_output_tokens`` and decoder FLOPs scale with padded length."""
+    ids_list = []
+    for t in texts:
         ids = tokenizer.encode(t, add_special_tokens=True,
                                max_length=max_tokens, truncation=True)
         if not ids or ids[-1] != tokenizer.eos_token_id:
             ids = (ids + [tokenizer.eos_token_id])[:max_tokens]
+        ids_list.append(ids)
+    if buckets:
+        from vidchapters_tpu.data.dvc_dataset import pick_bucket
+
+        max_tokens = pick_bucket(max(len(i) for i in ids_list), buckets,
+                                 max_tokens)
+    out = np.zeros((len(texts), max_tokens), np.int64)
+    for i, ids in enumerate(ids_list):
         out[i, : len(ids)] = ids
     return out
 

@@ -189,7 +189,13 @@ def main(args=None) -> None:
     sp.add_argument("--subtitles", required=True, help="ASR pickle/dir")
     sp.add_argument("--llama_dir", default=None,
                     help="HF LLaMA checkpoint dir -> LLM section titler "
-                         "(zs_speechvcg.py:150-200); default first-sentence")
+                         "(zs_speechvcg.py:150-200); defaults to "
+                         "<paths.model_dir>/7BHF when a --paths config "
+                         "points at the reference model root (args.py:221); "
+                         "else first-sentence titling")
+    sp.add_argument("--paths", default=None,
+                    help="PathsConfig json (model_dir root for the 7BHF "
+                         "LLaMA default)")
     sp.add_argument("--random", action="store_true",
                     help="random ASR line per section (zs_speechvcg.py:183)")
     sp.add_argument("--out", default=None, help="write predictions json here")
@@ -220,6 +226,15 @@ def main(args=None) -> None:
     a = p.parse_args(args)
     if a.task == "speech":
         refs = None if a.no_score else [a.ann]
+        if not a.llama_dir and a.paths:
+            import os
+
+            from vidchapters_tpu.config import PathsConfig, load_config
+
+            roots = load_config(PathsConfig, a.paths)
+            cand = os.path.join(roots.model_dir, "7BHF")
+            if roots.model_dir and os.path.isdir(cand):
+                a.llama_dir = cand
         if a.llama_dir:
             from vidchapters_tpu.models.llama import build_llama_titler
             from vidchapters_tpu.zeroshot.speech_vcg import make_llm_titler
