@@ -120,3 +120,132 @@ def test_recipe_configs_load_into_dataclasses():
     assert c.caption_decoder_type == "dsa" and c.cap_nheads == 1
     assert pd["train"] == {"epochs": 5, "batch_size": 1, "lr": 1e-4,
                            "lr_drop_epochs": 8, "max_events": 10}
+
+
+@pytest.mark.slow
+def test_grounding_main_speech_and_test_split(tmp_path):
+    """use_speech threads ASR through a frozen BERT tower into the encoder
+    (reference model.py:131-136) and a configured test split gets a final
+    inference pass (test_preds.jsonl + test_ metrics)."""
+    import pickle
+
+    from vidchapters_tpu.models.bert import BertConfig, BertModel
+
+    rng = np.random.default_rng(0)
+    feat_dir = tmp_path / "feats"
+    feat_dir.mkdir()
+    rows, subs = [], {}
+    for i in range(4):
+        vid = f"ddddddddd{i:02d}"
+        rows.append({"qid": i, "query": f"chapter about topic {i}",
+                     "vid": vid, "duration": 90.0,
+                     "relevant_windows": [[15.0 * (i % 2), 60.0]]})
+        np.save(feat_dir / f"{vid[-11:]}.npy",
+                rng.normal(size=(90, 8)).astype(np.float32))
+        subs[vid[-11:]] = {"text": [f"hello chapter {i}", "more speech"],
+                           "start": [0.0, 40.0], "end": [30.0, 80.0]}
+    for name in ("train", "val", "test"):
+        (tmp_path / f"{name}.jsonl").write_text(
+            "\n".join(json.dumps(r) for r in rows))
+    with open(tmp_path / "subs.pkl", "wb") as f:
+        pickle.dump(subs, f)
+
+    tcfg = CLIPTextConfig(vocab_size=49408, context_length=77, width=16,
+                          layers=1, heads=2, output_dim=12, mlp_dim=32,
+                          dtype="float32")
+    text_encoder = CLIPTextEncoder(tcfg)
+    tokenizer = CLIPTokenizer()
+    toks = jax.numpy.asarray(tokenizer(["init"]))
+    text_params = text_encoder.init(jax.random.PRNGKey(0), toks)["params"]
+
+    bcfg = BertConfig(vocab_size=128, hidden_size=16, num_layers=1,
+                      num_heads=2, intermediate_size=32)
+    speech_encoder = BertModel(bcfg)
+
+    def speech_tokenizer(texts, max_length=512):
+        out = np.zeros((len(texts), max_length), np.int32)
+        for i, t in enumerate(texts):
+            words = t.split()[:max_length]
+            out[i, : len(words)] = [hash(w) % 127 + 1 for w in words]
+        return out
+
+    speech_params = speech_encoder.init(
+        jax.random.PRNGKey(1), speech_tokenizer(["init"], 8))["params"]
+
+    cfg = GroundingConfig(hidden_dim=32, nheads=4, enc_layers=1, dec_layers=1,
+                          dim_feedforward=64, num_queries=4, v_feat_dim=10,
+                          t_feat_dim=12, s_feat_dim=16, use_speech=True,
+                          speech_max_l=16, dropout=0.0, input_dropout=0.0,
+                          max_v_l=30, clip_length=3)
+
+    from vidchapters_tpu.train.grounding_main import main
+
+    metrics = main(str(tmp_path / "train.jsonl"), str(tmp_path / "val.jsonl"),
+                   [str(feat_dir)], cfg,
+                   str(tmp_path / "ckpt"), text_encoder=text_encoder,
+                   text_params=text_params, clip_tokenizer=tokenizer,
+                   n_epochs=1, batch_size=2, eval_every=1,
+                   early_stop_patience=0,
+                   test_jsonl=str(tmp_path / "test.jsonl"),
+                   subtitles_path=str(tmp_path / "subs.pkl"),
+                   speech_encoder=speech_encoder,
+                   speech_params=speech_params,
+                   speech_tokenizer=speech_tokenizer)
+    assert "MR-full-mAP" in metrics
+    assert "test_MR-full-mAP" in metrics  # test split scored (GT present)
+    test_preds = (tmp_path / "ckpt" / "test_preds.jsonl").read_text()
+    assert len(test_preds.strip().splitlines()) == 4
+
+
+def test_grounding_dataset_query_feat_path(tmp_path):
+    """Precomputed qid{qid}.npz query features truncate to max_q_l +
+    l2-normalize (start_end_dataset.py:229-240) and collate pads them with
+    a mask; the speech string carries the quantized-time prefix."""
+    import pickle
+
+    from vidchapters_tpu.data.grounding_dataset import (
+        GroundingDataset,
+        grounding_collate,
+    )
+
+    rng = np.random.default_rng(0)
+    feat_dir = tmp_path / "feats"
+    qfeat_dir = tmp_path / "qfeats"
+    feat_dir.mkdir()
+    qfeat_dir.mkdir()
+    rows = []
+    for i in range(2):
+        vid = f"eeeeeeeee{i:02d}"
+        rows.append({"qid": i, "query": f"q {i}", "vid": vid,
+                     "duration": 60.0,
+                     "relevant_windows": [[0.0, 30.0]]})
+        np.save(feat_dir / f"{vid[-11:]}.npy",
+                rng.normal(size=(60, 4)).astype(np.float32))
+        np.savez(qfeat_dir / f"qid{i}.npz",
+                 last_hidden_state=rng.normal(size=(10 + 5 * i, 6)
+                                              ).astype(np.float32))
+    jsonl = tmp_path / "d.jsonl"
+    jsonl.write_text("\n".join(json.dumps(r) for r in rows))
+    subs = {rows[0]["vid"][-11:]: {"text": ["hi there"], "start": [3.0],
+                                   "end": [12.0]}}
+    with open(tmp_path / "subs.pkl", "wb") as f:
+        pickle.dump(subs, f)
+
+    ds = GroundingDataset(str(jsonl), [str(feat_dir)], train=False,
+                          max_v_l=20, clip_len=3,
+                          q_feat_dir=str(qfeat_dir), max_q_l=12,
+                          use_speech=True,
+                          subtitles_path=str(tmp_path / "subs.pkl"))
+    e0, e1 = ds[0], ds[1]
+    assert e0["query_feat"].shape == (10, 6)
+    assert e1["query_feat"].shape == (12, 6)  # truncated from 15
+    np.testing.assert_allclose(np.linalg.norm(e1["query_feat"], axis=-1),
+                               1.0, atol=1e-3)
+    # quantized "st to ed text" prefix (start_end_dataset.py:90-106)
+    assert e0["speech"].startswith("5 to 20 hi there")
+    assert e1["speech"] == ""  # no subs for this vid
+
+    batch = grounding_collate([e0, e1], max_v_l=20, max_q_l=12)
+    assert batch["query_feat"].shape == (2, 12, 6)
+    np.testing.assert_array_equal(batch["query_mask"].sum(1), [10, 12])
+    assert batch["speech"] == [e0["speech"], ""]

@@ -197,8 +197,11 @@ class GroundingConfig:
     input_dropout: float = 0.5
     v_feat_dim: int = 770  # 768 + 2 TEF dims (config.py:222-227)
     t_feat_dim: int = 768  # CLIP ViT-L/14 text width (token-level features)
-    s_feat_dim: int = 768  # BERT speech width
+    s_feat_dim: int = 768  # BERT speech width (speech tower hidden size)
     use_speech: bool = False
+    # BERT-tokenized ASR length cap for the speech stream
+    # (moment_detr --max_speech_l, start_end_dataset.py:122)
+    speech_max_l: int = 512
     use_tef: bool = True
     max_v_l: int = 1200
     clip_length: int = 3
@@ -206,6 +209,9 @@ class GroundingConfig:
     contrastive_align_loss: bool = False
     contrastive_hdim: int = 64
     aux_loss: bool = True
+    # precomputed-query-feature truncation/padding length; the live CLIP
+    # tokens path uses the full 77-token context like the reference
+    # (start_end_dataset.py:234 vs model.py:95-107)
     max_q_l: int = 32
     # loss coefficients (moment_detr config.py defaults / chapters.sh)
     span_loss_coef: float = 10.0

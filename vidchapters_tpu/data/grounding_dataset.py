@@ -39,8 +39,17 @@ class GroundingDataset:
                  downsample: bool = True, max_windows: int = 5,
                  normalize_v: bool = True, use_tef: bool = True,
                  subtitles_path: Optional[str] = None,
+                 use_speech: bool = False,
                  use_speech_time: bool = True,
+                 q_feat_dir: Optional[str] = None, max_q_l: int = 32,
+                 normalize_t: bool = True,
                  seed: int = 0):
+        """``q_feat_dir``: precomputed token-level query features
+        (``qid{qid}.npz['last_hidden_state']``, truncated to ``max_q_l`` and
+        l2-normalized — start_end_dataset.py:229-240); when unset, raw query
+        strings pass through for a live text tower. ``use_speech`` emits the
+        quantized-time ASR string per example (start_end_dataset.py:119-122)
+        for the caller's BERT tokenizer/tower."""
         self.data = load_jsonl(data_path) if isinstance(data_path, str) else data_path
         self.v_feat_dirs = list(v_feat_dirs)
         self.train = train
@@ -50,7 +59,11 @@ class GroundingDataset:
         self.max_windows = max_windows
         self.normalize_v = normalize_v
         self.use_tef = use_tef
+        self.use_speech = use_speech
         self.use_speech_time = use_speech_time
+        self.q_feat_dir = q_feat_dir
+        self.max_q_l = max_q_l
+        self.normalize_t = normalize_t
         self.subs = None
         self.subs_path = None
         if subtitles_path and os.path.isdir(subtitles_path):
@@ -101,6 +114,16 @@ class GroundingDataset:
             feats.append(f)
         min_len = min(len(f) for f in feats)
         return np.concatenate([f[:min_len] for f in feats], axis=1)
+
+    def _query_feat(self, qid) -> np.ndarray:
+        """Precomputed token-level query features, truncated to ``max_q_l``
+        and l2-normalized (start_end_dataset.py:229-240)."""
+        path = os.path.join(self.q_feat_dir, f"qid{qid}.npz")
+        q = np.load(path)["last_hidden_state"].astype(np.float32)
+        q = q[: self.max_q_l]
+        if self.normalize_t:
+            q = l2_normalize(q)
+        return q
 
     # -- labels -------------------------------------------------------------
 
@@ -158,14 +181,21 @@ class GroundingDataset:
         pos, neg = self.saliency_sub_as_query(meta["relevant_windows"][0], ctx_l)
         out["saliency_pos"] = np.asarray(pos, np.int64)
         out["saliency_neg"] = np.asarray(neg, np.int64)
+        if self.q_feat_dir is not None:
+            out["query_feat"] = self._query_feat(meta["qid"])
+        if self.use_speech:
+            out["speech"] = self.load_speech(meta["vid"],
+                                             float(meta["duration"]))
         return out
 
 
 def grounding_collate(examples: List[dict], max_v_l: int,
-                      max_spans: int = 5) -> Dict[str, np.ndarray]:
+                      max_spans: int = 5,
+                      max_q_l: int = 32) -> Dict[str, np.ndarray]:
     """Static-shape batch: video features padded to max_v_l, spans padded to
     max_spans with validity mask. Query strings pass through for the text
-    encoder."""
+    encoder; precomputed ``query_feat`` rows pad to ``max_q_l`` with a mask,
+    and ASR ``speech`` strings pass through for the speech tokenizer."""
     b = len(examples)
     d = examples[0]["video_feat"].shape[1]
     vid = np.zeros((b, max_v_l, d), np.float32)
@@ -183,7 +213,7 @@ def grounding_collate(examples: List[dict], max_v_l: int,
         span_valid[i, :n] = 1
         pos[i] = e["saliency_pos"]
         neg[i] = e["saliency_neg"]
-    return {
+    batch = {
         "video_feat": vid,
         "video_mask": vid_mask,
         "spans": spans,
@@ -196,3 +226,15 @@ def grounding_collate(examples: List[dict], max_v_l: int,
         "duration": np.asarray([e["duration"] for e in examples], np.float32),
         "ctx_l": np.asarray([e["ctx_l"] for e in examples], np.int32),
     }
+    if "query_feat" in examples[0]:
+        dq = examples[0]["query_feat"].shape[1]
+        qf = np.zeros((b, max_q_l, dq), np.float32)
+        qm = np.zeros((b, max_q_l), np.int32)
+        for i, e in enumerate(examples):
+            n = min(len(e["query_feat"]), max_q_l)
+            qf[i, :n] = e["query_feat"][:n]
+            qm[i, :n] = 1
+        batch["query_feat"], batch["query_mask"] = qf, qm
+    if "speech" in examples[0]:
+        batch["speech"] = [e["speech"] for e in examples]
+    return batch

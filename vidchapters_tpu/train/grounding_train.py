@@ -57,8 +57,22 @@ def make_grounding_train_step(model: MomentDETR,
                               text_encoder: Optional[CLIPTextEncoder],
                               text_params,
                               tx: optax.GradientTransformation,
-                              cfg: GroundingConfig) -> Callable:
-    """Text params are frozen (model.py:53-56); only grounding params train."""
+                              cfg: GroundingConfig,
+                              speech_encoder=None,
+                              speech_params=None) -> Callable:
+    """Text params are frozen (model.py:53-56); only grounding params train.
+    With ``cfg.use_speech``, batches carry BERT-tokenized ASR
+    (``speech_tokens``) run through a frozen ``speech_encoder`` (the
+    reference's in-model BERT + bert_proj, model.py:131-136)."""
+
+    def _speech_inputs(batch):
+        if speech_encoder is None or "speech_tokens" not in batch:
+            return None, None
+        toks = batch["speech_tokens"]
+        mask = (toks != 0).astype(jnp.int32)
+        hidden = speech_encoder.apply({"params": speech_params}, toks,
+                                      attention_mask=mask)
+        return hidden, mask
 
     def loss_fn(params, batch, rng):
         if text_encoder is not None:
@@ -69,8 +83,11 @@ def make_grounding_train_step(model: MomentDETR,
         else:
             src_txt = batch["query_feat"]
             txt_mask = batch["query_mask"]
+        src_speech, speech_mask = _speech_inputs(batch)
         out = model.apply({"params": params}, src_txt, txt_mask,
                           batch["video_feat"], batch["video_mask"],
+                          src_speech=src_speech,
+                          src_speech_mask=speech_mask,
                           deterministic=False, rngs={"dropout": rng})
         targets = {
             "spans": batch["spans"],
@@ -95,10 +112,12 @@ def make_grounding_train_step(model: MomentDETR,
 
 def make_grounding_infer(model: MomentDETR,
                          text_encoder: Optional[CLIPTextEncoder],
-                         text_params) -> Callable:
+                         text_params,
+                         speech_encoder=None,
+                         speech_params=None) -> Callable:
     @jax.jit
     def infer(params, query_tokens_or_feat, txt_mask, video_feat, video_mask,
-              durations):
+              durations, speech_tokens=None):
         if text_encoder is not None:
             src_txt = text_encoder.apply({"params": text_params},
                                          query_tokens_or_feat,
@@ -106,8 +125,16 @@ def make_grounding_infer(model: MomentDETR,
             txt_mask = (query_tokens_or_feat != 0).astype(jnp.int32)
         else:
             src_txt = query_tokens_or_feat
+        src_speech = speech_mask = None
+        if speech_encoder is not None and speech_tokens is not None:
+            speech_mask = (speech_tokens != 0).astype(jnp.int32)
+            src_speech = speech_encoder.apply({"params": speech_params},
+                                              speech_tokens,
+                                              attention_mask=speech_mask)
         out = model.apply({"params": params}, src_txt, txt_mask,
-                          video_feat, video_mask)
+                          video_feat, video_mask,
+                          src_speech=src_speech,
+                          src_speech_mask=speech_mask)
         spans_sec, scores = postprocess_predictions(
             out["pred_logits"], out["pred_spans"], durations)
         return spans_sec, scores, out["saliency_scores"]
@@ -154,9 +181,12 @@ def evaluate_grounding(infer_fn, params, data_iter, ground_truth: List[dict],
         else:
             toks = jnp.asarray(batch["query_feat"])
             txt_mask = jnp.asarray(batch["query_mask"])
+        speech = (jnp.asarray(batch["speech_tokens"])
+                  if "speech_tokens" in batch else None)
         spans_sec, scores, saliency = infer_fn(
             params, toks, txt_mask, jnp.asarray(batch["video_feat"]),
-            jnp.asarray(batch["video_mask"]), jnp.asarray(batch["duration"]))
+            jnp.asarray(batch["video_mask"]), jnp.asarray(batch["duration"]),
+            speech_tokens=speech)
         submission.extend(predictions_to_submission(
             batch["qid"], np.asarray(spans_sec), np.asarray(scores),
             np.asarray(saliency), nms_threshold))
