@@ -93,3 +93,29 @@ def test_log_mel_spectrogram_shape():
     assert np.isfinite(mel).all()
     assert mel.max() <= (mel.min() + 8.0) / 1.0 + 10  # clamped dynamic range
 
+
+
+def test_cross_attention_beam_grouping_exact():
+    """Grouped per-example cross KV (beams share the encoder output;
+    models/whisper.py WhisperAttention) matches the repeated-KV path
+    exactly — fp32 compute, identical contractions."""
+    import jax
+    import jax.numpy as jnp
+
+    from vidchapters_tpu.models.whisper import WhisperAttention, WhisperConfig
+
+    cfg = WhisperConfig(d_model=32, num_heads=4, encoder_layers=1,
+                        decoder_layers=1, d_ff=64, dtype="float32")
+    attn = WhisperAttention(cfg)
+    rng = np.random.default_rng(0)
+    b, K, lk = 2, 3, 7
+    enc = jnp.asarray(rng.normal(size=(b, lk, 32)), jnp.float32)
+    q_in = jnp.asarray(rng.normal(size=(b * K, 1, 32)), jnp.float32)
+    params = attn.init(jax.random.PRNGKey(0), q_in, q_in)["params"]
+
+    kv = attn.apply({"params": params}, enc, method=attn.precompute_kv)
+    kv_rep = jax.tree_util.tree_map(lambda x: jnp.repeat(x, K, axis=0), kv)
+    out_grouped, _ = attn.apply({"params": params}, q_in, None, cache=kv)
+    out_repeat, _ = attn.apply({"params": params}, q_in, None, cache=kv_rep)
+    np.testing.assert_allclose(np.asarray(out_grouped),
+                               np.asarray(out_repeat), rtol=1e-6, atol=1e-6)

@@ -219,8 +219,15 @@ class JaxWhisperTranscriber:
         def _beam_decode(params, enc, prefix):
             K = self.beam_size
             b = enc.shape[0]
-            enc_k = jnp.repeat(enc, K, axis=0)
-            cache = fns.init_cache(b * K, enc_k)
+            if _mega_enabled():
+                # the megakernel packs per-row int8 cross KV; rows repeat
+                enc_k = jnp.repeat(enc, K, axis=0)
+                cache = fns.init_cache(b * K, enc_k)
+            else:
+                # standard path: self caches at b*K rows, cross KV stays
+                # per-example and beams group over it in-layer
+                # (models/whisper.py WhisperAttention grouped branch)
+                cache = fns.init_cache(b * K, enc)
             tok_k = jnp.repeat(prefix, K, axis=0)
             p_len = prefix.shape[1]
             no_speech = jnp.zeros((b,), jnp.float32)
@@ -258,8 +265,14 @@ class JaxWhisperTranscriber:
                 parent = idx // vocab
                 tok = (idx % vocab).astype(jnp.int32)
                 flatsel = (jnp.arange(b)[:, None] * K + parent).reshape(-1)
+                # permute per-beam rows only; beam-invariant leaves (the
+                # shared per-example cross KV) are left untouched — a
+                # per-step gather of the full large-v2 cross cache would
+                # copy hundreds of MB for a semantic no-op
                 cache = jax.tree_util.tree_map(
-                    lambda x: jnp.take(x, flatsel, axis=0), cache)
+                    lambda x: (jnp.take(x, flatsel, axis=0)
+                               if x.ndim and x.shape[0] == b * K else x),
+                    cache)
                 seqbuf = jnp.take_along_axis(seqbuf, parent[..., None],
                                              axis=1)
                 pdone = jnp.take_along_axis(done, parent, axis=1)

@@ -92,6 +92,23 @@ class WhisperAttention(nn.Module):
             cache = {"k": k, "v": v}
         elif cache is not None:
             k, v = cache["k"], cache["v"]
+            if k.shape[0] != q.shape[0]:
+                # beam decode with per-example cross KV shared across beams
+                # (same grouping as models.t5): the encoder output is
+                # beam-invariant, so neither duplicating the ~245 MB/example
+                # large-v2 cross cache K-fold nor permuting it per step is
+                # necessary
+                b0 = k.shape[0]
+                group = q.shape[0] // b0
+                h = self.cfg.num_heads
+                dh = d_head
+                qg = q.reshape(b0, group, h, q.shape[2], dh)
+                scores = jnp.einsum("bghqd,bhkd->bghqk", qg, k
+                                    ).astype(jnp.float32)
+                probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+                out = jnp.einsum("bghqk,bhkd->bghqd", probs, v)
+                out = out.reshape(q.shape[0], h, q.shape[2], dh)
+                return self.out(self._merge(out)), cache
         else:
             k = self._split(self.k(kv))
             v = self._split(self.v(kv))
