@@ -67,8 +67,9 @@ def main() -> None:
     duration = n_seg * 10.0
 
     t0 = time.time()
-    engine.warmup(batch_sizes=(1, a.max_batch))
-    print(f"warmup (2 programs): {time.time()-t0:.0f}s", flush=True)
+    engine.warmup(batch_sizes=tuple(engine.batch_buckets))
+    print(f"warmup ({len(engine.batch_buckets)} programs): "
+          f"{time.time()-t0:.0f}s", flush=True)
 
     latencies = []
     lat_lock = threading.Lock()

@@ -139,3 +139,40 @@ def test_make_llm_titler_reference_prompt():
     assert title == "The Title"
     # reference prompt shape: trailing period added, 'Chapter title:' suffix
     assert seen["prompt"] == LLM_PROMPT.format("hello world more text.")
+
+
+def test_vc_main_eval_random_cli(tmp_path):
+    """`vc_main --eval --model-type random` scores the ASR text as the
+    prediction (vc.py --random, vc.py:109-110) through the real CLI."""
+    import subprocess
+    import sys
+
+    rng = np.random.default_rng(0)
+    feat_dir = tmp_path / "feats"
+    feat_dir.mkdir()
+    ann = {}
+    for i in range(2):
+        vid = f"wwwwwwwww{i:02d}"
+        ann[vid] = {"duration": 40.0,
+                    "timestamps": [[0.0, 20.0], [20.0, 40.0]],
+                    "sentences": ["intro part", "main part"]}
+        np.save(feat_dir / f"{vid[-11:]}.npy",
+                rng.normal(size=(40, 16)).astype(np.float32))
+    (tmp_path / "ann.json").write_text(json.dumps(ann))
+    (tmp_path / "dcfg.json").write_text(json.dumps(
+        {"max_feats": 8, "features_dim": 16, "max_input_tokens": 32,
+         "max_output_tokens": 16}))
+    import os
+
+    env = dict(os.environ, PYTHONPATH=os.getcwd(), JAX_PLATFORMS="cpu")
+    out = subprocess.run(
+        [sys.executable, "-m", "vidchapters_tpu.train.vc_main",
+         "--eval", "--model-type", "random",
+         "--val-json", str(tmp_path / "ann.json"),
+         "--features-path", str(feat_dir),
+         "--data-config", str(tmp_path / "dcfg.json"),
+         "--save-dir", str(tmp_path / "out")],
+        capture_output=True, text=True, env=env, timeout=600)
+    assert out.returncode == 0, out.stderr[-2000:]
+    metrics = json.loads(out.stdout.strip().splitlines()[-1])
+    assert "CIDEr" in metrics

@@ -108,8 +108,10 @@ if __name__ == "__main__":  # vc.py CLI equivalent
     from vidchapters_tpu.config import (DataConfig, Vid2SeqConfig,
                                         load_config)
 
-    p = argparse.ArgumentParser(description="Video-captioning (Vid2Seq) training")
-    p.add_argument("--train-json", required=True)
+    p = argparse.ArgumentParser(
+        description="Video-captioning (Vid2Seq) training / zero-shot eval")
+    p.add_argument("--train-json", default=None,
+                   help="required unless --eval")
     p.add_argument("--val-json", required=True)
     p.add_argument("--features-path", required=True)
     p.add_argument("--save-dir", required=True)
@@ -121,14 +123,65 @@ if __name__ == "__main__":  # vc.py CLI equivalent
     p.add_argument("--batch-size", type=int, default=16)
     p.add_argument("--lr", type=float, default=3e-4)
     p.add_argument("--seed", type=int, default=0)
+    # eval-only dispatches (vc.py --eval with its model choice,
+    # vc.py:109-154: random echoes the ASR; blip2 captions first frames;
+    # llama titles from the ASR prompt)
+    p.add_argument("--eval", action="store_true",
+                   help="skip training; run the chosen zero-shot evaluator "
+                        "on --val-json")
+    p.add_argument("--model-type", default="random",
+                   choices=["random", "blip2", "llama"],
+                   help="--eval captioner (vc.py model selection)")
+    p.add_argument("--blip2-dir", default=None,
+                   help="HF blip2-flan-t5-xl dir for --model-type blip2")
+    p.add_argument("--llama-dir", default=None,
+                   help="HF LLaMA dir for --model-type llama")
+    p.add_argument("--videos-path", default=None,
+                   help="json mapping vid -> raw video path (blip2 eval "
+                        "needs first frames)")
     a = p.parse_args()
     model_cfg = (load_config(Vid2SeqConfig, a.model_config)
                  if a.model_config else Vid2SeqConfig())
     data_cfg = (load_config(DataConfig, a.data_config)
                 if a.data_config else DataConfig())
-    print(_json.dumps(main(a.train_json, a.val_json, a.features_path,
-                           model_cfg, data_cfg, a.save_dir,
-                           subtitles_path=a.subtitles_path,
-                           tokenizer_path=a.tokenizer_path,
-                           n_epochs=a.epochs, batch_size=a.batch_size,
-                           lr=a.lr, seed=a.seed)))
+    if a.eval:
+        from vidchapters_tpu.data.vc_dataset import VideoCaptioningDataset
+        from vidchapters_tpu.train.vc_train import (
+            evaluate_vc_blip2,
+            evaluate_vc_llama,
+            evaluate_vc_with_captioner,
+        )
+
+        ds = VideoCaptioningDataset(a.val_json, a.features_path,
+                                    training=False, cfg=data_cfg,
+                                    subtitles_path=a.subtitles_path,
+                                    videos_path=a.videos_path)
+        if a.model_type == "random":
+            # the --random baseline scores the ASR text itself (vc.py:109)
+            _, metrics = evaluate_vc_with_captioner(
+                ds, lambda clip, asr: asr)
+        elif a.model_type == "blip2":
+            if not a.blip2_dir or not a.videos_path:
+                p.error("--model-type blip2 needs --blip2-dir and "
+                        "--videos-path")
+            from vidchapters_tpu.models.blip2 import build_blip2_captioner
+
+            _, metrics = evaluate_vc_blip2(
+                ds, build_blip2_captioner(a.blip2_dir))
+        else:
+            if not a.llama_dir:
+                p.error("--model-type llama needs --llama-dir")
+            from vidchapters_tpu.models.llama import build_llama_titler
+
+            _, metrics = evaluate_vc_llama(
+                ds, build_llama_titler(a.llama_dir))
+        print(_json.dumps(metrics))
+    else:
+        if not a.train_json:
+            p.error("--train-json required without --eval")
+        print(_json.dumps(main(a.train_json, a.val_json, a.features_path,
+                               model_cfg, data_cfg, a.save_dir,
+                               subtitles_path=a.subtitles_path,
+                               tokenizer_path=a.tokenizer_path,
+                               n_epochs=a.epochs, batch_size=a.batch_size,
+                               lr=a.lr, seed=a.seed)))
