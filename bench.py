@@ -53,7 +53,12 @@ def main() -> None:
                         input_tokens[:, :8], jnp.ones((batch, 8), jnp.int32),
                         output_tokens[:, :8])["params"]
 
-    tx = build_optimizer(OptimConfig(), num_training_steps=1000)
+    import os
+
+    # experiment knob: MU_DTYPE=bfloat16 stores the Adam first moment in
+    # bf16 (halved mu read/write traffic); reference-recipe default f32
+    tx = build_optimizer(OptimConfig(mu_dtype=os.environ.get(
+        "MU_DTYPE", "float32")), num_training_steps=1000)
     train_step = jax.jit(make_train_step(model, tx), donate_argnums=(0,))
 
     state = TrainState(params=params, opt_state=tx.init(params),

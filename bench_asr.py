@@ -63,10 +63,14 @@ def main() -> None:
             fns = make_whisper_mega_fns(cfg, params, a.steps)
         else:
             fns = make_decode_fns(model, params, a.steps)
-        if beams > 1:  # beam rows ride the batch dim like _beam_decode
+        rows = a.batch * beams
+        if beams > 1 and a.mega:
+            # the megakernel packs per-row int8 cross KV; rows repeat
             enc = jnp.repeat(enc, beams, axis=0)
-        cache = fns.init_cache(enc.shape[0], enc)
-        tokens = jnp.full((enc.shape[0],), 50258, jnp.int32)  # <|sot|>
+        # standard path with beams: cross KV stays per-example and the
+        # attention layer groups the beam axis (like _beam_decode)
+        cache = fns.init_cache(rows, enc)
+        tokens = jnp.full((rows,), 50258, jnp.int32)  # <|sot|>
 
         def body(i, carry):
             tokens, cache, acc = carry
@@ -77,7 +81,9 @@ def main() -> None:
                 parent = (jnp.arange(a.batch)[:, None] * beams
                           + idx // logits.shape[-1]).reshape(-1)
                 cache = jax.tree_util.tree_map(
-                    lambda x: jnp.take(x, parent, axis=0), cache)
+                    lambda x: (jnp.take(x, parent, axis=0)
+                               if x.ndim and x.shape[0] == rows else x),
+                    cache)
                 nxt = (idx % logits.shape[-1]).reshape(-1).astype(jnp.int32)
             else:
                 nxt = jnp.argmax(logits, -1).astype(jnp.int32)

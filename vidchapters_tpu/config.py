@@ -346,6 +346,10 @@ class OptimConfig:
     # + unravel + per-leaf apply_updates) is a wash against the ~15 ms
     # per-leaf tail it replaces. Kept as an option for smaller models.
     fused_flat: bool = False
+    # Adam first-moment storage dtype ("float32" | "bfloat16"): bf16 mu
+    # halves its HBM residency + optimizer read traffic; nu/params stay
+    # f32. The reference recipe is f32 (torch Adam), so this defaults off.
+    mu_dtype: str = "float32"
 
 
 @dataclass(frozen=True)

@@ -42,7 +42,8 @@ def build_optimizer(cfg: OptimConfig, num_training_steps: int) -> optax.Gradient
     if cfg.clip_max_norm > 0:
         chain.append(optax.clip_by_global_norm(cfg.clip_max_norm))
     chain.append(optax.adamw(schedule, b1=cfg.beta1, b2=cfg.beta2,
-                             weight_decay=cfg.weight_decay))
+                             weight_decay=cfg.weight_decay,
+                             mu_dtype=getattr(jnp, cfg.mu_dtype)))
     tx = optax.chain(*chain)
     if getattr(cfg, "fused_flat", False):
         tx = optax.flatten(tx)
