@@ -32,55 +32,63 @@ D, HEADS, DKV, DFF, LAYERS = 768, 12, 64, 3072, 12
 VIT_MLP, VIT_DEPTH = 2048, 12
 
 
-def _synth_reference_state_dict(rng) -> dict:
-    """Random weights in the released checkpoint's exact key layout."""
+def _synth_reference_state_dict(rng, vocab=VOCAB, d=D, heads=HEADS, dkv=DKV,
+                                dff=DFF, layers=LAYERS, rel_buckets=32,
+                                vit_mlp=VIT_MLP, vit_depth=VIT_DEPTH,
+                                vit_d=None, vit_feats=100) -> dict:
+    """Random weights in the released checkpoint's exact key layout
+    (parameterized so a tiny variant can drive the CLI --load path)."""
     sd = {}
+    inner = heads * dkv
+    vit_d = vit_d if vit_d is not None else d
 
     def w(key, *shape):
         sd[key] = rng.normal(scale=0.02, size=shape).astype(np.float32)
 
-    w("t5_model.shared.weight", VOCAB, D)
+    w("t5_model.shared.weight", vocab, d)
     # HF also serializes the tied copies; the importer must tolerate them
     sd["t5_model.encoder.embed_tokens.weight"] = sd["t5_model.shared.weight"]
     sd["t5_model.decoder.embed_tokens.weight"] = sd["t5_model.shared.weight"]
     sd["t5_model.lm_head.weight"] = sd["t5_model.shared.weight"]
     for stack in ("encoder", "decoder"):
         w(f"t5_model.{stack}.block.0.layer.0.SelfAttention."
-          f"relative_attention_bias.weight", 32, HEADS)
-        for i in range(LAYERS):
+          f"relative_attention_bias.weight", rel_buckets, heads)
+        for i in range(layers):
             b = f"t5_model.{stack}.block.{i}"
-            for x in ("q", "k", "v", "o"):
-                w(f"{b}.layer.0.SelfAttention.{x}.weight", D, D)
-            w(f"{b}.layer.0.layer_norm.weight", D)
+            for x in ("q", "k", "v"):
+                w(f"{b}.layer.0.SelfAttention.{x}.weight", inner, d)
+            w(f"{b}.layer.0.SelfAttention.o.weight", d, inner)
+            w(f"{b}.layer.0.layer_norm.weight", d)
             if stack == "decoder":
-                for x in ("q", "k", "v", "o"):
-                    w(f"{b}.layer.1.EncDecAttention.{x}.weight", D, D)
-                w(f"{b}.layer.1.layer_norm.weight", D)
+                for x in ("q", "k", "v"):
+                    w(f"{b}.layer.1.EncDecAttention.{x}.weight", inner, d)
+                w(f"{b}.layer.1.EncDecAttention.o.weight", d, inner)
+                w(f"{b}.layer.1.layer_norm.weight", d)
                 ff = 2
             else:
                 ff = 1
-            w(f"{b}.layer.{ff}.DenseReluDense.wi.weight", DFF, D)
-            w(f"{b}.layer.{ff}.DenseReluDense.wo.weight", D, DFF)
-            w(f"{b}.layer.{ff}.layer_norm.weight", D)
-        w(f"t5_model.{stack}.final_layer_norm.weight", D)
+            w(f"{b}.layer.{ff}.DenseReluDense.wi.weight", dff, d)
+            w(f"{b}.layer.{ff}.DenseReluDense.wo.weight", d, dff)
+            w(f"{b}.layer.{ff}.layer_norm.weight", d)
+        w(f"t5_model.{stack}.final_layer_norm.weight", d)
 
-    w("visual_encoder.pos_embed", 1, 100, D)
-    for i in range(VIT_DEPTH):
+    w("visual_encoder.pos_embed", 1, vit_feats, vit_d)
+    for i in range(vit_depth):
         b = f"visual_encoder.blocks.{i}"
-        w(f"{b}.norm1.weight", D)
-        w(f"{b}.norm1.bias", D)
-        w(f"{b}.attn.qkv.weight", 3 * D, D)
-        w(f"{b}.attn.qkv.bias", 3 * D)
-        w(f"{b}.attn.proj.weight", D, D)
-        w(f"{b}.attn.proj.bias", D)
-        w(f"{b}.norm2.weight", D)
-        w(f"{b}.norm2.bias", D)
-        w(f"{b}.mlp.fc1.weight", VIT_MLP, D)
-        w(f"{b}.mlp.fc1.bias", VIT_MLP)
-        w(f"{b}.mlp.fc2.weight", D, VIT_MLP)
-        w(f"{b}.mlp.fc2.bias", D)
-    w("visual_encoder.norm.weight", D)
-    w("visual_encoder.norm.bias", D)
+        w(f"{b}.norm1.weight", vit_d)
+        w(f"{b}.norm1.bias", vit_d)
+        w(f"{b}.attn.qkv.weight", 3 * vit_d, vit_d)
+        w(f"{b}.attn.qkv.bias", 3 * vit_d)
+        w(f"{b}.attn.proj.weight", vit_d, vit_d)
+        w(f"{b}.attn.proj.bias", vit_d)
+        w(f"{b}.norm2.weight", vit_d)
+        w(f"{b}.norm2.bias", vit_d)
+        w(f"{b}.mlp.fc1.weight", vit_mlp, vit_d)
+        w(f"{b}.mlp.fc1.bias", vit_mlp)
+        w(f"{b}.mlp.fc2.weight", vit_d, vit_mlp)
+        w(f"{b}.mlp.fc2.bias", vit_d)
+    w("visual_encoder.norm.weight", vit_d)
+    w("visual_encoder.norm.bias", vit_d)
     return sd
 
 

@@ -69,7 +69,13 @@ def build_datasets(cfg: ExperimentConfig, tokenizer):
 
 
 def main(cfg: ExperimentConfig,
-         init_params: Optional[Dict] = None) -> Dict[str, float]:
+         init_params: Optional[Dict] = None,
+         load: str = "", eval_only: bool = False) -> Dict[str, float]:
+    """``load``: initialize parameters from a reference ``.pth`` (via
+    models.torch_import, incl. the released-checkpoint vocab surgery) or an
+    orbax ``best``/``last`` dir (dvc.py:354-363 --load). ``eval_only``
+    skips training and runs the final test/val eval with the loaded or
+    best weights (dvc.py:308,364 --eval)."""
     # tokenizer: explicit path, else the presave root's t5-base sentencepiece
     # (the reference resolves HF assets under PRESAVE_DIR, args.py:185)
     tok_path = cfg.tokenizer_path
@@ -89,10 +95,29 @@ def main(cfg: ExperimentConfig,
     dummy_video = jnp.zeros((1, d.max_feats, d.features_dim), jnp.float32)
     dummy_inp = jnp.ones((1, 8), jnp.int32)
     dummy_out = jnp.ones((1, 8), jnp.int32)
+    if init_params is None and load and not Path(load).is_dir():
+        # reference .pth checkpoint (released weights path)
+        from vidchapters_tpu.models.torch_import import (
+            convert_vid2seq_state_dict,
+            load_torch_checkpoint,
+        )
+
+        print(f"loading torch checkpoint from {load}")
+        init_params = convert_vid2seq_state_dict(
+            load_torch_checkpoint(load), gated=cfg.model.t5.is_gated_act)
     if init_params is None:
         init_params = model.init(
             {"params": rng, "dropout": rng}, dummy_video, dummy_inp,
             jnp.ones_like(dummy_inp), dummy_out)["params"]
+        if load:  # orbax dir: params-only restore into the init template
+            from vidchapters_tpu.runtime.checkpoint import (
+                CheckpointManager as _CM,
+            )
+
+            print(f"loading orbax checkpoint from {load}")
+            ldir = Path(load)
+            init_params = _CM(str(ldir.parent)).restore_params(
+                ldir.name, init_params)
     n_params = sum(int(np.prod(p.shape))
                    for p in jax.tree_util.tree_leaves(init_params))
     print(f"number of params: {n_params}")  # dvc.py:339-341
@@ -116,13 +141,14 @@ def main(cfg: ExperimentConfig,
                              save_every_epochs=cfg.train.checkpoint.save_every_epochs,
                              keep_last=cfg.train.checkpoint.keep_last,
                              keep_best=cfg.train.checkpoint.keep_best)
-    if ckpt.has("last"):  # resume (dvc.py:354-361)
+    if ckpt.has("last") and not load:  # resume (dvc.py:354-361)
         state = TrainState(*ckpt.restore("last", tuple(state)))
         print(f"resumed from epoch {ckpt.meta('last').get('epoch')}")
 
     log_path = Path(ckpt.dir) / "log.txt"
     start_epoch = int(ckpt.meta("last").get("epoch", -1)) + 1
-    for epoch in range(start_epoch, cfg.train.epochs):
+    for epoch in range(start_epoch,
+                       start_epoch if eval_only else cfg.train.epochs):
         logger = MetricLogger()
         for name, ds in train_sets:
             it = EpochIterator(ds, cfg.train.batch_size, d,
@@ -196,9 +222,10 @@ def main(cfg: ExperimentConfig,
                 f.write(json.dumps({"epoch": epoch, **epoch_stats}) + "\n")
 
     # final eval with the best checkpoint — on the held-out TEST split when
-    # one is configured, like the reference (dvc.py:447-464); val otherwise
+    # one is configured, like the reference (dvc.py:447-464); val otherwise.
+    # With --load the explicitly loaded weights are what gets evaluated.
     final_metrics: Dict[str, float] = {}
-    if ckpt.has("best"):
+    if ckpt.has("best") and not load:
         state = TrainState(*ckpt.restore("best", tuple(state)))
     for name, ds, ref_path in (test_sets or val_sets):
         it = EpochIterator(ds, cfg.train.eval_batch_size, d, shuffle=False,
@@ -221,6 +248,13 @@ if __name__ == "__main__":
     maybe_initialize_distributed()
     p = argparse.ArgumentParser()
     p.add_argument("--config", required=True, help="experiment json")
+    p.add_argument("--load", default="",
+                   help="initialize from a reference .pth (torch_import, "
+                        "incl. released-checkpoint vocab surgery) or an "
+                        "orbax best/last dir (dvc.py --load)")
+    p.add_argument("--eval", action="store_true",
+                   help="skip training; evaluate the loaded/best weights "
+                        "on the test (or val) split (dvc.py --eval)")
     a = p.parse_args()
     cfg = load_config(ExperimentConfig, a.config)
-    print(main(cfg))
+    print(main(cfg, load=a.load, eval_only=a.eval))
