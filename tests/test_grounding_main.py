@@ -113,6 +113,9 @@ def test_recipe_configs_load_into_dataclasses():
     assert md["train"]["batch_size"] == 256 and md["train"]["epochs"] == 50
     assert md["train"]["lr"] == 3e-4
 
+    # TPU production recipe pins the bfloat16 compute dtype
+    assert g.dtype == "bfloat16"
+
     with open("configs/chapters_pdvc.json") as f:
         pd = json.load(f)
     c = dataclasses.replace(PDVCConfig(), **pd["model"])
@@ -120,6 +123,23 @@ def test_recipe_configs_load_into_dataclasses():
     assert c.caption_decoder_type == "dsa" and c.cap_nheads == 1
     assert pd["train"] == {"epochs": 5, "batch_size": 1, "lr": 1e-4,
                            "lr_drop_epochs": 8, "max_events": 10}
+
+
+def test_vid2seq_recipe_configs_load():
+    """Every shipped Vid2Seq ExperimentConfig snapshot must round-trip
+    through load_config (PEP 563 nested-dataclass rebuild) with the
+    paper-recipe values intact (args.py / README training commands)."""
+    from vidchapters_tpu.config import ExperimentConfig, load_config
+
+    for name, epochs, bs in (("chapters_vid2seq.json", 10, 64),
+                             ("htm_pretrain.json", 5, 64),
+                             ("vitt_vid2seq.json", 20, 16),
+                             ("youcook_vid2seq.json", 40, 16)):
+        cfg = load_config(ExperimentConfig, f"configs/{name}")
+        assert isinstance(cfg, ExperimentConfig), name
+        assert cfg.train.epochs == epochs, name
+        assert cfg.train.batch_size == bs, name
+        assert cfg.model.t5.d_model == 768, name
 
 
 @pytest.mark.slow

@@ -219,3 +219,68 @@ def test_get_raw_video_zero_frames_falls_back(monkeypatch):
     frames = vc.get_raw_video("whatever.mp4", resolution=32)
     assert frames.shape == (1, 32, 32, 3)
     assert (frames == 0).all()
+
+
+def test_load_serving_params_torch_and_orbax(tmp_path):
+    """serve --ckpt accepts a released reference .pth (torch_import) or an
+    orbax best/last dir (production deployments serve released weights)."""
+    import pytest
+
+    torch = pytest.importorskip("torch")
+    import jax
+    import numpy as np
+
+    from tests.test_checkpoint_import_fullscale import (
+        _synth_reference_state_dict,
+    )
+    from vidchapters_tpu.config import (
+        DataConfig,
+        ExperimentConfig,
+        T5Config,
+        TemporalViTConfig,
+        Vid2SeqConfig,
+    )
+    from vidchapters_tpu.models.vid2seq import Vid2Seq
+    from vidchapters_tpu.serve import load_serving_params
+
+    t5 = T5Config(vocab_size=32200, d_model=32, d_kv=8, d_ff=64, num_layers=1,
+                  num_decoder_layers=1, num_heads=4,
+                  relative_attention_num_buckets=8,
+                  relative_attention_max_distance=16, dtype="float32",
+                  dropout_rate=0.0)
+    vit = TemporalViTConfig(num_features=8, embed_dim=8, depth=1, num_heads=2,
+                            mlp_dim=16, dtype="float32")
+    cfg = ExperimentConfig(
+        model=Vid2SeqConfig(t5=t5, vit=vit, num_bins=100),
+        data=DataConfig(max_feats=8, features_dim=8))
+    model = Vid2Seq(cfg.model)
+
+    rng1 = np.random.default_rng(1)
+    sd = _synth_reference_state_dict(
+        rng1, vocab=32200, d=32, heads=4, dkv=8, dff=64, layers=1,
+        rel_buckets=8, vit_mlp=16, vit_depth=1, vit_d=8, vit_feats=8)
+    sd["proj_v2t.weight"] = rng1.normal(scale=0.02, size=(32, 8)
+                                        ).astype(np.float32)
+    sd["proj_v2t.bias"] = np.zeros(32, np.float32)
+    pth = tmp_path / "released.pth"
+    torch.save({"model": {k: torch.from_numpy(v) for k, v in sd.items()}},
+               str(pth))
+
+    params = load_serving_params(cfg, model, str(pth))
+    np.testing.assert_array_equal(
+        np.asarray(params["t5"]["shared"]["embedding"]),
+        sd["t5_model.shared.weight"])
+
+    # orbax round trip: save as (params,) like the vc/grounding mains
+    from vidchapters_tpu.runtime.checkpoint import CheckpointManager
+
+    mgr = CheckpointManager(str(tmp_path / "ck"))
+    mgr.save_last((params,), epoch=0)
+    restored = load_serving_params(cfg, model, str(tmp_path / "ck"))
+    np.testing.assert_array_equal(
+        np.asarray(restored["t5"]["shared"]["embedding"]),
+        sd["t5_model.shared.weight"])
+    # random init path still works
+    rnd = load_serving_params(cfg, model, None)
+    assert jax.tree_util.tree_structure(rnd) == \
+        jax.tree_util.tree_structure(params)

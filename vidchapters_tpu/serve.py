@@ -35,6 +35,7 @@ import json
 import queue as queue_mod
 import threading
 import time
+from pathlib import Path
 from typing import Dict, List, Optional
 
 import numpy as np
@@ -320,11 +321,41 @@ def serve(engine: ChapterGenerator, host: str = "127.0.0.1",
     return httpd
 
 
-def main(args=None) -> None:
-    import argparse
-
+def load_serving_params(cfg, model, ckpt: Optional[str]):
+    """Parameters for the server: random init, an orbax ``best``/``last``
+    dir, or a released reference ``.pth`` via models.torch_import."""
     import jax
     import jax.numpy as jnp
+
+    d = cfg.data
+    rng = jax.random.PRNGKey(0)
+    params = model.init(
+        {"params": rng, "dropout": rng},
+        jnp.zeros((1, d.max_feats, d.features_dim), jnp.float32),
+        jnp.ones((1, 8), jnp.int32), jnp.ones((1, 8), jnp.int32),
+        jnp.ones((1, 8), jnp.int32))["params"]
+    if ckpt and not Path(ckpt).is_dir():
+        # released reference .pth -> serve directly (dvc.py --load path)
+        from vidchapters_tpu.models.torch_import import (
+            convert_vid2seq_state_dict,
+            load_torch_checkpoint,
+        )
+
+        params = convert_vid2seq_state_dict(
+            load_torch_checkpoint(ckpt), gated=cfg.model.t5.is_gated_act)
+        print(f"imported torch checkpoint {ckpt}")
+    elif ckpt:
+        from vidchapters_tpu.runtime.checkpoint import CheckpointManager
+
+        mgr = CheckpointManager(ckpt)
+        name = "best" if mgr.has("best") else "last"
+        params = mgr.restore_params(name, params)
+        print(f"restored '{name}' from {ckpt}")
+    return params
+
+
+def main(args=None) -> None:
+    import argparse
 
     from vidchapters_tpu.config import load_config
     from vidchapters_tpu.data.tokenizer import build_tokenizer
@@ -333,7 +364,8 @@ def main(args=None) -> None:
     p = argparse.ArgumentParser(description="Chapter-generation server")
     p.add_argument("--config", required=True, help="ExperimentConfig json")
     p.add_argument("--ckpt", default=None,
-                   help="checkpoint dir (best/last); omit for random init")
+                   help="orbax checkpoint dir (best/last) or a reference "
+                        ".pth (torch_import); omit for random init")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8976)
     p.add_argument("--no-warmup", action="store_true")
@@ -350,19 +382,7 @@ def main(args=None) -> None:
                                 num_bins=cfg.model.num_bins)
     model = Vid2Seq(cfg.model)
     d = cfg.data
-    rng = jax.random.PRNGKey(0)
-    params = model.init(
-        {"params": rng, "dropout": rng},
-        jnp.zeros((1, d.max_feats, d.features_dim), jnp.float32),
-        jnp.ones((1, 8), jnp.int32), jnp.ones((1, 8), jnp.int32),
-        jnp.ones((1, 8), jnp.int32))["params"]
-    if a.ckpt:
-        from vidchapters_tpu.runtime.checkpoint import CheckpointManager
-
-        ckpt = CheckpointManager(a.ckpt)
-        name = "best" if ckpt.has("best") else "last"
-        params = ckpt.restore_params(name, params)
-        print(f"restored '{name}' from {a.ckpt}")
+    params = load_serving_params(cfg, model, a.ckpt)
 
     engine = ChapterGenerator(model, params, tokenizer, d, cfg.generation,
                               cfg.model.num_bins,
