@@ -134,3 +134,51 @@ def test_mega_transcriber_integration():
     t_mega = tr_mega._decode_window(mel, 0)
     assert t_std[0] == t_mega[0]  # identical tokens
     assert t_std[3] == t_mega[3] == 0.0
+
+
+def test_mega_beam_ancestry_matches_standard(setup):
+    """A beam loop with the production permutation rules — shared
+    per-example cross KV on the standard path, repeated-rows 'cross'
+    subtree SKIPPED by the ancestry gather on the mega path (it is
+    beam-invariant within an example) — picks identical tokens."""
+    cfg, model, params, enc = setup
+    K, b = 3, enc.shape[0]
+    rows = b * K
+    vocab = cfg.vocab_size
+
+    def beam_loop(fns, cache):
+        tokens = jnp.full((rows,), 5, jnp.int32)
+        sum_lp = jnp.concatenate(
+            [jnp.zeros((b, 1)), jnp.full((b, K - 1), -1e9)], axis=1)
+        picked = []
+        for i in range(6):
+            logits, cache = fns.step(tokens, cache, jnp.asarray(i), None)
+            logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+            flat = (sum_lp[..., None] + logp.reshape(b, K, vocab)
+                    ).reshape(b, K * vocab)
+            sum_lp, idx = jax.lax.top_k(flat, K)
+            parent = (jnp.arange(b)[:, None] * K
+                      + idx // vocab).reshape(-1)
+            tokens = (idx % vocab).reshape(-1).astype(jnp.int32)
+
+            def perm(x):
+                return (jnp.take(x, parent, axis=0)
+                        if x.ndim and x.shape[0] == rows else x)
+
+            if isinstance(cache, dict) and "cross" in cache:
+                cache = {k: (v if k == "cross"
+                             else jax.tree_util.tree_map(perm, v))
+                         for k, v in cache.items()}
+            else:
+                cache = jax.tree_util.tree_map(perm, cache)
+            picked.append(np.asarray(tokens))
+        return np.stack(picked)
+
+    ref = make_decode_fns(model, params, MAX_LEN)
+    std_tokens = beam_loop(ref, ref.init_cache(rows, enc))  # shared cross
+
+    mega = make_whisper_mega_fns(cfg, params, MAX_LEN, interpret=True,
+                                 quantize=False)
+    enc_rep = jnp.repeat(enc, K, axis=0)
+    mega_tokens = beam_loop(mega, mega.init_cache(rows, enc_rep))
+    np.testing.assert_array_equal(mega_tokens, std_tokens)

@@ -89,7 +89,10 @@ class JaxWhisperTranscriber:
         import jax
         import jax.numpy as jnp
 
-        from vidchapters_tpu.ops.decoding import make_decode_fns
+        from vidchapters_tpu.ops.decoding import (
+            _permute_rows,
+            make_decode_fns,
+        )
 
         if param_dtype is not None:
             # bf16 params halve the dominant cost of large-v2 decode: the
@@ -265,14 +268,22 @@ class JaxWhisperTranscriber:
                 parent = idx // vocab
                 tok = (idx % vocab).astype(jnp.int32)
                 flatsel = (jnp.arange(b)[:, None] * K + parent).reshape(-1)
-                # permute per-beam rows only; beam-invariant leaves (the
-                # shared per-example cross KV) are left untouched — a
-                # per-step gather of the full large-v2 cross cache would
-                # copy hundreds of MB for a semantic no-op
-                cache = jax.tree_util.tree_map(
-                    lambda x: (jnp.take(x, flatsel, axis=0)
-                               if x.ndim and x.shape[0] == b * K else x),
-                    cache)
+                # permute per-beam rows only; beam-invariant leaves are
+                # left untouched — the shared per-example cross KV on the
+                # standard path (rows b, caught by the shape guard) and
+                # the repeated-rows "cross" subtree on the megakernel path
+                # (identical within an example, so the gather would copy
+                # hundreds of MB for a semantic no-op)
+                def _perm(x):
+                    return (_permute_rows(x, flatsel)
+                            if x.ndim and x.shape[0] == b * K else x)
+
+                if isinstance(cache, dict) and "cross" in cache:
+                    cache = {k: (v if k == "cross"
+                                 else jax.tree_util.tree_map(_perm, v))
+                             for k, v in cache.items()}
+                else:
+                    cache = jax.tree_util.tree_map(_perm, cache)
                 seqbuf = jnp.take_along_axis(seqbuf, parent[..., None],
                                              axis=1)
                 pdone = jnp.take_along_axis(done, parent, axis=1)
