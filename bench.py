@@ -31,10 +31,15 @@ def main() -> None:
     from vidchapters_tpu.train.dvc_train import TrainState, make_train_step
     from vidchapters_tpu.train.schedules import build_optimizer
 
+    import os
+
     # bfloat16 compute; no block remat — the fused attention kernel's
     # in-kernel dropout keeps residuals O(L*d), so the full recipe fits v5e
-    # HBM without recompute (19.9 vs 19.0 videos/s remat'd, 12.8 chunked)
-    cfg = Vid2SeqConfig(t5=T5Config(remat=False))
+    # HBM without recompute (19.9 vs 19.0 videos/s remat'd, 12.8 chunked).
+    # SCAN_LAYERS=1: layer-stacked nn.scan T5 stacks (same math; collapses
+    # the param tree the optimizer/staging chews on + the compiled HLO)
+    cfg = Vid2SeqConfig(t5=T5Config(
+        remat=False, scan_layers=os.environ.get("SCAN_LAYERS", "0") == "1"))
     model = Vid2Seq(cfg)
 
     batch, feats = 8, cfg.vit.num_features
@@ -52,8 +57,6 @@ def main() -> None:
     params = model.init({"params": rng, "dropout": rng}, video,
                         input_tokens[:, :8], jnp.ones((batch, 8), jnp.int32),
                         output_tokens[:, :8])["params"]
-
-    import os
 
     # experiment knob: MU_DTYPE=bfloat16 stores the Adam first moment in
     # bf16 (halved mu read/write traffic); reference-recipe default f32

@@ -1,0 +1,234 @@
+"""Scanned (layer-stacked) T5 stacks vs the unrolled layout.
+
+``T5Config.scan_layers`` stores each stack's blocks as ONE nn.scan-lifted
+block with [n_layers, ...] params. Same math as the unrolled per-block
+layout — these tests pin forward/loss/grad/decode equality on identical
+weights, the megakernel weight-stacking equivalence, and the
+tensor-parallel spec shift for the leading layer axis.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vidchapters_tpu.config import T5Config
+from vidchapters_tpu.models.t5 import (
+    T5ForConditionalGeneration,
+    label_smoothed_cross_entropy,
+)
+from vidchapters_tpu.models.torch_import import scan_t5_params
+
+
+def tiny_cfg(**kw):
+    base = dict(vocab_size=64, d_model=16, d_kv=4, d_ff=32, num_layers=3,
+                num_decoder_layers=3, num_heads=4, dropout_rate=0.0,
+                encoder_dropout=0.0, decoder_dropout=0.0, dtype="float32",
+                remat=False)
+    base.update(kw)
+    return T5Config(**base)
+
+
+@pytest.fixture(scope="module")
+def models():
+    cfg_u = tiny_cfg()
+    cfg_s = dataclasses.replace(cfg_u, scan_layers=True)
+    m_u = T5ForConditionalGeneration(cfg_u)
+    m_s = T5ForConditionalGeneration(cfg_s)
+    rng = jax.random.PRNGKey(0)
+    batch = {
+        "input_ids": jax.random.randint(rng, (2, 9), 1, 64),
+        "attention_mask": jnp.asarray([[1] * 9, [1] * 6 + [0] * 3], jnp.int32),
+        "decoder_input_ids": jax.random.randint(rng, (2, 5), 1, 64),
+        "decoder_attention_mask": jnp.ones((2, 5), jnp.int32),
+    }
+    p_u = m_u.init({"params": rng, "dropout": rng}, **batch)["params"]
+    p_s = jax.tree.map(jnp.asarray, scan_t5_params(
+        jax.tree.map(np.asarray, p_u)))
+    return m_u, m_s, p_u, p_s, batch
+
+
+def test_param_tree_shapes(models):
+    m_u, m_s, p_u, p_s, batch = models
+    # scanned tree must initialize with the exact converted structure
+    rng = jax.random.PRNGKey(1)
+    init_s = m_s.init({"params": rng, "dropout": rng}, **batch)["params"]
+    ref = jax.tree_util.tree_map(lambda a: jnp.asarray(a).shape, p_s)
+    got = jax.tree_util.tree_map(lambda a: a.shape, init_s)
+    assert ref == got
+    assert p_s["encoder"]["blocks"]["self_attn"]["q"]["kernel"].shape == (3, 16, 16)
+    # leaf count collapses (the optimizer-tail motivation)
+    assert (len(jax.tree_util.tree_leaves(p_s))
+            < len(jax.tree_util.tree_leaves(p_u)) / 2)
+
+
+def test_forward_matches_unrolled(models):
+    m_u, m_s, p_u, p_s, batch = models
+    out_u = m_u.apply({"params": p_u}, **batch, deterministic=True)
+    out_s = m_s.apply({"params": p_s}, **batch, deterministic=True)
+    np.testing.assert_allclose(np.asarray(out_s), np.asarray(out_u),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_grads_match_unrolled(models):
+    m_u, m_s, p_u, p_s, batch = models
+    labels = jnp.where(batch["decoder_attention_mask"] == 1,
+                       batch["decoder_input_ids"], -100)
+
+    def loss(model, params):
+        logits = model.apply({"params": params}, **batch, deterministic=True)
+        return label_smoothed_cross_entropy(logits, labels, 0.1)
+
+    l_u, g_u = jax.value_and_grad(lambda p: loss(m_u, p))(p_u)
+    l_s, g_s = jax.value_and_grad(lambda p: loss(m_s, p))(p_s)
+    np.testing.assert_allclose(float(l_s), float(l_u), rtol=1e-6)
+    g_u_stacked = scan_t5_params(jax.tree.map(np.asarray, g_u))
+    # criterion calibrated against a float64 oracle: BOTH layouts deviate
+    # from the f64 grads by ~5e-4 max-abs on this fixture (f32 accumulation
+    # order) and from each other by less — i.e. scan reorders the f32 sums,
+    # it does not change the math. Near-zero elements make element-wise
+    # rtol meaningless, so bound the error relative to the leaf's scale.
+    def close(path, a, b):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(np.abs(b).max(), 1e-3)
+        err = np.abs(a - b).max()
+        assert err <= 1e-3 * scale, (path, err, scale)
+
+    jax.tree_util.tree_map_with_path(
+        close, g_s, jax.tree.map(jnp.asarray, g_u_stacked))
+
+
+def test_remat_dropout_path_runs_and_matches_no_remat_loss(models):
+    m_u, m_s, p_u, p_s, batch = models
+    cfg_r = dataclasses.replace(m_s.cfg, remat=True, dropout_rate=0.1,
+                                encoder_dropout=0.1, decoder_dropout=0.1)
+    m_r = T5ForConditionalGeneration(cfg_r)
+    rng = jax.random.PRNGKey(3)
+    out = m_r.apply({"params": p_s}, **batch, deterministic=False,
+                    rngs={"dropout": rng})
+    assert np.isfinite(np.asarray(out)).all()
+    # grads through remat+scan+dropout are finite
+    labels = jnp.where(batch["decoder_attention_mask"] == 1,
+                       batch["decoder_input_ids"], -100)
+
+    def loss(p):
+        logits = m_r.apply({"params": p}, **batch, deterministic=False,
+                           rngs={"dropout": rng})
+        return label_smoothed_cross_entropy(logits, labels, 0.1)
+
+    g = jax.grad(loss)(p_s)
+    assert all(np.isfinite(np.asarray(x)).all()
+               for x in jax.tree_util.tree_leaves(g))
+
+
+def test_greedy_and_beam_decode_match_unrolled(models):
+    from vidchapters_tpu.ops.decoding import (
+        beam_search,
+        greedy_decode,
+        make_decode_fns,
+    )
+
+    m_u, m_s, p_u, p_s, batch = models
+    enc_mask = batch["attention_mask"]
+    enc_u = m_u.apply({"params": p_u}, input_ids=batch["input_ids"],
+                      attention_mask=enc_mask, method=m_u.encode)
+    enc_s = m_s.apply({"params": p_s}, input_ids=batch["input_ids"],
+                      attention_mask=enc_mask, method=m_s.encode)
+    np.testing.assert_allclose(np.asarray(enc_s), np.asarray(enc_u),
+                               rtol=2e-5, atol=2e-5)
+    fns_u = make_decode_fns(m_u, p_u, 8)
+    fns_s = make_decode_fns(m_s, p_s, 8)
+    g_u = greedy_decode(fns_u, enc_u, enc_mask, 8)
+    g_s = greedy_decode(fns_s, enc_u, enc_mask, 8)
+    np.testing.assert_array_equal(np.asarray(g_s), np.asarray(g_u))
+    b_u = beam_search(fns_u, enc_u, enc_mask, 8, num_beams=4)
+    b_s = beam_search(fns_s, enc_u, enc_mask, 8, num_beams=4)
+    np.testing.assert_array_equal(np.asarray(b_s), np.asarray(b_u))
+
+
+def test_megakernel_weight_stacking_matches(models):
+    from vidchapters_tpu.ops.decode_megakernel import stack_decoder_weights
+
+    m_u, m_s, p_u, p_s, batch = models
+    w_u = stack_decoder_weights(p_u, m_u.cfg)
+    w_s = stack_decoder_weights(p_s, m_s.cfg)
+    assert set(w_u) == set(w_s)
+    for k in w_u:
+        np.testing.assert_allclose(np.asarray(w_s[k]), np.asarray(w_u[k]),
+                                   rtol=0, atol=0, err_msg=k)
+
+
+def test_vid2seq_train_step_and_generate_scanned(models):
+    """End-to-end: the Vid2Seq train step and jit'd generation run under
+    scan_layers, and the dropout-free loss matches the unrolled layout."""
+    import optax
+
+    from vidchapters_tpu.config import (
+        GenerationConfig,
+        TemporalViTConfig,
+        Vid2SeqConfig,
+    )
+    from vidchapters_tpu.models.vid2seq import Vid2Seq
+    from vidchapters_tpu.train.dvc_train import (
+        TrainState,
+        make_generate_fn,
+        make_train_step,
+    )
+
+    vit = TemporalViTConfig(embed_dim=16, depth=2, num_heads=4, mlp_dim=32,
+                            num_features=6, drop_rate=0.0, dtype="float32")
+    t5_u = tiny_cfg(vocab_size=120)
+    mk = lambda t5: Vid2SeqConfig(t5=t5, vit=vit, num_bins=10)
+    cfg_u, cfg_s = mk(t5_u), mk(dataclasses.replace(t5_u, scan_layers=True))
+    m_u, m_s = Vid2Seq(cfg_u), Vid2Seq(cfg_s)
+    rng = jax.random.PRNGKey(0)
+    batch = {
+        "video": jax.random.normal(rng, (2, 6, 16)),
+        "input_tokens": jax.random.randint(rng, (2, 7), 1, 110),
+        "output_tokens": jax.random.randint(rng, (2, 5), 1, 110),
+        "denoising_input_tokens": jax.random.randint(rng, (2, 7), 1, 110),
+        "denoising_output_tokens": jax.random.randint(rng, (2, 5), 1, 110),
+    }
+    p_u = m_u.init({"params": rng, "dropout": rng}, batch["video"],
+                   batch["input_tokens"],
+                   jnp.ones_like(batch["input_tokens"]),
+                   batch["output_tokens"])["params"]
+    p_s = dict(p_u)
+    p_s["t5"] = jax.tree.map(
+        jnp.asarray, scan_t5_params(jax.tree.map(np.asarray, p_u["t5"])))
+    tx = optax.adam(1e-3)
+    metrics = {}
+    for name, model, params in (("u", m_u, p_u), ("s", m_s, p_s)):
+        step = make_train_step(model, tx)
+        state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+        state, m = jax.jit(step)(state, batch, rng)
+        assert np.isfinite(float(m["total_loss"]))
+        metrics[name] = float(m["total_loss"])
+    np.testing.assert_allclose(metrics["s"], metrics["u"], rtol=1e-5)
+
+    gen = GenerationConfig(num_beams=2, max_length=6)
+    out_u = make_generate_fn(m_u, gen)(p_u, batch["video"],
+                                       batch["input_tokens"],
+                                       jax.random.PRNGKey(1))
+    out_s = make_generate_fn(m_s, gen)(p_s, batch["video"],
+                                       batch["input_tokens"],
+                                       jax.random.PRNGKey(1))
+    np.testing.assert_array_equal(np.asarray(out_s), np.asarray(out_u))
+
+
+def test_tensor_parallel_specs_shift_for_layer_axis(models):
+    from jax.sharding import PartitionSpec as P
+
+    from vidchapters_tpu.parallel.sharding import infer_param_specs
+
+    _, m_s, _, p_s, _ = models
+    specs = infer_param_specs({"t5": p_s}, model_parallel=True)
+    t5 = specs["t5"]
+    assert (t5["encoder"]["blocks"]["self_attn"]["q"]["kernel"]
+            == P(None, None, "model"))
+    assert (t5["decoder"]["blocks"]["ff"]["wo"]["kernel"]
+            == P(None, "model", None))
+    assert t5["encoder"]["blocks"]["self_attn_norm"]["weight"] == P()
+    assert t5["shared"]["embedding"] == P("model", None)

@@ -136,6 +136,13 @@ class T5Config:
     # recipe (bs8 / seq 1000) on 16 GB v5e thanks to the fused attention
     # kernel's O(L*d) residuals
     remat: Optional[bool] = None
+    # store each stack's blocks as ONE scanned block with layer-stacked
+    # [L, ...] params (flax nn.scan). Same math; collapses the optimizer /
+    # grad pytree from ~250 per-layer leaves to ~20 stacked ones (XLA
+    # memory-space staging around the big tree was ~8 ms/step in the
+    # round-2 profile) and shrinks the unrolled 24-block HLO the remote
+    # TPU compiler chews on for 25-40 min
+    scan_layers: bool = False
 
     @property
     def is_gated_act(self) -> bool:

@@ -115,6 +115,10 @@ def main(args=None) -> list:
         )
 
         params = convert_vid2seq_state_dict(load_torch_checkpoint(args.ckpt_path))
+        if cfg.t5.scan_layers:
+            from vidchapters_tpu.models.torch_import import scan_t5_params
+
+            params["t5"] = scan_t5_params(params["t5"])
     else:
         print("WARNING: no checkpoint given; using random weights")
         params = model.init({"params": jax.random.PRNGKey(0),

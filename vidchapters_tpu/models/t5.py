@@ -511,7 +511,16 @@ class T5Stack(nn.Module):
     def setup(self):
         cfg = self.cfg
         n = cfg.num_decoder_layers if self.is_decoder else cfg.num_layers
-        self.blocks = [T5Block(cfg, self.is_decoder, name=f"block_{i}") for i in range(n)]
+        self.n_layers = n
+        if cfg.scan_layers:
+            # ONE block whose params carry a leading [n] layer axis; every
+            # method lifts it with nn.scan (function form shares the params
+            # across __call__ / init_cache / decode_step)
+            self.block = T5Block(cfg, self.is_decoder, name="blocks")
+            self.blocks = ()
+        else:
+            self.blocks = [T5Block(cfg, self.is_decoder, name=f"block_{i}")
+                           for i in range(n)]
         self.final_norm = RMSNorm(cfg.d_model, cfg.layer_norm_epsilon, _dtype(cfg),
                                   name="final_norm")
         self.rel_bias = RelativePositionBias(cfg, bidirectional=not self.is_decoder,
@@ -560,15 +569,30 @@ class T5Stack(nn.Module):
 
         remat = (self.cfg.remat if getattr(self.cfg, "remat", None) is not None
                  else REMAT_BLOCKS)
-        if not deterministic and remat:
-            # remat each block to fit long-seq training on small-HBM chips;
-            # the policy saves MXU outputs and recomputes only cheap
-            # elementwise work, cutting the recompute tax of plain remat
-            body = nn.checkpoint(body, policy=REMAT_POLICY)
-        for blk in self.blocks:
-            x = _sp_constrain(
-                body(blk, x, self_bias, attention_mask, enc_out, enc_mask),
-                self.is_decoder)
+        # remat each block to fit long-seq training on small-HBM chips;
+        # the policy saves MXU outputs and recomputes only cheap
+        # elementwise work, cutting the recompute tax of plain remat
+        use_remat = not deterministic and remat
+        if self.cfg.scan_layers:
+            def scan_body(blk, h):
+                h = _sp_constrain(
+                    body(blk, h, self_bias, attention_mask, enc_out, enc_mask),
+                    self.is_decoder)
+                return h, None
+
+            if use_remat:
+                scan_body = nn.remat(scan_body, policy=REMAT_POLICY)
+            x, _ = nn.scan(
+                scan_body, variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+                length=self.n_layers)(self.block, x)
+        else:
+            if use_remat:
+                body = nn.checkpoint(body, policy=REMAT_POLICY)
+            for blk in self.blocks:
+                x = _sp_constrain(
+                    body(blk, x, self_bias, attention_mask, enc_out, enc_mask),
+                    self.is_decoder)
         x = self.final_norm(x)
         x = _apply_dropout(self, x, rate, deterministic)
         return x[:, :l_orig] if l != l_orig else x
@@ -578,6 +602,27 @@ class T5Stack(nn.Module):
     def init_cache(self, batch: int, max_len: int, enc_out: Array) -> Dict[str, Any]:
         cfg = self.cfg
         dt = _dtype(cfg)
+        if cfg.scan_layers:
+            # layer axis lives at axis 1 so the beam-reorder gather
+            # (axis 0 == rows) works unchanged on the stacked leaves;
+            # cross KV keeps enc_out's per-EXAMPLE batch (beam search
+            # shares it across beams via the grouped attention path)
+            def kv_body(blk, carry):
+                return carry, blk.cross_attn.precompute_kv(enc_out.astype(dt))
+
+            _, cross = nn.scan(
+                kv_body, variable_axes={"params": 0},
+                split_rngs={"params": True}, out_axes=1,
+                length=self.n_layers)(self.block, jnp.zeros((), jnp.float32))
+            return {
+                "self": {
+                    "k": jnp.zeros((batch, self.n_layers, cfg.num_heads,
+                                    max_len, cfg.d_kv), dt),
+                    "v": jnp.zeros((batch, self.n_layers, cfg.num_heads,
+                                    max_len, cfg.d_kv), dt),
+                },
+                "cross": cross,
+            }
         cache: Dict[str, Any] = {}
         for i, blk in enumerate(self.blocks):
             cache[f"block_{i}"] = {
@@ -600,6 +645,22 @@ class T5Stack(nn.Module):
         pos = jnp.arange(max_len)[None, None, None, :]
         valid = pos <= cache_index
         self_bias = jnp.where(valid, bias_full, NEG_INF)
+        if self.cfg.scan_layers:
+            # scan over the layer axis (axis 1 of every cache leaf); only
+            # the self KV is emitted per layer — the pass-through cross KV
+            # would otherwise be re-stacked (copied) every decode step
+            def step_body(blk, h, layer_cache):
+                h, c = blk(h, self_bias, None, None, 0.0, True,
+                           cache=layer_cache, cache_index=cache_index,
+                           cross_key_mask=enc_mask)
+                return h, c["self"]
+
+            x, new_self = nn.scan(
+                step_body, variable_axes={"params": 0},
+                split_rngs={"params": True}, in_axes=1, out_axes=1,
+                length=self.n_layers)(self.block, x, cache)
+            x = self.final_norm(x)
+            return x, {"self": new_self, "cross": cache["cross"]}
         new_cache: Dict[str, Any] = {}
         for i, blk in enumerate(self.blocks):
             # cross-attention uses cached KV + the encoder key mask (the mask

@@ -118,6 +118,31 @@ def convert_vid2seq_state_dict(sd: Mapping[str, np.ndarray],
     return out
 
 
+def _stack_trees(trees):
+    if isinstance(trees[0], dict):
+        return {k: _stack_trees([t[k] for t in trees]) for k in trees[0]}
+    return np.stack([np.asarray(t) for t in trees])
+
+
+def stack_scanned_layers(stack_params: Params) -> Params:
+    """``block_{i}`` children -> one ``blocks`` subtree with a leading
+    [n_layers] axis (the ``T5Config.scan_layers`` param layout)."""
+    n = 0
+    while f"block_{n}" in stack_params:
+        n += 1
+    out = {k: v for k, v in stack_params.items() if not k.startswith("block_")}
+    out["blocks"] = _stack_trees([stack_params[f"block_{i}"] for i in range(n)])
+    return out
+
+
+def scan_t5_params(t5_params: Params) -> Params:
+    """Unrolled T5 param tree -> scanned layout (both stacks)."""
+    out = dict(t5_params)
+    for stack in ("encoder", "decoder"):
+        out[stack] = stack_scanned_layers(t5_params[stack])
+    return out
+
+
 def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
     """Load a reference ``.pth`` checkpoint into numpy (CPU torch required)."""
     import torch

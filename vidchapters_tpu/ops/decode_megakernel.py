@@ -541,6 +541,38 @@ def stack_decoder_weights(t5_params: Dict[str, Any], cfg,
     dec = t5_params["decoder"]
     n = cfg.num_decoder_layers
 
+    if "blocks" in dec:
+        # scanned layout (T5Config.scan_layers): params already carry the
+        # leading [N] layer axis this kernel streams — no restacking
+        blk = dec["blocks"]
+
+        def gs(*path):
+            node = blk
+            for p in path:
+                node = node[p]
+            return jnp.asarray(node)
+
+        return {
+            "ln": jnp.stack([gs("self_attn_norm", "weight"),
+                             gs("cross_attn_norm", "weight"),
+                             gs("ff_norm", "weight")],
+                            axis=1).astype(jnp.float32),   # [N, 3, d]
+            "wqkv": jnp.concatenate(
+                [gs("self_attn", "q", "kernel"),
+                 gs("self_attn", "k", "kernel"),
+                 gs("self_attn", "v", "kernel")],
+                axis=2).astype(cdt),                        # [N, d, 3*inner]
+            "wo_self": gs("self_attn", "o", "kernel").astype(cdt),
+            "wq_cross": gs("cross_attn", "q", "kernel").astype(cdt),
+            "wo_cross": gs("cross_attn", "o", "kernel").astype(cdt),
+            "wi": gs("ff", "wi", "kernel").astype(cdt),
+            "wo_ff": gs("ff", "wo", "kernel").astype(cdt),
+            "final_ln": jnp.asarray(
+                dec["final_norm"]["weight"])[None].astype(jnp.float32),
+            "wk_cross": gs("cross_attn", "k", "kernel").astype(cdt),
+            "wv_cross": gs("cross_attn", "v", "kernel").astype(cdt),
+        }
+
     def g(i, *path):
         node = dec[f"block_{i}"]
         for p in path:

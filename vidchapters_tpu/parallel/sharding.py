@@ -50,6 +50,11 @@ def _spec_for(path: str, ndim: int, model_parallel: bool) -> P:
     if model_parallel:
         for pattern, spec in _RULES:
             if re.fullmatch(pattern, path):
+                if "/blocks/" in path:
+                    # scanned stacks (T5Config.scan_layers): leaves carry a
+                    # leading [n_layers] axis — shift the rule right and
+                    # replicate the layer axis
+                    spec = P(*((None,) + tuple(spec)))
                 if len([s for s in spec]) <= ndim:
                     return spec
     return P()  # replicated
