@@ -38,8 +38,14 @@ def main() -> None:
     # HBM without recompute (19.9 vs 19.0 videos/s remat'd, 12.8 chunked).
     # SCAN_LAYERS=1: layer-stacked nn.scan T5 stacks (same math; collapses
     # the param tree the optimizer/staging chews on + the compiled HLO)
-    cfg = Vid2SeqConfig(t5=T5Config(
-        remat=False, scan_layers=os.environ.get("SCAN_LAYERS", "0") == "1"))
+    from vidchapters_tpu.config import TemporalViTConfig
+
+    # SCAN_LAYERS=1 implies remat: without it the scanned stacks save every
+    # per-layer residual as one monolithic [12, ...] buffer and the encoder
+    # program OOMs HBM (measured 17.98 of 15.75 GB, 9.8 GB fragmentation)
+    scan = os.environ.get("SCAN_LAYERS", "0") == "1"
+    cfg = Vid2SeqConfig(t5=T5Config(remat=scan, scan_layers=scan),
+                        vit=TemporalViTConfig(scan_layers=scan))
     model = Vid2Seq(cfg)
 
     batch, feats = 8, cfg.vit.num_features

@@ -160,6 +160,30 @@ def test_megakernel_weight_stacking_matches(models):
                                    rtol=0, atol=0, err_msg=k)
 
 
+def test_vit_scan_matches_unrolled():
+    from vidchapters_tpu.config import TemporalViTConfig
+    from vidchapters_tpu.models.torch_import import stack_scanned_layers
+    from vidchapters_tpu.models.vit import TemporalViT
+
+    mk = lambda s: TemporalViTConfig(embed_dim=16, depth=3, num_heads=4,
+                                     mlp_dim=32, num_features=6,
+                                     dtype="float32", scan_layers=s)
+    m_u, m_s = TemporalViT(mk(False)), TemporalViT(mk(True))
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (2, 6, 16))
+    p_u = m_u.init({"params": rng, "dropout": rng}, x)["params"]
+    p_s = jax.tree.map(jnp.asarray, stack_scanned_layers(
+        jax.tree.map(np.asarray, p_u)))
+    # scanned init shape-matches the converted tree
+    init_s = m_s.init({"params": rng, "dropout": rng}, x)["params"]
+    assert (jax.tree_util.tree_map(lambda a: jnp.asarray(a).shape, p_s)
+            == jax.tree_util.tree_map(lambda a: a.shape, init_s))
+    out_u = m_u.apply({"params": p_u}, x, deterministic=True)
+    out_s = m_s.apply({"params": p_s}, x, deterministic=True)
+    np.testing.assert_allclose(np.asarray(out_s), np.asarray(out_u),
+                               rtol=2e-5, atol=2e-5)
+
+
 def test_vid2seq_train_step_and_generate_scanned(models):
     """End-to-end: the Vid2Seq train step and jit'd generation run under
     scan_layers, and the dropout-free loss matches the unrolled layout."""
@@ -177,11 +201,13 @@ def test_vid2seq_train_step_and_generate_scanned(models):
         make_train_step,
     )
 
-    vit = TemporalViTConfig(embed_dim=16, depth=2, num_heads=4, mlp_dim=32,
-                            num_features=6, drop_rate=0.0, dtype="float32")
+    mk_vit = lambda s: TemporalViTConfig(
+        embed_dim=16, depth=2, num_heads=4, mlp_dim=32, num_features=6,
+        drop_rate=0.0, dtype="float32", scan_layers=s)
     t5_u = tiny_cfg(vocab_size=120)
-    mk = lambda t5: Vid2SeqConfig(t5=t5, vit=vit, num_bins=10)
-    cfg_u, cfg_s = mk(t5_u), mk(dataclasses.replace(t5_u, scan_layers=True))
+    cfg_u = Vid2SeqConfig(t5=t5_u, vit=mk_vit(False), num_bins=10)
+    cfg_s = Vid2SeqConfig(t5=dataclasses.replace(t5_u, scan_layers=True),
+                          vit=mk_vit(True), num_bins=10)
     m_u, m_s = Vid2Seq(cfg_u), Vid2Seq(cfg_s)
     rng = jax.random.PRNGKey(0)
     batch = {
@@ -195,9 +221,10 @@ def test_vid2seq_train_step_and_generate_scanned(models):
                    batch["input_tokens"],
                    jnp.ones_like(batch["input_tokens"]),
                    batch["output_tokens"])["params"]
-    p_s = dict(p_u)
-    p_s["t5"] = jax.tree.map(
-        jnp.asarray, scan_t5_params(jax.tree.map(np.asarray, p_u["t5"])))
+    from vidchapters_tpu.models.torch_import import scan_vid2seq_params
+
+    p_s = jax.tree.map(jnp.asarray, scan_vid2seq_params(
+        jax.tree.map(np.asarray, p_u)))
     tx = optax.adam(1e-3)
     metrics = {}
     for name, model, params in (("u", m_u, p_u), ("s", m_s, p_s)):

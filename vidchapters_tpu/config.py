@@ -167,6 +167,9 @@ class TemporalViTConfig:
     drop_rate: float = 0.0
     attn_drop_rate: float = 0.0
     dtype: str = "bfloat16"
+    # layer-stacked nn.scan blocks ([depth, ...] params) — see
+    # T5Config.scan_layers
+    scan_layers: bool = False
 
 
 @dataclass(frozen=True)

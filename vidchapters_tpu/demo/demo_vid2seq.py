@@ -115,10 +115,11 @@ def main(args=None) -> list:
         )
 
         params = convert_vid2seq_state_dict(load_torch_checkpoint(args.ckpt_path))
-        if cfg.t5.scan_layers:
-            from vidchapters_tpu.models.torch_import import scan_t5_params
+        if cfg.t5.scan_layers or cfg.vit.scan_layers:
+            from vidchapters_tpu.models.torch_import import scan_vid2seq_params
 
-            params["t5"] = scan_t5_params(params["t5"])
+            params = scan_vid2seq_params(
+                params, t5=cfg.t5.scan_layers, vit=cfg.vit.scan_layers)
     else:
         print("WARNING: no checkpoint given; using random weights")
         params = model.init({"params": jax.random.PRNGKey(0),

@@ -143,6 +143,18 @@ def scan_t5_params(t5_params: Params) -> Params:
     return out
 
 
+def scan_vid2seq_params(params: Params, t5: bool = True,
+                        vit: bool = True) -> Params:
+    """Unrolled Vid2Seq param tree -> the scan_layers layouts requested by
+    ``T5Config.scan_layers`` / ``TemporalViTConfig.scan_layers``."""
+    out = dict(params)
+    if t5:
+        out["t5"] = scan_t5_params(params["t5"])
+    if vit and "visual_encoder" in params:
+        out["visual_encoder"] = stack_scanned_layers(params["visual_encoder"])
+    return out
+
+
 def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
     """Load a reference ``.pth`` checkpoint into numpy (CPU torch required)."""
     import torch

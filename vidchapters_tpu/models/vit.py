@@ -78,6 +78,16 @@ class TemporalViT(nn.Module):
             pos_t = pos
         x = x + pos_t.astype(dt)
         x = nn.Dropout(cfg.drop_rate, deterministic=deterministic)(x)
-        for i in range(cfg.depth):
-            x = ViTBlock(cfg, name=f"block_{i}")(x, deterministic)
+        if cfg.scan_layers:
+            # layer-stacked [depth, ...] params (see T5Config.scan_layers)
+            def body(blk, h):
+                return blk(h, deterministic), None
+
+            x, _ = nn.scan(
+                body, variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+                length=cfg.depth)(ViTBlock(cfg, name="blocks"), x)
+        else:
+            for i in range(cfg.depth):
+                x = ViTBlock(cfg, name=f"block_{i}")(x, deterministic)
         return nn.LayerNorm(epsilon=1e-5, dtype=dt, name="norm")(x)

@@ -343,10 +343,12 @@ def load_serving_params(cfg, model, ckpt: Optional[str]):
 
         params = convert_vid2seq_state_dict(
             load_torch_checkpoint(ckpt), gated=cfg.model.t5.is_gated_act)
-        if cfg.model.t5.scan_layers:
-            from vidchapters_tpu.models.torch_import import scan_t5_params
+        if cfg.model.t5.scan_layers or cfg.model.vit.scan_layers:
+            from vidchapters_tpu.models.torch_import import scan_vid2seq_params
 
-            params["t5"] = scan_t5_params(params["t5"])
+            params = scan_vid2seq_params(
+                params, t5=cfg.model.t5.scan_layers,
+                vit=cfg.model.vit.scan_layers)
         print(f"imported torch checkpoint {ckpt}")
     elif ckpt:
         from vidchapters_tpu.runtime.checkpoint import CheckpointManager

@@ -105,10 +105,12 @@ def main(cfg: ExperimentConfig,
         print(f"loading torch checkpoint from {load}")
         init_params = convert_vid2seq_state_dict(
             load_torch_checkpoint(load), gated=cfg.model.t5.is_gated_act)
-        if cfg.model.t5.scan_layers:
-            from vidchapters_tpu.models.torch_import import scan_t5_params
+        if cfg.model.t5.scan_layers or cfg.model.vit.scan_layers:
+            from vidchapters_tpu.models.torch_import import scan_vid2seq_params
 
-            init_params["t5"] = scan_t5_params(init_params["t5"])
+            init_params = scan_vid2seq_params(
+                init_params, t5=cfg.model.t5.scan_layers,
+                vit=cfg.model.vit.scan_layers)
     if init_params is None:
         init_params = model.init(
             {"params": rng, "dropout": rng}, dummy_video, dummy_inp,
