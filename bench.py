@@ -40,12 +40,16 @@ def main() -> None:
     # the param tree the optimizer/staging chews on + the compiled HLO)
     from vidchapters_tpu.config import TemporalViTConfig
 
-    # SCAN_LAYERS=1 implies remat: without it the scanned stacks save every
-    # per-layer residual as one monolithic [12, ...] buffer and the encoder
-    # program OOMs HBM (measured 17.98 of 15.75 GB, 9.8 GB fragmentation)
-    scan = os.environ.get("SCAN_LAYERS", "0") == "1"
-    cfg = Vid2SeqConfig(t5=T5Config(remat=scan, scan_layers=scan),
-                        vit=TemporalViTConfig(scan_layers=scan))
+    # SCAN_LAYERS: "1" scans both T5 stacks + ViT and implies remat —
+    # without it the scanned L=1024 encoder saves every per-layer residual
+    # as one monolithic [12, ...] buffer and OOMs HBM (17.98 of 15.75 GB,
+    # 9.8 GB fragmentation); measured 32.9 videos/s (remat tax > tail win).
+    # "decoder" scans only the short decoder stack + ViT, no remat.
+    scan_env = os.environ.get("SCAN_LAYERS", "0")
+    t5_scan: object = {"0": False, "1": True}.get(scan_env, scan_env)
+    cfg = Vid2SeqConfig(
+        t5=T5Config(remat=t5_scan is True, scan_layers=t5_scan),
+        vit=TemporalViTConfig(scan_layers=t5_scan is not False))
     model = Vid2Seq(cfg)
 
     batch, feats = 8, cfg.vit.num_features

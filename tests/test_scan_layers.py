@@ -160,6 +160,25 @@ def test_megakernel_weight_stacking_matches(models):
                                    rtol=0, atol=0, err_msg=k)
 
 
+def test_decoder_only_scan_matches_unrolled(models):
+    """Per-stack granularity: scan_layers="decoder" scans only the decoder
+    (the throughput recipe — the L=1024 encoder stays unrolled/non-remat)."""
+    m_u, _, p_u, _, batch = models
+    cfg_d = dataclasses.replace(m_u.cfg, scan_layers="decoder")
+    m_d = T5ForConditionalGeneration(cfg_d)
+    p_d = dict(p_u)
+    p_d["decoder"] = jax.tree.map(jnp.asarray, __import__(
+        "vidchapters_tpu.models.torch_import", fromlist=["x"]
+    ).stack_scanned_layers(jax.tree.map(np.asarray, p_u["decoder"])))
+    rng = jax.random.PRNGKey(2)
+    init_d = m_d.init({"params": rng, "dropout": rng}, **batch)["params"]
+    assert "blocks" in init_d["decoder"] and "block_0" in init_d["encoder"]
+    out_u = m_u.apply({"params": p_u}, **batch, deterministic=True)
+    out_d = m_d.apply({"params": p_d}, **batch, deterministic=True)
+    np.testing.assert_allclose(np.asarray(out_d), np.asarray(out_u),
+                               rtol=2e-5, atol=2e-5)
+
+
 def test_vit_scan_matches_unrolled():
     from vidchapters_tpu.config import TemporalViTConfig
     from vidchapters_tpu.models.torch_import import stack_scanned_layers
@@ -243,6 +262,108 @@ def test_vid2seq_train_step_and_generate_scanned(models):
                                        batch["input_tokens"],
                                        jax.random.PRNGKey(1))
     np.testing.assert_array_equal(np.asarray(out_s), np.asarray(out_u))
+
+
+@pytest.mark.slow
+def test_mp4_train_step_matches_unsharded_scanned():
+    """Tensor parallelism at mp=4 with scanned stacks: the shifted specs
+    (layer axis replicated, Megatron axes moved right) must keep the
+    sharded train step loss-exact vs unsharded (test_tensor_parallel.py
+    pins the unrolled layout; this pins scan_layers)."""
+    import optax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from vidchapters_tpu.config import (
+        OptimConfig,
+        TemporalViTConfig,
+        Vid2SeqConfig,
+    )
+    from vidchapters_tpu.models.vid2seq import Vid2Seq
+    from vidchapters_tpu.parallel.sharding import infer_param_specs
+    from vidchapters_tpu.train.dvc_train import TrainState, make_train_step
+    from vidchapters_tpu.train.schedules import build_optimizer
+
+    if jax.device_count() < 8:
+        pytest.skip("needs the virtual 8-device mesh")
+    t5 = T5Config(vocab_size=256, d_model=64, d_kv=16, d_ff=128,
+                  num_layers=2, num_decoder_layers=2, num_heads=4,
+                  dropout_rate=0.0, encoder_dropout=0.0,
+                  decoder_dropout=0.0, dtype="float32", scan_layers=True)
+    vit = TemporalViTConfig(num_features=8, embed_dim=64, depth=2,
+                            num_heads=4, mlp_dim=128, dtype="float32",
+                            scan_layers=True)
+    model = Vid2Seq(Vid2SeqConfig(t5=t5, vit=vit))
+    rng = jax.random.PRNGKey(0)
+    b, src, tgt = 4, 24, 12
+    np_rng = np.random.default_rng(0)
+    video = jnp.asarray(np_rng.normal(size=(b, 8, 64)), jnp.float32)
+    inp = jnp.asarray(np_rng.integers(2, 200, (b, src)), jnp.int32)
+    out = jnp.asarray(np_rng.integers(2, 200, (b, tgt)), jnp.int32)
+    params = model.init({"params": rng, "dropout": rng}, video, inp,
+                        jnp.ones_like(inp), out)["params"]
+    tx = build_optimizer(OptimConfig(), 100)
+    train_step = make_train_step(model, tx)
+    batch = {"video": video, "input_tokens": inp, "output_tokens": out,
+             "denoising_input_tokens": inp, "denoising_output_tokens": out}
+    key = jax.random.PRNGKey(1)
+
+    state = TrainState(params, tx.init(params), jnp.array(0))
+    _, ref_metrics = jax.jit(train_step)(state, batch, key)
+    ref_loss = float(ref_metrics["total_loss"])
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(2, 4),
+                ("data", "model"))
+    specs = infer_param_specs(params, model_parallel=True)
+    shardings = jax.tree_util.tree_map(
+        lambda s: NamedSharding(mesh, s), specs)
+    params_s = jax.tree_util.tree_map(jax.device_put, params, shardings)
+    data = NamedSharding(mesh, P("data"))
+    batch_s = {k: jax.device_put(v, data) for k, v in batch.items()}
+    state_s = TrainState(params_s, tx.init(params_s), jnp.array(0))
+    with mesh:
+        _, metrics = jax.jit(train_step)(state_s, batch_s, key)
+        loss = float(metrics["total_loss"])
+    assert loss == pytest.approx(ref_loss, rel=1e-5), (loss, ref_loss)
+
+
+def test_sequence_parallel_constraint_and_exactness_scanned():
+    """Encoder SP under scan_layers: the sharding constraint sits inside
+    the scan body (non-vacuity via jaxpr), and the constrained program
+    reproduces the unconstrained encoder output on the (4,2) mesh."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    import vidchapters_tpu.models.t5 as t5mod
+    from vidchapters_tpu.models.t5 import T5Stack
+
+    if jax.device_count() < 8:
+        pytest.skip("needs the virtual 8-device mesh")
+    cfg = tiny_cfg(scan_layers=True, d_model=32, num_heads=4, d_kv=8)
+    enc = T5Stack(cfg, is_decoder=False)
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (4, 24, 32))
+    mask = jnp.ones((4, 24), jnp.int32)
+    params = enc.init({"params": rng}, x, mask, deterministic=True)["params"]
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(4, 2),
+                ("data", "model"))
+    try:
+        t5mod.SEQUENCE_SHARDING = None
+        with mesh:
+            ref = jax.jit(lambda p, a, m: enc.apply(
+                {"params": p}, a, m, deterministic=True))(params, x, mask)
+        t5mod.SEQUENCE_SHARDING = NamedSharding(mesh, P("data", "model"))
+        with mesh:
+            jaxpr = str(jax.make_jaxpr(
+                lambda p, a, m: enc.apply({"params": p}, a, m,
+                                          deterministic=True))(
+                                              params, x, mask))
+            # one constraint after input dropout + one inside the scan body
+            assert jaxpr.count("sharding_constraint") >= 2
+            out = jax.jit(lambda p, a, m: enc.apply(
+                {"params": p}, a, m, deterministic=True))(params, x, mask)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-6, atol=1e-6)
+    finally:
+        t5mod.SEQUENCE_SHARDING = None
 
 
 def test_tensor_parallel_specs_shift_for_layer_axis(models):

@@ -136,13 +136,17 @@ class T5Config:
     # recipe (bs8 / seq 1000) on 16 GB v5e thanks to the fused attention
     # kernel's O(L*d) residuals
     remat: Optional[bool] = None
-    # store each stack's blocks as ONE scanned block with layer-stacked
+    # store a stack's blocks as ONE scanned block with layer-stacked
     # [L, ...] params (flax nn.scan). Same math; collapses the optimizer /
     # grad pytree from ~250 per-layer leaves to ~20 stacked ones (XLA
     # memory-space staging around the big tree was ~8 ms/step in the
     # round-2 profile) and shrinks the unrolled 24-block HLO the remote
-    # TPU compiler chews on for 25-40 min
-    scan_layers: bool = False
+    # TPU compiler chews on for 25-40 min. True | False | "encoder" |
+    # "decoder" (per-stack): scanning the L=1024 encoder WITHOUT remat
+    # OOMs v5e HBM (the stacked per-layer residuals fragment badly) and
+    # WITH remat costs more recompute than the tail win (44.5 -> 32.9
+    # videos/s measured), so the throughput recipe scans decoder-only
+    scan_layers: Any = False
 
     @property
     def is_gated_act(self) -> bool:

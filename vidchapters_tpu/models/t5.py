@@ -155,6 +155,17 @@ def _dtype(cfg: T5Config):
     return jnp.dtype(cfg.dtype)
 
 
+def stack_is_scanned(cfg: T5Config, is_decoder: bool) -> bool:
+    """Resolve T5Config.scan_layers (True | False | "encoder" | "decoder")
+    for one stack. Per-stack granularity exists because scanning the
+    L=1024 encoder forces remat (stacked residuals OOM v5e HBM) while the
+    short decoder scans fine without it."""
+    s = cfg.scan_layers
+    if isinstance(s, str):
+        return s == ("decoder" if is_decoder else "encoder")
+    return bool(s)
+
+
 class RMSNorm(nn.Module):
     """T5LayerNorm: scale-only RMS norm, stats in fp32."""
 
@@ -512,7 +523,8 @@ class T5Stack(nn.Module):
         cfg = self.cfg
         n = cfg.num_decoder_layers if self.is_decoder else cfg.num_layers
         self.n_layers = n
-        if cfg.scan_layers:
+        self.scanned = stack_is_scanned(cfg, self.is_decoder)
+        if self.scanned:
             # ONE block whose params carry a leading [n] layer axis; every
             # method lifts it with nn.scan (function form shares the params
             # across __call__ / init_cache / decode_step)
@@ -573,7 +585,7 @@ class T5Stack(nn.Module):
         # the policy saves MXU outputs and recomputes only cheap
         # elementwise work, cutting the recompute tax of plain remat
         use_remat = not deterministic and remat
-        if self.cfg.scan_layers:
+        if self.scanned:
             def scan_body(blk, h):
                 h = _sp_constrain(
                     body(blk, h, self_bias, attention_mask, enc_out, enc_mask),
@@ -602,7 +614,7 @@ class T5Stack(nn.Module):
     def init_cache(self, batch: int, max_len: int, enc_out: Array) -> Dict[str, Any]:
         cfg = self.cfg
         dt = _dtype(cfg)
-        if cfg.scan_layers:
+        if self.scanned:
             # layer axis lives at axis 1 so the beam-reorder gather
             # (axis 0 == rows) works unchanged on the stacked leaves;
             # cross KV keeps enc_out's per-EXAMPLE batch (beam search
@@ -645,7 +657,7 @@ class T5Stack(nn.Module):
         pos = jnp.arange(max_len)[None, None, None, :]
         valid = pos <= cache_index
         self_bias = jnp.where(valid, bias_full, NEG_INF)
-        if self.cfg.scan_layers:
+        if self.scanned:
             # scan over the layer axis (axis 1 of every cache leaf); only
             # the self KV is emitted per layer — the pass-through cross KV
             # would otherwise be re-stacked (copied) every decode step

@@ -135,21 +135,26 @@ def stack_scanned_layers(stack_params: Params) -> Params:
     return out
 
 
-def scan_t5_params(t5_params: Params) -> Params:
-    """Unrolled T5 param tree -> scanned layout (both stacks)."""
+def scan_t5_params(t5_params: Params, which: Any = True) -> Params:
+    """Unrolled T5 param tree -> scanned layout.
+
+    ``which`` mirrors T5Config.scan_layers: True (both stacks) or
+    "encoder" / "decoder" for per-stack scanning."""
+    stacks = (("encoder", "decoder") if which is True
+              else (which,) if isinstance(which, str) else ())
     out = dict(t5_params)
-    for stack in ("encoder", "decoder"):
+    for stack in stacks:
         out[stack] = stack_scanned_layers(t5_params[stack])
     return out
 
 
-def scan_vid2seq_params(params: Params, t5: bool = True,
+def scan_vid2seq_params(params: Params, t5: Any = True,
                         vit: bool = True) -> Params:
     """Unrolled Vid2Seq param tree -> the scan_layers layouts requested by
     ``T5Config.scan_layers`` / ``TemporalViTConfig.scan_layers``."""
     out = dict(params)
     if t5:
-        out["t5"] = scan_t5_params(params["t5"])
+        out["t5"] = scan_t5_params(params["t5"], which=t5)
     if vit and "visual_encoder" in params:
         out["visual_encoder"] = stack_scanned_layers(params["visual_encoder"])
     return out
