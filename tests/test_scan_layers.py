@@ -148,6 +148,31 @@ def test_greedy_and_beam_decode_match_unrolled(models):
     np.testing.assert_array_equal(np.asarray(b_s), np.asarray(b_u))
 
 
+def test_unscan_roundtrip(models):
+    """scan -> unscan is the identity on every leaf (layout migration for
+    checkpoints trained under the other layout)."""
+    from vidchapters_tpu.models.torch_import import (
+        unscan_t5_params,
+        unscan_stacked_layers,
+        stack_scanned_layers,
+    )
+
+    m_u, _, p_u, p_s, _ = models
+    p_np = jax.tree.map(np.asarray, p_u)
+    back = unscan_t5_params(scan_t5_params(p_np))
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), b),
+        back, p_np)
+    # idempotent on already-unrolled trees
+    assert unscan_t5_params(p_np)["encoder"] is not None
+    # vit-style single stack roundtrip
+    blk = {"pos": np.ones((3,)), "block_0": {"w": np.ones((2, 2))},
+           "block_1": {"w": np.zeros((2, 2))}}
+    rt = unscan_stacked_layers(stack_scanned_layers(blk))
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(a, b), rt, blk)
+
+
 def test_megakernel_weight_stacking_matches(models):
     from vidchapters_tpu.ops.decode_megakernel import stack_decoder_weights
 

@@ -148,6 +148,35 @@ def scan_t5_params(t5_params: Params, which: Any = True) -> Params:
     return out
 
 
+def _unstack_trees(tree) -> list:
+    if isinstance(tree, dict):
+        per_key = {k: _unstack_trees(v) for k, v in tree.items()}
+        n = len(next(iter(per_key.values())))
+        return [{k: v[i] for k, v in per_key.items()} for i in range(n)]
+    arr = np.asarray(tree)
+    return [arr[i] for i in range(arr.shape[0])]
+
+
+def unscan_stacked_layers(stack_params: Params) -> Params:
+    """Inverse of :func:`stack_scanned_layers`: the ``blocks`` subtree's
+    leading [n_layers] axis -> ``block_{i}`` children (for serving a
+    scan_layers-trained orbax checkpoint with an unrolled config)."""
+    out = {k: v for k, v in stack_params.items() if k != "blocks"}
+    for i, blk in enumerate(_unstack_trees(stack_params["blocks"])):
+        out[f"block_{i}"] = blk
+    return out
+
+
+def unscan_t5_params(t5_params: Params) -> Params:
+    """Scanned T5 param tree -> unrolled layout (stacks left untouched if
+    already unrolled)."""
+    out = dict(t5_params)
+    for stack in ("encoder", "decoder"):
+        if "blocks" in t5_params[stack]:
+            out[stack] = unscan_stacked_layers(t5_params[stack])
+    return out
+
+
 def scan_vid2seq_params(params: Params, t5: Any = True,
                         vit: bool = True) -> Params:
     """Unrolled Vid2Seq param tree -> the scan_layers layouts requested by
