@@ -391,6 +391,47 @@ def test_sequence_parallel_constraint_and_exactness_scanned():
         t5mod.SEQUENCE_SHARDING = None
 
 
+def test_generate_fn_picks_mega_under_scan_and_matches(models):
+    """Eval decode with scan_layers routes through the megakernel
+    (stack_decoder_weights on the stacked tree) and stays token-identical
+    to the unrolled standard path (fp32, beam 4, interpret mode)."""
+    from vidchapters_tpu.config import (
+        GenerationConfig,
+        TemporalViTConfig,
+        Vid2SeqConfig,
+    )
+    from vidchapters_tpu.models import t5 as t5_mod
+    from vidchapters_tpu.models.torch_import import scan_vid2seq_params
+    from vidchapters_tpu.models.vid2seq import Vid2Seq
+    from vidchapters_tpu.train.dvc_train import make_generate_fn
+
+    t5_u = tiny_cfg(vocab_size=150, d_model=256, d_kv=64, d_ff=512,
+                    num_layers=2, num_decoder_layers=2, num_heads=4)
+    vit = TemporalViTConfig(num_features=8, embed_dim=256, depth=1,
+                            num_heads=4, mlp_dim=64, dtype="float32")
+    cfg_u = Vid2SeqConfig(t5=t5_u, vit=vit)
+    cfg_s = Vid2SeqConfig(t5=dataclasses.replace(t5_u, scan_layers=True),
+                          vit=vit)
+    m_u, m_s = Vid2Seq(cfg_u), Vid2Seq(cfg_s)
+    rng = jax.random.PRNGKey(0)
+    video = jnp.asarray(np.random.default_rng(0).normal(
+        size=(8, 8, 256)).astype(np.float32))
+    toks = jnp.ones((8, 6), jnp.int32)
+    p_u = m_u.init({"params": rng, "dropout": rng}, video, toks,
+                   jnp.ones_like(toks), toks)["params"]
+    p_s = jax.tree.map(jnp.asarray, scan_vid2seq_params(
+        jax.tree.map(np.asarray, p_u), vit=False))
+    gen = GenerationConfig(num_beams=4, max_length=12)
+    ref_out = np.asarray(make_generate_fn(m_u, gen)(p_u, video, toks, rng))
+    t5_mod.USE_MEGA_DECODE = True
+    try:
+        mega_out = np.asarray(make_generate_fn(m_s, gen)(
+            p_s, video, toks, rng))
+    finally:
+        t5_mod.USE_MEGA_DECODE = False
+    np.testing.assert_array_equal(mega_out, ref_out)
+
+
 def test_tensor_parallel_specs_shift_for_layer_axis(models):
     from jax.sharding import PartitionSpec as P
 
