@@ -240,7 +240,8 @@ class SentencePieceUnigramTokenizer(_TokenizerBase):
     CONTROL/UNKNOWN pieces already.
     """
 
-    def __init__(self, model_path: str, num_bins: int = 100, extra_ids: int = 100):
+    def __init__(self, model_path: str, num_bins: int = 100, extra_ids: int = 100,
+                 use_native: Optional[bool] = None):
         with open(model_path, "rb") as f:
             pieces = _parse_spm_pieces(f.read())
         self.pieces = pieces
@@ -251,6 +252,20 @@ class SentencePieceUnigramTokenizer(_TokenizerBase):
         super().__init__(text_vocab_size, num_bins, num_sentinels=extra_ids)
         # unigram Viterbi needs an unk score penalty
         self._unk_score = min(self.scores) - 10.0
+        # C++ Viterbi twin (data/native_spm.py): exact same ids, ~2 orders
+        # of magnitude faster — the factory tokenizes millions of ASR
+        # transcripts. None = auto (use when a compiler is present).
+        self._native = None
+        if use_native is not False:
+            try:
+                from vidchapters_tpu.data.native_spm import NativeSpmEncoder
+
+                self._native = NativeSpmEncoder(pieces, UNK_ID,
+                                                self._unk_score)
+            except Exception:
+                if use_native:  # explicitly requested
+                    raise
+                self._native = None
 
     # -- normalization (T5 spm: add dummy prefix, collapse spaces) -----------
 
@@ -262,6 +277,8 @@ class SentencePieceUnigramTokenizer(_TokenizerBase):
         if not text.strip():
             return []
         s = self._normalize(text)
+        if self._native is not None:
+            return self._native.encode(s)
         n = len(s)
         # Viterbi over substrings present in the vocab
         best = [float("-inf")] * (n + 1)
