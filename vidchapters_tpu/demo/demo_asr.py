@@ -19,7 +19,8 @@ import argparse
 from vidchapters_tpu.utils.io import save_pickle
 
 
-def jax_transcribe(audio_path: str, model_name: str = "large-v2") -> dict:
+def jax_transcribe(audio_path: str, model_name: str = "large-v2",
+                   vad: bool = False) -> dict:
     """TPU-native path: HF weights -> JAX Whisper -> chunked decode."""
     from transformers import WhisperTokenizer
 
@@ -31,7 +32,8 @@ def jax_transcribe(audio_path: str, model_name: str = "large-v2") -> dict:
                else f"openai/whisper-{model_name}")
     model, params = load_hf_whisper(hf_name)
     tok = WhisperTokenizer.from_pretrained(hf_name)
-    tr = JaxWhisperTranscriber(model, params, decode_tokens=tok.decode)
+    tr = JaxWhisperTranscriber(model, params, decode_tokens=tok.decode,
+                               vad=vad)
     out = tr.transcribe(load_audio(audio_path))
     return {"segments": [
         {"text": t, "start": s, "end": e}
@@ -39,7 +41,8 @@ def jax_transcribe(audio_path: str, model_name: str = "large-v2") -> dict:
 
 
 def transcribe(video_path: str, model_name: str = "large-v2",
-               device: str = "cpu", backend: str = "jax") -> dict:
+               device: str = "cpu", backend: str = "jax",
+               vad: bool = False) -> dict:
     if backend == "whisperx":
         import whisper
         import whisperx
@@ -55,7 +58,7 @@ def transcribe(video_path: str, model_name: str = "large-v2",
 
         return make_hf_whisper_transcribe(f"openai/whisper-{model_name}",
                                           device)(video_path)
-    return jax_transcribe(video_path, model_name)
+    return jax_transcribe(video_path, model_name, vad=vad)
 
 
 def main(args=None) -> None:
@@ -66,8 +69,12 @@ def main(args=None) -> None:
     p.add_argument("--device", default="cpu")
     p.add_argument("--backend", default="jax",
                    choices=["jax", "whisperx", "hf"])
+    p.add_argument("--vad", action="store_true",
+                   help="energy-VAD silence skipping (the role whisperx's "
+                        "pyannote VAD plays in the reference --faster path)")
     a = p.parse_args(args)
-    result = transcribe(a.video_path, a.model, a.device, a.backend)
+    result = transcribe(a.video_path, a.model, a.device, a.backend,
+                        vad=a.vad)
     save_pickle(result, a.out)
     print(f"wrote {a.out} ({len(result['segments'])} segments)")
 

@@ -85,7 +85,8 @@ class JaxWhisperTranscriber:
                  prompt_reset_on_temperature: float = 0.5,
                  seed: int = 0,
                  param_dtype: Optional[str] = None,
-                 beam_size: Optional[int] = None):
+                 beam_size: Optional[int] = None,
+                 vad: bool = False):
         import jax
         import jax.numpy as jnp
 
@@ -110,6 +111,10 @@ class JaxWhisperTranscriber:
         self.model = model
         self.params = params
         self.max_decode_len = max_decode_len
+        # VAD pre-pass (factory/vad.py): skip windows with no speech, the
+        # role whisperx's pyannote segmentation plays in the reference's
+        # --faster path (asr_extract/whisper_inference.py:28,43)
+        self.use_vad = vad
         self.decode_tokens = decode_tokens
         self.temperatures = temperatures
         self.compression_ratio_threshold = compression_ratio_threshold
@@ -412,7 +417,20 @@ class JaxWhisperTranscriber:
         seek = 0
         window_index = 0
         prompt: List[int] = []  # rolling committed text (conditioning only)
+        vad_segs = None
+        if self.use_vad:
+            from vidchapters_tpu.factory.vad import (
+                next_voiced_seek,
+                speech_segments,
+            )
+
+            vad_segs = speech_segments(audio)
         while seek < len(audio):
+            if vad_segs is not None:
+                seek = next_voiced_seek(vad_segs, seek, N_SAMPLES,
+                                        len(audio))
+                if seek >= len(audio):
+                    break
             window = audio[seek: seek + N_SAMPLES]
             if len(window) < SAMPLE_RATE // 2:
                 break
@@ -485,12 +503,28 @@ class JaxWhisperTranscriber:
         window_index = 0
         prefix = jnp.asarray(
             np.repeat(np.asarray([self.sot_sequence], np.int32), n, axis=0))
+        vad_segs = None
+        if self.use_vad:
+            from vidchapters_tpu.factory.vad import (
+                next_voiced_seek,
+                speech_segments,
+            )
+
+            vad_segs = [speech_segments(a) for a in audios]
 
         def active(i):
             return (seeks[i] < len(audios[i])
                     and len(audios[i]) - seeks[i] >= SAMPLE_RATE // 2)
 
-        while any(active(i) for i in range(n)):
+        while True:
+            if vad_segs is not None:
+                for i in range(n):
+                    if seeks[i] < len(audios[i]):
+                        seeks[i] = next_voiced_seek(
+                            vad_segs[i], seeks[i], N_SAMPLES,
+                            len(audios[i]))
+            if not any(active(i) for i in range(n)):
+                break
             mels = np.stack([
                 log_mel_spectrogram(audios[i][seeks[i]:seeks[i] + N_SAMPLES])
                 if active(i) else np.zeros((80, N_SAMPLES // HOP_LENGTH),
