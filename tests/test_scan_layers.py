@@ -173,6 +173,33 @@ def test_unscan_roundtrip(models):
         lambda a, b: np.testing.assert_array_equal(a, b), rt, blk)
 
 
+def test_migrate_ckpt_cli_roundtrip(tmp_path, models):
+    """utils/migrate_ckpt: unrolled best-checkpoint -> scanned params-only
+    checkpoint restorable under a scan_layers template, and back."""
+    from vidchapters_tpu.runtime.checkpoint import CheckpointManager
+    from vidchapters_tpu.utils.migrate_ckpt import main as migrate_main
+
+    m_u, m_s, p_u, p_s, _ = models
+    tree = {"t5": p_u}
+    src = tmp_path / "ckpt"
+    CheckpointManager(str(src))._save_tree("best", (tree,), {})
+    dst = tmp_path / "ckpt_scanned"
+    migrate_main(["--src", str(src), "--name", "best", "--dst", str(dst),
+                  "--to", "scanned"])
+    template = {"t5": p_s}
+    restored = CheckpointManager(str(dst)).restore_params("best", template)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b)), restored, template)
+    back = tmp_path / "ckpt_back"
+    migrate_main(["--src", str(dst), "--name", "best", "--dst", str(back),
+                  "--to", "unrolled"])
+    restored_u = CheckpointManager(str(back)).restore_params("best", tree)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b)), restored_u, tree)
+
+
 def test_megakernel_weight_stacking_matches(models):
     from vidchapters_tpu.ops.decode_megakernel import stack_decoder_weights
 

@@ -1,0 +1,96 @@
+"""Migrate a saved checkpoint between unrolled and scanned param layouts.
+
+``T5Config.scan_layers`` / ``TemporalViTConfig.scan_layers`` change the
+param-tree layout (``block_{i}`` children vs one ``blocks`` subtree with a
+leading layer axis). A model trained under one layout serves under the
+other after this migration; opt state is NOT migrated — the output is a
+params-only checkpoint for `dvc_main --load` / `serve --ckpt`
+(training resume must stay on its original layout).
+
+Usage:
+    python -m vidchapters_tpu.utils.migrate_ckpt \
+        --src /runs/exp1/ckpt --name best --dst /runs/exp1/ckpt_scanned \
+        --to scanned [--t5-stacks decoder]
+"""
+
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+from typing import Any
+
+
+def _detect_vid2seq(tree: Any) -> Any:
+    """Accept {'t5': ..., 'visual_encoder': ...} trees or bare t5 trees."""
+    if "t5" in tree:
+        return tree
+    if "encoder" in tree and "decoder" in tree:
+        return {"t5": tree}
+    raise ValueError(f"unrecognized param tree (top keys: {list(tree)})")
+
+
+def migrate_params(tree: Any, to: str, t5_stacks: Any = True) -> Any:
+    from vidchapters_tpu.models.torch_import import (
+        scan_vid2seq_params,
+        stack_scanned_layers,
+        unscan_stacked_layers,
+        unscan_t5_params,
+    )
+
+    wrapped = _detect_vid2seq(tree)
+    bare_t5 = wrapped is not tree
+    if to == "scanned":
+        out = scan_vid2seq_params(wrapped, t5=t5_stacks, vit=True)
+    elif to == "unrolled":
+        out = dict(wrapped)
+        out["t5"] = unscan_t5_params(wrapped["t5"])
+        ve = wrapped.get("visual_encoder")
+        if ve is not None and "blocks" in ve:
+            out["visual_encoder"] = unscan_stacked_layers(ve)
+    else:
+        raise ValueError(to)
+    return out["t5"] if bare_t5 else out
+
+
+def main(args=None) -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--src", required=True, help="source checkpoint dir")
+    p.add_argument("--name", default="best", help="checkpoint name (best/last)")
+    p.add_argument("--dst", required=True, help="destination checkpoint dir")
+    p.add_argument("--to", required=True, choices=["scanned", "unrolled"])
+    p.add_argument("--t5-stacks", default="both",
+                   choices=["both", "encoder", "decoder"],
+                   help="which T5 stacks to scan (mirrors "
+                        "T5Config.scan_layers; 'decoder' is the "
+                        "throughput recipe)")
+    a = p.parse_args(args)
+
+    import jax
+
+    from vidchapters_tpu.runtime.checkpoint import CheckpointManager, _HAS_ORBAX
+
+    src = Path(a.src)
+    if _HAS_ORBAX and (src / a.name).exists():
+        import orbax.checkpoint as ocp
+
+        raw = ocp.StandardCheckpointer().restore((src / a.name).absolute())
+    else:
+        import numpy as np
+
+        npz = np.load(str(src / a.name) + ".npz")
+        # the flat-npz fallback cannot reconstruct nesting without a
+        # template; orbax is present in all supported environments
+        raise SystemExit("npz checkpoints need orbax to migrate")
+    params = raw[0] if isinstance(raw, (list, tuple)) else raw
+    stacks = True if a.t5_stacks == "both" else a.t5_stacks
+    migrated = migrate_params(params, a.to, t5_stacks=stacks)
+    mgr = CheckpointManager(a.dst)
+    mgr._save_tree(a.name, (migrated,),
+                   {"layout": a.to, "migrated_from": str(src / a.name),
+                    "t5_stacks": a.t5_stacks})
+    n = sum(x.size for x in jax.tree_util.tree_leaves(migrated))
+    print(f"wrote {a.dst}/{a.name} ({a.to}, {n} params)")
+
+
+if __name__ == "__main__":
+    main()
