@@ -49,6 +49,28 @@ def test_native_matches_python_ids(model_path):
                 == py.encode(text, add_special_tokens=True)), text
 
 
+def test_native_matches_python_fuzz(model_path):
+    """200 random strings over a mixed alphabet (vocab chars, unknown
+    ASCII, multibyte codepoints, metasymbol, whitespace runs) — ids must
+    match exactly."""
+    import random
+
+    from vidchapters_tpu.data import native_spm
+
+    if not native_spm.is_available():
+        pytest.skip("no g++ toolchain")
+    py = SentencePieceUnigramTokenizer(str(model_path), num_bins=100,
+                                       extra_ids=4, use_native=False)
+    nat = SentencePieceUnigramTokenizer(str(model_path), num_bins=100,
+                                        extra_ids=4, use_native=True)
+    rng = random.Random(0)
+    alphabet = list("the cats dog") + ["▁", "é", "☃", "日", "  ", "\t", "x"]
+    for _ in range(200):
+        text = "".join(rng.choice(alphabet)
+                       for _ in range(rng.randrange(0, 60)))
+        assert nat._encode_text(text) == py._encode_text(text), repr(text)
+
+
 def test_native_roundtrip_decode(model_path):
     from vidchapters_tpu.data import native_spm
 
