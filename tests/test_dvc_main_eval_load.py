@@ -104,6 +104,36 @@ def test_dvc_main_eval_load_torch_checkpoint_cli(tmp_path):
 
 
 @pytest.mark.slow
+def test_dvc_main_eval_load_torch_checkpoint_scanned(tmp_path):
+    """The same released-.pth load under scan_layers: dvc_main restacks
+    the imported tree (scan_vid2seq_params) and evaluates."""
+    import dataclasses
+
+    torch = pytest.importorskip("torch")
+
+    cfg = _tiny_experiment(tmp_path)
+    t5 = dataclasses.replace(cfg.model.t5, scan_layers=True)
+    vit = dataclasses.replace(cfg.model.vit, scan_layers=True)
+    cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, t5=t5, vit=vit))
+    rng1 = np.random.default_rng(1)
+    sd = _synth_reference_state_dict(
+        rng1, vocab=32200, d=32, heads=4, dkv=8, dff=64,
+        layers=1, rel_buckets=8, vit_mlp=16, vit_depth=1, vit_d=8,
+        vit_feats=8)
+    sd["proj_v2t.weight"] = rng1.normal(
+        scale=0.02, size=(32, 8)).astype(np.float32)
+    sd["proj_v2t.bias"] = np.zeros(32, np.float32)
+    ckpt_path = tmp_path / "released.pth"
+    torch.save({"model": {k: torch.from_numpy(v) for k, v in sd.items()}},
+               str(ckpt_path))
+    from vidchapters_tpu.train.dvc_main import main
+
+    metrics = main(cfg, load=str(ckpt_path), eval_only=True)
+    assert "chapters_soda_c" in metrics
+
+
+@pytest.mark.slow
 def test_dvc_main_eval_load_orbax_dir(tmp_path):
     """--eval --load <orbax best dir from a previous run> restores the
     params-only tree and evaluates."""
