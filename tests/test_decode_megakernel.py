@@ -247,3 +247,39 @@ def test_mega_four_chunk_beam_ancestry_parity(setup, monkeypatch):
     mega_seqs = np.asarray(beam_search(mega, enc_out[:b0], enc_mask[:b0],
                                        MAX_LEN, num_beams=4))
     np.testing.assert_array_equal(ref_seqs, mega_seqs)
+
+
+def test_gated_act_falls_back_to_standard_decode():
+    """t5-v1_1 (gated-gelu) has wi_0/wi_1 instead of wi: the mega picker
+    must keep the standard path instead of KeyError-ing in
+    stack_decoder_weights."""
+    from vidchapters_tpu.config import (
+        GenerationConfig,
+        TemporalViTConfig,
+        Vid2SeqConfig,
+    )
+    from vidchapters_tpu.models import t5 as t5_mod
+    from vidchapters_tpu.models.vid2seq import Vid2Seq
+    from vidchapters_tpu.train.dvc_train import make_generate_fn
+
+    cfg = Vid2SeqConfig(
+        t5=T5Config(vocab_size=VOCAB, d_model=64, d_kv=16, d_ff=128,
+                    num_layers=1, num_decoder_layers=1, num_heads=4,
+                    feed_forward_proj="gated-gelu", dropout_rate=0.0,
+                    encoder_dropout=0.0, decoder_dropout=0.0,
+                    dtype="float32"),
+        vit=TemporalViTConfig(num_features=4, embed_dim=64, depth=1,
+                              num_heads=4, mlp_dim=32, dtype="float32"))
+    model = Vid2Seq(cfg)
+    rng = jax.random.PRNGKey(0)
+    video = jnp.zeros((8, 4, 64), jnp.float32)
+    toks = jnp.ones((8, 5), jnp.int32)
+    params = model.init({"params": rng, "dropout": rng}, video, toks,
+                        jnp.ones_like(toks), toks)["params"]
+    gen = GenerationConfig(num_beams=4, max_length=8)
+    t5_mod.USE_MEGA_DECODE = True
+    try:
+        out = make_generate_fn(model, gen)(params, video, toks, rng)
+    finally:
+        t5_mod.USE_MEGA_DECODE = False
+    assert np.asarray(out).shape == (8, 8)
