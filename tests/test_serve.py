@@ -284,3 +284,61 @@ def test_load_serving_params_torch_and_orbax(tmp_path):
     rnd = load_serving_params(cfg, model, None)
     assert jax.tree_util.tree_structure(rnd) == \
         jax.tree_util.tree_structure(params)
+
+
+def test_load_serving_params_torch_scanned(tmp_path):
+    """serve --ckpt <released .pth> under a scan_layers config restacks
+    the imported tree to the scanned layout."""
+    import dataclasses
+
+    import pytest
+
+    torch = pytest.importorskip("torch")
+    import numpy as np
+
+    from tests.test_checkpoint_import_fullscale import (
+        _synth_reference_state_dict,
+    )
+    from vidchapters_tpu.config import (
+        DataConfig,
+        ExperimentConfig,
+        T5Config,
+        TemporalViTConfig,
+        Vid2SeqConfig,
+    )
+    from vidchapters_tpu.models.vid2seq import Vid2Seq
+    from vidchapters_tpu.serve import load_serving_params
+
+    t5 = T5Config(vocab_size=32200, d_model=32, d_kv=8, d_ff=64,
+                  num_layers=2, num_decoder_layers=2, num_heads=4,
+                  relative_attention_num_buckets=8,
+                  relative_attention_max_distance=16, dtype="float32",
+                  dropout_rate=0.0, scan_layers=True)
+    vit = TemporalViTConfig(num_features=8, embed_dim=8, depth=2,
+                            num_heads=2, mlp_dim=16, dtype="float32",
+                            scan_layers=True)
+    cfg = ExperimentConfig(
+        model=Vid2SeqConfig(t5=t5, vit=vit, num_bins=100),
+        data=DataConfig(max_feats=8, features_dim=8))
+    model = Vid2Seq(cfg.model)
+    rng1 = np.random.default_rng(1)
+    sd = _synth_reference_state_dict(
+        rng1, vocab=32200, d=32, heads=4, dkv=8, dff=64, layers=2,
+        rel_buckets=8, vit_mlp=16, vit_depth=2, vit_d=8, vit_feats=8)
+    sd["proj_v2t.weight"] = rng1.normal(scale=0.02, size=(32, 8)
+                                        ).astype(np.float32)
+    sd["proj_v2t.bias"] = np.zeros(32, np.float32)
+    pth = tmp_path / "released.pth"
+    torch.save({"model": {k: torch.from_numpy(v) for k, v in sd.items()}},
+               str(pth))
+    params = load_serving_params(cfg, model, str(pth))
+    assert "blocks" in params["t5"]["encoder"]
+    assert "blocks" in params["visual_encoder"]
+    assert params["t5"]["encoder"]["blocks"]["self_attn"]["q"][
+        "kernel"].shape[0] == 2
+    # structure matches what the scanned model would init
+    import jax
+
+    rnd = load_serving_params(cfg, model, None)
+    assert (jax.tree_util.tree_structure(rnd)
+            == jax.tree_util.tree_structure(params))
