@@ -332,3 +332,47 @@ def test_demo_asr_cli_jax_backend(tmp_path, monkeypatch):
     assert "segments" in result
     for seg in result["segments"]:
         assert set(seg) == {"text", "start", "end"}
+
+
+def test_extract_features_sharded_pipelined(tmp_path):
+    """Sharded extraction with background decode prefetch: idempotent,
+    correct outputs, decode overlaps compute."""
+    import threading
+    import time
+
+    from vidchapters_tpu.factory.features import extract_features_sharded
+
+    decoded = []
+    lock = threading.Lock()
+
+    def decode(path):
+        time.sleep(0.05)
+        with lock:
+            decoded.append(path)
+        i = int(path[-5])
+        return np.full((3, 4), i, np.float32)
+
+    overlapped = []
+
+    def extractor(frames):
+        # by the time video i encodes, video i+1 (or further) should have
+        # been decoded by the prefetch thread after a short wait
+        time.sleep(0.08)
+        with lock:
+            overlapped.append(len(decoded))
+        return frames * 2.0
+
+    paths = [f"/fake/vid{i}.mp4" for i in range(4)]
+    done = extract_features_sharded(paths, str(tmp_path), extractor,
+                                    decode_fn=decode, prefetch=2)
+    assert done == 4
+    for i in range(4):
+        arr = np.load(tmp_path / f"vid{i}.npy")
+        np.testing.assert_array_equal(arr, np.full((3, 4), 2.0 * i))
+    # during the LAST extractor call all 4 videos must already be decoded
+    # (prefetch ran ahead); strictly serial decode would give 4 only after
+    assert overlapped[-1] == 4
+    assert max(overlapped[:-1]) >= 3  # decode ran ahead of compute
+    # idempotent: second run does nothing
+    assert extract_features_sharded(paths, str(tmp_path), extractor,
+                                    decode_fn=decode) == 0
