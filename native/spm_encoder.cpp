@@ -10,6 +10,13 @@
 // one-CODEPOINT unk fallback. Normalization stays in Python; this
 // receives the normalized UTF-8 string.
 //
+// Hot-loop design: substrings are identified by an INCREMENTAL FNV-1a
+// hash (one multiply-xor per extension byte — no string construction or
+// rehash per candidate). The prefix set is hash-only (a false positive
+// merely delays the early exit; it can never change the output); piece
+// matches verify the actual bytes against the stored piece, so hash
+// collisions cannot mis-tokenize.
+//
 // Exposed as a plain C ABI for ctypes (no pybind11 in this image).
 
 #include <cstdint>
@@ -22,10 +29,19 @@
 
 namespace {
 
+constexpr uint64_t kFnvOffset = 1469598103934665603ull;
+constexpr uint64_t kFnvPrime = 1099511628211ull;
+
+inline uint64_t fnv_step(uint64_t h, unsigned char c) {
+    return (h ^ c) * kFnvPrime;
+}
+
 struct Encoder {
-    std::unordered_map<std::string, int32_t> piece_to_id;
+    std::vector<std::string> pieces;
     std::vector<double> scores;
-    std::unordered_set<std::string> prefixes;  // proper prefixes of pieces
+    // piece hash -> candidate ids (verified byte-exact before matching)
+    std::unordered_map<uint64_t, std::vector<int32_t>> by_hash;
+    std::unordered_set<uint64_t> prefix_hashes;  // proper prefixes
     int64_t max_piece_bytes = 0;
     double unk_score = 0.0;
     int32_t unk_id = 2;
@@ -43,18 +59,24 @@ void* spm_create(const char* const* pieces, const double* scores, int64_t n,
                  int32_t unk_id, double unk_score) {
     auto* e = new Encoder();
     e->scores.assign(scores, scores + n);
-    e->piece_to_id.reserve(static_cast<size_t>(n) * 2);
+    e->pieces.reserve(static_cast<size_t>(n));
+    e->by_hash.reserve(static_cast<size_t>(n) * 2);
     e->unk_id = unk_id;
     e->unk_score = unk_score;
     for (int64_t i = 0; i < n; ++i) {
         std::string p(pieces[i]);
-        int64_t len = static_cast<int64_t>(p.size());
+        const int64_t len = static_cast<int64_t>(p.size());
         if (len > e->max_piece_bytes) e->max_piece_bytes = len;
-        // every proper prefix, for early exit in the match loop
-        for (size_t l = 1; l < p.size(); ++l) {
-            e->prefixes.insert(p.substr(0, l));
+        uint64_t h = kFnvOffset;
+        for (size_t b = 0; b + 1 < p.size(); ++b) {
+            h = fnv_step(h, static_cast<unsigned char>(p[b]));
+            e->prefix_hashes.insert(h);  // every proper prefix
         }
-        e->piece_to_id.emplace(std::move(p), static_cast<int32_t>(i));
+        if (!p.empty()) {
+            h = fnv_step(h, static_cast<unsigned char>(p.back()));
+        }
+        e->by_hash[h].push_back(static_cast<int32_t>(i));
+        e->pieces.push_back(std::move(p));
     }
     return e;
 }
@@ -63,32 +85,40 @@ void spm_destroy(void* h) { delete static_cast<Encoder*>(h); }
 
 // Viterbi-encode one normalized UTF-8 string. Returns the id count, or
 // -needed when out_cap is too small (caller retries with a bigger buffer).
-int64_t spm_encode(void* h, const char* text, int32_t* out_ids,
+int64_t spm_encode(void* handle, const char* text, int32_t* out_ids,
                    int64_t out_cap) {
-    const Encoder& e = *static_cast<Encoder*>(h);
+    const Encoder& e = *static_cast<Encoder*>(handle);
     const int64_t n = static_cast<int64_t>(std::strlen(text));
     if (n == 0) return 0;
     std::vector<double> best(n + 1, kNegInf);
     std::vector<int64_t> back_pos(n + 1, -1);
     std::vector<int32_t> back_id(n + 1, e.unk_id);
     best[0] = 0.0;
-    std::string key;
-    key.reserve(static_cast<size_t>(e.max_piece_bytes));
+    const auto hash_end = e.by_hash.end();
+    const auto pref_end = e.prefix_hashes.end();
     for (int64_t i = 0; i < n; ++i) {
         if (best[i] == kNegInf) continue;
         const int64_t j_max = std::min(n, i + e.max_piece_bytes);
-        key.clear();
+        uint64_t h = kFnvOffset;
         for (int64_t j = i + 1; j <= j_max; ++j) {
-            key.push_back(text[j - 1]);
-            auto it = e.piece_to_id.find(key);
-            if (it != e.piece_to_id.end()) {
-                const double sc = best[i] + e.scores[it->second];
-                if (sc > best[j]) {
-                    best[j] = sc;
-                    back_pos[j] = i;
-                    back_id[j] = it->second;
+            h = fnv_step(h, static_cast<unsigned char>(text[j - 1]));
+            const auto it = e.by_hash.find(h);
+            if (it != hash_end) {
+                const size_t sub_len = static_cast<size_t>(j - i);
+                for (const int32_t pid : it->second) {
+                    const std::string& p = e.pieces[pid];
+                    if (p.size() == sub_len
+                        && std::memcmp(p.data(), text + i, sub_len) == 0) {
+                        const double sc = best[i] + e.scores[pid];
+                        if (sc > best[j]) {
+                            best[j] = sc;
+                            back_pos[j] = i;
+                            back_id[j] = pid;
+                        }
+                        break;  // distinct pieces are unique strings
+                    }
                 }
-            } else if (e.prefixes.find(key) == e.prefixes.end()) {
+            } else if (e.prefix_hashes.find(h) == pref_end) {
                 break;  // no piece extends this substring
             }
         }
