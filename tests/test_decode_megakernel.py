@@ -249,10 +249,13 @@ def test_mega_four_chunk_beam_ancestry_parity(setup, monkeypatch):
     np.testing.assert_array_equal(ref_seqs, mega_seqs)
 
 
-def test_gated_act_falls_back_to_standard_decode():
-    """t5-v1_1 (gated-gelu) has wi_0/wi_1 instead of wi: the mega picker
-    must keep the standard path instead of KeyError-ing in
-    stack_decoder_weights."""
+def test_gated_act_mega_parity_and_misaligned_fallback():
+    """t5-v1_1 (gated-gelu): the megakernel streams wi as [d, 2*dff] and
+    applies gelu_new(g)*l in-kernel — tokens must match the standard path
+    exactly (fp32). A dff that is not 128-lane-aligned keeps the standard
+    path (the in-kernel split point must sit on a lane boundary)."""
+    import numpy as _np
+
     from vidchapters_tpu.config import (
         GenerationConfig,
         TemporalViTConfig,
@@ -262,24 +265,34 @@ def test_gated_act_falls_back_to_standard_decode():
     from vidchapters_tpu.models.vid2seq import Vid2Seq
     from vidchapters_tpu.train.dvc_train import make_generate_fn
 
-    cfg = Vid2SeqConfig(
-        t5=T5Config(vocab_size=VOCAB, d_model=64, d_kv=16, d_ff=128,
-                    num_layers=1, num_decoder_layers=1, num_heads=4,
-                    feed_forward_proj="gated-gelu", dropout_rate=0.0,
-                    encoder_dropout=0.0, decoder_dropout=0.0,
-                    dtype="float32"),
-        vit=TemporalViTConfig(num_features=4, embed_dim=64, depth=1,
-                              num_heads=4, mlp_dim=32, dtype="float32"))
-    model = Vid2Seq(cfg)
-    rng = jax.random.PRNGKey(0)
-    video = jnp.zeros((8, 4, 64), jnp.float32)
-    toks = jnp.ones((8, 5), jnp.int32)
-    params = model.init({"params": rng, "dropout": rng}, video, toks,
-                        jnp.ones_like(toks), toks)["params"]
-    gen = GenerationConfig(num_beams=4, max_length=8)
-    t5_mod.USE_MEGA_DECODE = True
-    try:
-        out = make_generate_fn(model, gen)(params, video, toks, rng)
-    finally:
-        t5_mod.USE_MEGA_DECODE = False
-    assert np.asarray(out).shape == (8, 8)
+    def run(d_ff):
+        cfg = Vid2SeqConfig(
+            t5=T5Config(vocab_size=VOCAB, d_model=64, d_kv=16, d_ff=d_ff,
+                        num_layers=1, num_decoder_layers=2, num_heads=4,
+                        feed_forward_proj="gated-gelu", dropout_rate=0.0,
+                        encoder_dropout=0.0, decoder_dropout=0.0,
+                        dtype="float32"),
+            vit=TemporalViTConfig(num_features=4, embed_dim=64, depth=1,
+                                  num_heads=4, mlp_dim=32, dtype="float32"))
+        model = Vid2Seq(cfg)
+        rng = jax.random.PRNGKey(0)
+        video = jnp.asarray(_np.random.default_rng(0).normal(
+            size=(8, 4, 64)).astype(_np.float32))
+        toks = jnp.ones((8, 5), jnp.int32)
+        params = model.init({"params": rng, "dropout": rng}, video, toks,
+                            jnp.ones_like(toks), toks)["params"]
+        gen = GenerationConfig(num_beams=4, max_length=8)
+        ref = _np.asarray(make_generate_fn(model, gen)(
+            params, video, toks, rng))
+        t5_mod.USE_MEGA_DECODE = True
+        try:
+            out = _np.asarray(make_generate_fn(model, gen)(
+                params, video, toks, rng))
+        finally:
+            t5_mod.USE_MEGA_DECODE = False
+        return ref, out
+
+    ref, out = run(128)  # aligned: mega engages, token-identical
+    np.testing.assert_array_equal(out, ref)
+    ref, out = run(96)   # misaligned dff: falls back, still identical
+    np.testing.assert_array_equal(out, ref)

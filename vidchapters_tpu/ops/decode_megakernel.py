@@ -95,7 +95,7 @@ def _mega_kernel(idx_sp, x_in, ln, wqkv, wo_s, wq_c, wo_c, wi, wo_f, fln,
                  kxs, vxs, x_out, knew, vnew, xs, q2s, ms, dens, ctxs,
                  *, n_layers: int, bb: int, group: int, heads: int,
                  dkv: int, eps: float, cdt, chunk: int, n_chunks: int,
-                 quant: bool, mxu: bool,
+                 quant: bool, mxu: bool, gated: bool = False,
                  src_ref=None, kc_out=None, vc_out=None):
     """One (layer, batch-block, cache-chunk) grid cell; layouts in the
     module docstring.
@@ -320,9 +320,20 @@ def _mega_kernel(idx_sp, x_in, ln, wqkv, wo_s, wq_c, wo_c, wi, wo_f, fln,
                  if n_ex > 1 else ctx_parts[0]).astype(cdt)  # [bb, inner]
         x = x + mm(ctx_c, wo_c[0])
 
-        # ---- feed-forward (t5-base: relu) ----
+        # ---- feed-forward: relu (t5-base) or gated-gelu (t5-v1_1) ----
         h = rms(x, ln[0, 2])
-        hh = jnp.maximum(mm(h, wi[0]), 0.0).astype(cdt)
+        hh_all = mm(h, wi[0])
+        if gated:
+            # wi streams as [d, 2*dff] (wi_0 | wi_1); HF "gated-gelu" is
+            # gelu_new = tanh-approximate gelu (modeling_t5.py:314-342)
+            dff = hh_all.shape[-1] // 2
+            g = hh_all[:, :dff].astype(jnp.float32)
+            lin = hh_all[:, dff:].astype(jnp.float32)
+            act = 0.5 * g * (1.0 + jnp.tanh(
+                0.7978845608028654 * (g + 0.044715 * g * g * g)))
+            hh = (act * lin).astype(cdt)
+        else:
+            hh = jnp.maximum(hh_all, 0.0).astype(cdt)
         x = x + mm(hh, wo_f[0])
 
         xs[b] = x
@@ -354,7 +365,7 @@ def mega_decode_step(stacked: Dict[str, Array], x: Array,
                      src: "Array | None" = None,
                      k_cross_scale: "Array | None" = None,
                      v_cross_scale: "Array | None" = None,
-                     interpret: bool = False):
+                     interpret: bool = False, gated: bool = False):
     """One full decoder step over all layers.
 
     x [B, d] (token embeds, compute dtype); caches [B, N, L, inner];
@@ -376,7 +387,8 @@ def mega_decode_step(stacked: Dict[str, Array], x: Array,
     bbe = bb // group
     n_blocks = bsz // bb
     cdt = x.dtype
-    d_ff = stacked["wi"].shape[2]
+    d_ff_in = stacked["wi"].shape[2]   # 2*dff when gated (wi_0 | wi_1)
+    d_ff_out = stacked["wo_ff"].shape[1]
     # cache chunking (prefix-skip): dead chunks clamp their index map to
     # the last live chunk — no DMA — and skip compute
     chunk = CACHE_CHUNK if l % CACHE_CHUNK == 0 else l
@@ -405,7 +417,7 @@ def mega_decode_step(stacked: Dict[str, Array], x: Array,
     kernel = functools.partial(
         _mega_kernel, n_layers=n_layers, bb=bb, group=group, heads=heads,
         dkv=dkv, eps=eps, cdt=cdt, chunk=chunk, n_chunks=n_chunks,
-        quant=quant, mxu=mxu)
+        quant=quant, mxu=mxu, gated=gated)
 
     def chunk_clamped(c, idx_ref):
         live = idx_ref[0] // chunk + 1
@@ -436,8 +448,8 @@ def mega_decode_step(stacked: Dict[str, Array], x: Array,
         wspec(inner, d),                                 # wo_self
         wspec(d, inner),                                 # wq_cross
         wspec(inner, d),                                 # wo_cross
-        wspec(d, d_ff),                                  # wi
-        wspec(d_ff, d),                                  # wo_ff
+        wspec(d, d_ff_in),                               # wi
+        wspec(d_ff_out, d),                              # wo_ff
         const2(1, d),                                    # final ln
         const2(l, heads),                                # bias_row
         const2(1, heads),                                # bias0
@@ -565,7 +577,10 @@ def stack_decoder_weights(t5_params: Dict[str, Any], cfg,
             "wo_self": gs("self_attn", "o", "kernel").astype(cdt),
             "wq_cross": gs("cross_attn", "q", "kernel").astype(cdt),
             "wo_cross": gs("cross_attn", "o", "kernel").astype(cdt),
-            "wi": gs("ff", "wi", "kernel").astype(cdt),
+            "wi": (jnp.concatenate([gs("ff", "wi_0", "kernel"),
+                                    gs("ff", "wi_1", "kernel")], axis=2)
+                   if cfg.is_gated_act
+                   else gs("ff", "wi", "kernel")).astype(cdt),
             "wo_ff": gs("ff", "wo", "kernel").astype(cdt),
             "final_ln": jnp.asarray(
                 dec["final_norm"]["weight"])[None].astype(jnp.float32),
@@ -598,8 +613,13 @@ def stack_decoder_weights(t5_params: Dict[str, Any], cfg,
                                for i in range(n)]).astype(cdt),
         "wo_cross": jnp.stack([g(i, "cross_attn", "o", "kernel")
                                for i in range(n)]).astype(cdt),
-        "wi": jnp.stack([g(i, "ff", "wi", "kernel")
-                         for i in range(n)]).astype(cdt),
+        "wi": (jnp.stack([jnp.concatenate(
+                              [g(i, "ff", "wi_0", "kernel"),
+                               g(i, "ff", "wi_1", "kernel")], axis=1)
+                          for i in range(n)])
+               if cfg.is_gated_act
+               else jnp.stack([g(i, "ff", "wi", "kernel")
+                               for i in range(n)])).astype(cdt),
         "wo_ff": jnp.stack([g(i, "ff", "wo", "kernel")
                             for i in range(n)]).astype(cdt),
         "final_ln": jnp.asarray(
@@ -708,7 +728,7 @@ def make_mega_decode_fns(cfg, t5_params: Dict[str, Any], max_length: int,
             eps=cfg.layer_norm_epsilon, bb=bb, src=src,
             k_cross_scale=cache["cross"].get("k_scale"),
             v_cross_scale=cache["cross"].get("v_scale"),
-            interpret=interpret)
+            interpret=interpret, gated=cfg.is_gated_act)
         if src is not None:
             # the kernel already appended the k/v rows during the
             # permutation write-back — no DUS needed

@@ -132,10 +132,11 @@ def _pick_decode_fns(model: Vid2Seq, params, gen: GenerationConfig,
                 and not gen.use_nucleus_sampling
                 and gen.num_beams >= 1
                 and isinstance(params, dict) and "t5" in params
-                # the megakernel FF implements the relu (t5-base) form
-                # only; gated-gelu (t5-v1_1) configs keep the standard
-                # decode path rather than KeyError on wi_0/wi_1
-                and not model.cfg.t5.is_gated_act
+                # gated-gelu (t5-v1_1) streams wi as [d, 2*dff] and slices
+                # at dff inside the kernel — the split point must sit on a
+                # 128-lane boundary (always true for real v1_1 sizes)
+                and (not model.cfg.t5.is_gated_act
+                     or model.cfg.t5.d_ff % 128 == 0)
                 and beams in (1, 2, 4, 8))
     if use_mega:
         bb = beams * max(1, 8 // beams)
