@@ -248,6 +248,11 @@ class SentencePieceUnigramTokenizer(_TokenizerBase):
         self.piece_to_id: Dict[str, int] = {p: i for i, (p, _, _) in enumerate(pieces)}
         self.scores: List[float] = [s for (_, s, _) in pieces]
         self.max_piece_len = max(len(p) for (p, _, _) in pieces)
+        # proper prefixes of every piece: lets the Viterbi inner loop stop
+        # as soon as no piece can extend the current substring (same
+        # pruning as the native encoder)
+        self._prefixes = {p[:k] for (p, _, _) in pieces
+                          for k in range(1, len(p))}
         text_vocab_size = len(pieces) + extra_ids
         super().__init__(text_vocab_size, num_bins, num_sentinels=extra_ids)
         # unigram Viterbi needs an unk score penalty
@@ -287,22 +292,21 @@ class SentencePieceUnigramTokenizer(_TokenizerBase):
         for i in range(n):
             if best[i] == float("-inf"):
                 continue
-            matched = False
             for j in range(i + 1, min(n, i + self.max_piece_len) + 1):
-                pid = self.piece_to_id.get(s[i:j])
-                if pid is None:
-                    continue
-                matched = True
-                sc = best[i] + self.scores[pid]
-                if sc > best[j]:
-                    best[j] = sc
-                    back[j] = (i, pid)
+                sub = s[i:j]
+                pid = self.piece_to_id.get(sub)
+                if pid is not None:
+                    sc = best[i] + self.scores[pid]
+                    if sc > best[j]:
+                        best[j] = sc
+                        back[j] = (i, pid)
+                elif sub not in self._prefixes:
+                    break  # no piece extends this substring
             # unk fallback: consume one char
             sc = best[i] + self._unk_score
             if sc > best[i + 1]:
                 best[i + 1] = sc
                 back[i + 1] = (i, UNK_ID)
-            del matched
         ids: List[int] = []
         j = n
         while j > 0:
