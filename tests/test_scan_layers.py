@@ -212,19 +212,23 @@ def test_megakernel_weight_stacking_matches(models):
                                    rtol=0, atol=0, err_msg=k)
 
 
-def test_decoder_only_scan_matches_unrolled(models):
+@pytest.mark.parametrize("which", ["decoder", "encoder"])
+def test_per_stack_scan_matches_unrolled(models, which):
     """Per-stack granularity: scan_layers="decoder" scans only the decoder
-    (the throughput recipe — the L=1024 encoder stays unrolled/non-remat)."""
+    (the throughput recipe — the L=1024 encoder stays unrolled/non-remat);
+    "encoder" the converse."""
+    from vidchapters_tpu.models.torch_import import stack_scanned_layers
+
     m_u, _, p_u, _, batch = models
-    cfg_d = dataclasses.replace(m_u.cfg, scan_layers="decoder")
+    cfg_d = dataclasses.replace(m_u.cfg, scan_layers=which)
     m_d = T5ForConditionalGeneration(cfg_d)
+    other = "encoder" if which == "decoder" else "decoder"
     p_d = dict(p_u)
-    p_d["decoder"] = jax.tree.map(jnp.asarray, __import__(
-        "vidchapters_tpu.models.torch_import", fromlist=["x"]
-    ).stack_scanned_layers(jax.tree.map(np.asarray, p_u["decoder"])))
+    p_d[which] = jax.tree.map(jnp.asarray, stack_scanned_layers(
+        jax.tree.map(np.asarray, p_u[which])))
     rng = jax.random.PRNGKey(2)
     init_d = m_d.init({"params": rng, "dropout": rng}, **batch)["params"]
-    assert "blocks" in init_d["decoder"] and "block_0" in init_d["encoder"]
+    assert "blocks" in init_d[which] and "block_0" in init_d[other]
     out_u = m_u.apply({"params": p_u}, **batch, deterministic=True)
     out_d = m_d.apply({"params": p_d}, **batch, deterministic=True)
     np.testing.assert_allclose(np.asarray(out_d), np.asarray(out_u),
