@@ -38,6 +38,16 @@ def test_finds_speech_regions():
     assert abs(b1 / SAMPLE_RATE - 20.0) < 0.3
 
 
+def test_wall_to_wall_speech_is_one_segment():
+    """Fully-voiced audio (no silence for the adaptive floor to anchor on)
+    must be ONE speech segment, not skipped — the threshold ceiling."""
+    audio = tone(20)
+    segs = speech_segments(audio)
+    assert len(segs) == 1
+    a, b = segs[0]
+    assert a == 0 and b >= len(audio) - SAMPLE_RATE // 2
+
+
 def test_all_silence_and_empty():
     assert speech_segments(silence(8)) == []
     assert speech_segments(np.zeros(0, np.float32)) == []

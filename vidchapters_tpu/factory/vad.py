@@ -35,21 +35,25 @@ def _frame_energy_db(audio: np.ndarray, frame: int) -> np.ndarray:
 
 def speech_segments(audio: np.ndarray, sample_rate: int = SAMPLE_RATE,
                     frame_ms: int = 20, margin_db: float = 9.0,
-                    floor_db: float = -55.0, min_speech_ms: int = 200,
+                    floor_db: float = -55.0, ceil_db: float = -30.0,
+                    min_speech_ms: int = 200,
                     min_gap_ms: int = 300, pad_ms: int = 150,
                     ) -> List[Tuple[int, int]]:
     """Speech regions of mono float audio as [(start_sample, end_sample)).
 
     The threshold adapts to the recording's noise floor (10th-percentile
-    frame energy + ``margin_db``) and never drops below ``floor_db`` so
-    digital silence does not promote background hiss to speech.
+    frame energy + ``margin_db``), never drops below ``floor_db`` (digital
+    silence must not promote background hiss to speech) and never rises
+    above ``ceil_db`` — wall-to-wall loud audio has a HIGH 10th percentile,
+    and without the ceiling an adaptive threshold above every frame would
+    classify a fully-voiced recording as silence (skipping it entirely).
     """
     frame = max(1, sample_rate * frame_ms // 1000)
     e = _frame_energy_db(audio, frame)
     if len(e) == 0:
         return []
     noise_floor = float(np.percentile(e, 10))
-    thresh = max(noise_floor + margin_db, floor_db)
+    thresh = max(min(noise_floor + margin_db, ceil_db), floor_db)
     mask = e > thresh
     if not mask.any():
         return []
