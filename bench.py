@@ -46,6 +46,9 @@ def main() -> None:
     # 9.8 GB fragmentation); measured 32.9 videos/s (remat tax > tail win).
     # "decoder" scans only the short decoder stack + ViT, no remat.
     scan_env = os.environ.get("SCAN_LAYERS", "0")
+    if scan_env not in ("0", "1", "encoder", "decoder"):
+        raise SystemExit(f"SCAN_LAYERS must be 0|1|encoder|decoder, "
+                         f"got {scan_env!r}")
     t5_scan: object = {"0": False, "1": True}.get(scan_env, scan_env)
     cfg = Vid2SeqConfig(
         t5=T5Config(remat=t5_scan is True, scan_layers=t5_scan),

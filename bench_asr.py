@@ -51,7 +51,10 @@ def main() -> None:
         dt = jnp.dtype(a.dtype)
         params = jax.tree_util.tree_map(lambda x: x.astype(dt), params)
 
-    from vidchapters_tpu.ops.decoding import _permute_rows, make_decode_fns
+    from vidchapters_tpu.ops.decoding import (
+        make_decode_fns,
+        reorder_beam_cache,
+    )
     from vidchapters_tpu.ops.whisper_megakernel import make_whisper_mega_fns
 
     beams = max(a.beam, 1)
@@ -80,21 +83,9 @@ def main() -> None:
                 _, idx = jax.lax.top_k(flat, beams)
                 parent = (jnp.arange(a.batch)[:, None] * beams
                           + idx // logits.shape[-1]).reshape(-1)
-                # permute per-beam rows; beam-invariant leaves skip the
-                # gather — the shared cross KV on the standard path (rows
-                # b, not b*K) and the repeated-rows cross subtree on the
-                # mega path (identical within an example, so the gather is
-                # a semantic no-op on hundreds of MB)
-                def perm(x):
-                    return (_permute_rows(x, parent)
-                            if x.ndim and x.shape[0] == rows else x)
-
-                if isinstance(cache, dict) and "cross" in cache:
-                    cache = {k: (v if k == "cross"
-                                 else jax.tree_util.tree_map(perm, v))
-                             for k, v in cache.items()}
-                else:
-                    cache = jax.tree_util.tree_map(perm, cache)
+                # beam-invariant leaves (shared/repeated cross KV) skip
+                # the gather — same rules as production (ops.decoding)
+                cache = reorder_beam_cache(cache, parent)
                 nxt = (idx % logits.shape[-1]).reshape(-1).astype(jnp.int32)
             else:
                 nxt = jnp.argmax(logits, -1).astype(jnp.int32)

@@ -83,12 +83,13 @@ void* spm_create(const char* const* pieces, const double* scores, int64_t n,
 
 void spm_destroy(void* h) { delete static_cast<Encoder*>(h); }
 
-// Viterbi-encode one normalized UTF-8 string. Returns the id count, or
-// -needed when out_cap is too small (caller retries with a bigger buffer).
-int64_t spm_encode(void* handle, const char* text, int32_t* out_ids,
-                   int64_t out_cap) {
+// Viterbi-encode one normalized UTF-8 string of explicit byte length
+// (NOT NUL-terminated semantics: embedded NULs tokenize as unk, exactly
+// like the Python twin). Returns the id count, or -needed when out_cap
+// is too small (caller retries with a bigger buffer).
+int64_t spm_encode(void* handle, const char* text, int64_t n,
+                   int32_t* out_ids, int64_t out_cap) {
     const Encoder& e = *static_cast<Encoder*>(handle);
-    const int64_t n = static_cast<int64_t>(std::strlen(text));
     if (n == 0) return 0;
     std::vector<double> best(n + 1, kNegInf);
     std::vector<int64_t> back_pos(n + 1, -1);

@@ -56,6 +56,7 @@ def _load_lib():
     lib.spm_destroy.argtypes = [ctypes.c_void_p]
     lib.spm_encode.restype = ctypes.c_int64
     lib.spm_encode.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                               ctypes.c_int64,
                                ctypes.POINTER(ctypes.c_int32),
                                ctypes.c_int64]
     _handle = lib
@@ -89,13 +90,15 @@ class NativeSpmEncoder:
         """ids for an already-normalized string (caller applies the T5
         dummy-prefix/whitespace normalization, as in the Python path)."""
         raw = normalized_text.encode("utf-8")
+        # explicit byte length: embedded NULs must tokenize (as unk, like
+        # the Python twin), not truncate the transcript
         cap = len(raw) + 1  # every id consumes >= 1 byte
         out = (ctypes.c_int32 * cap)()
-        got = self._lib.spm_encode(self._h, raw, out, cap)
+        got = self._lib.spm_encode(self._h, raw, len(raw), out, cap)
         if got < 0:  # cannot happen given cap, but honor the protocol
             cap = -got
             out = (ctypes.c_int32 * cap)()
-            got = self._lib.spm_encode(self._h, raw, out, cap)
+            got = self._lib.spm_encode(self._h, raw, len(raw), out, cap)
         return list(out[:got])
 
 

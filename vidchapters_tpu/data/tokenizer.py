@@ -248,11 +248,7 @@ class SentencePieceUnigramTokenizer(_TokenizerBase):
         self.piece_to_id: Dict[str, int] = {p: i for i, (p, _, _) in enumerate(pieces)}
         self.scores: List[float] = [s for (_, s, _) in pieces]
         self.max_piece_len = max(len(p) for (p, _, _) in pieces)
-        # proper prefixes of every piece: lets the Viterbi inner loop stop
-        # as soon as no piece can extend the current substring (same
-        # pruning as the native encoder)
-        self._prefixes = {p[:k] for (p, _, _) in pieces
-                          for k in range(1, len(p))}
+        self._prefix_set = None  # built lazily by the Python path
         text_vocab_size = len(pieces) + extra_ids
         super().__init__(text_vocab_size, num_bins, num_sentinels=extra_ids)
         # unigram Viterbi needs an unk score penalty
@@ -277,6 +273,18 @@ class SentencePieceUnigramTokenizer(_TokenizerBase):
     def _normalize(self, text: str) -> str:
         text = re.sub(r"\s+", " ", text.strip())
         return _WS + text.replace(" ", _WS)
+
+    @property
+    def _prefixes(self):
+        # proper prefixes of every piece: lets the Viterbi inner loop stop
+        # as soon as no piece can extend the current substring (same
+        # pruning as the native encoder). Built lazily — the ~150k
+        # substring set is wasted memory when the native path handles all
+        # encoding (the common case).
+        if self._prefix_set is None:
+            self._prefix_set = {p[:k] for (p, _, _) in self.pieces
+                                for k in range(1, len(p))}
+        return self._prefix_set
 
     def _encode_text(self, text: str) -> List[int]:
         if not text.strip():

@@ -82,12 +82,17 @@ class CLIPFeatureExtractor:
         self._encode = jax.jit(
             lambda p, x: encoder.apply({"params": p}, x))
 
+    # in-flight device batches: enough to overlap H2D/compute/D2H, small
+    # enough that a multi-hour video (thousands of frames) never holds
+    # more than a few input/output buffers in HBM at once
+    MAX_IN_FLIGHT = 3
+
     def __call__(self, frames: np.ndarray) -> np.ndarray:
         """[T, H, W, 3] uint8 or preprocessed float -> [T, D] features.
 
-        All chunks are DISPATCHED before any result is fetched — jax
-        execution is async, so host D2H conversion of chunk i overlaps the
-        device encoding of chunk i+1 instead of serializing per batch."""
+        Chunks are dispatched ahead of the fetches (jax execution is
+        async, so host D2H of chunk i overlaps device encode of chunk
+        i+1) with a bounded in-flight window."""
         import jax.numpy as jnp
 
         if frames.dtype == np.uint8:
@@ -95,6 +100,7 @@ class CLIPFeatureExtractor:
         bs = self.batch_size
         n = len(frames)
         pending = []
+        feats = []
         for s in range(0, n, bs):
             chunk = frames[s:s + bs]
             keep = len(chunk)
@@ -103,8 +109,11 @@ class CLIPFeatureExtractor:
                 chunk = np.concatenate([chunk, pad])
             pending.append((self._encode(self.params, jnp.asarray(chunk)),
                             keep))
-        return np.concatenate(
-            [np.asarray(out)[:keep] for out, keep in pending], axis=0)
+            if len(pending) >= self.MAX_IN_FLIGHT:
+                out, k = pending.pop(0)
+                feats.append(np.asarray(out)[:k])
+        feats.extend(np.asarray(out)[:k] for out, k in pending)
+        return np.concatenate(feats, axis=0)
 
 
 def extract_features_sharded(video_paths: Sequence[str], out_dir: str,

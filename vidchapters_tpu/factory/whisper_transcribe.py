@@ -91,8 +91,8 @@ class JaxWhisperTranscriber:
         import jax.numpy as jnp
 
         from vidchapters_tpu.ops.decoding import (
-            _permute_rows,
             make_decode_fns,
+            reorder_beam_cache,
         )
 
         if param_dtype is not None:
@@ -273,22 +273,9 @@ class JaxWhisperTranscriber:
                 parent = idx // vocab
                 tok = (idx % vocab).astype(jnp.int32)
                 flatsel = (jnp.arange(b)[:, None] * K + parent).reshape(-1)
-                # permute per-beam rows only; beam-invariant leaves are
-                # left untouched — the shared per-example cross KV on the
-                # standard path (rows b, caught by the shape guard) and
-                # the repeated-rows "cross" subtree on the megakernel path
-                # (identical within an example, so the gather would copy
-                # hundreds of MB for a semantic no-op)
-                def _perm(x):
-                    return (_permute_rows(x, flatsel)
-                            if x.ndim and x.shape[0] == b * K else x)
-
-                if isinstance(cache, dict) and "cross" in cache:
-                    cache = {k: (v if k == "cross"
-                                 else jax.tree_util.tree_map(_perm, v))
-                             for k, v in cache.items()}
-                else:
-                    cache = jax.tree_util.tree_map(_perm, cache)
+                # beam-invariant leaves (the shared/repeated cross KV)
+                # skip the gather — rules live in ops.decoding
+                cache = reorder_beam_cache(cache, flatsel)
                 seqbuf = jnp.take_along_axis(seqbuf, parent[..., None],
                                              axis=1)
                 pdone = jnp.take_along_axis(done, parent, axis=1)

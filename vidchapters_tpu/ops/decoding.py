@@ -197,6 +197,28 @@ def _permute_rows(x: Array, src: Array) -> Array:
     return out.astype(x.dtype).reshape(x.shape)
 
 
+def reorder_beam_cache(cache, flat_src: Array):
+    """Permute a decode cache's per-beam rows to follow surviving beams.
+
+    The ONE place the skip rules live (beam_search, the Whisper
+    transcriber's beam loop, and bench_asr all route here): leaves under
+    any ``cross`` key are beam-invariant — per-example KV shared by the
+    grouped attention path, or mega-path rows repeated per beam — so the
+    gather on those multi-hundred-MB buffers would be a semantic no-op;
+    every other leaf permutes when its leading dim is the beam-flat row
+    count (``_permute_rows`` picks gather vs one-hot matmul by size)."""
+    rows = flat_src.shape[0]
+
+    def reorder(path, x):
+        if any(getattr(k, "key", None) == "cross" for k in path):
+            return x
+        if getattr(x, "ndim", 0) and x.shape[0] == rows:
+            return _permute_rows(x, flat_src)
+        return x
+
+    return jax.tree_util.tree_map_with_path(reorder, cache)
+
+
 def _topk_iterative(x: Array, k: int) -> Tuple[Array, Array]:
     """``lax.top_k`` for small k via k max/argmax sweeps.
 
@@ -357,12 +379,7 @@ def beam_search(fns: DecodeFns, enc_out: Array, enc_mask: Array,
         if fns.reorder_cache is not None:
             cache = fns.reorder_cache(cache, flat_src)
         else:
-            def reorder(path, x):
-                if any(getattr(k, "key", None) == "cross" for k in path):
-                    return x
-                return _permute_rows(x, flat_src)
-
-            cache = jax.tree_util.tree_map_with_path(reorder, cache)
+            cache = reorder_beam_cache(cache, flat_src)
 
         return (i + 1, running_seqs, running_scores, finished_seqs,
                 finished_scores, finished_flags, new_tokens, cache)

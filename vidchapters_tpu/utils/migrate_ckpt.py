@@ -29,7 +29,8 @@ def _detect_vid2seq(tree: Any) -> Any:
     raise ValueError(f"unrecognized param tree (top keys: {list(tree)})")
 
 
-def migrate_params(tree: Any, to: str, t5_stacks: Any = True) -> Any:
+def migrate_params(tree: Any, to: str, t5_stacks: Any = True,
+                   vit: bool = True) -> Any:
     from vidchapters_tpu.models.torch_import import (
         scan_vid2seq_params,
         stack_scanned_layers,
@@ -40,7 +41,7 @@ def migrate_params(tree: Any, to: str, t5_stacks: Any = True) -> Any:
     wrapped = _detect_vid2seq(tree)
     bare_t5 = wrapped is not tree
     if to == "scanned":
-        out = scan_vid2seq_params(wrapped, t5=t5_stacks, vit=True)
+        out = scan_vid2seq_params(wrapped, t5=t5_stacks, vit=vit)
     elif to == "unrolled":
         out = dict(wrapped)
         out["t5"] = unscan_t5_params(wrapped["t5"])
@@ -63,6 +64,10 @@ def main(args=None) -> None:
                    help="which T5 stacks to scan (mirrors "
                         "T5Config.scan_layers; 'decoder' is the "
                         "throughput recipe)")
+    p.add_argument("--vit", default="scan", choices=["scan", "keep"],
+                   help="'keep' leaves the visual tower unrolled when "
+                        "migrating --to scanned (matches configs with "
+                        "TemporalViTConfig.scan_layers=False)")
     a = p.parse_args(args)
 
     import jax
@@ -70,24 +75,23 @@ def main(args=None) -> None:
     from vidchapters_tpu.runtime.checkpoint import CheckpointManager, _HAS_ORBAX
 
     src = Path(a.src)
-    if _HAS_ORBAX and (src / a.name).exists():
-        import orbax.checkpoint as ocp
-
-        raw = ocp.StandardCheckpointer().restore((src / a.name).absolute())
-    else:
-        import numpy as np
-
-        npz = np.load(str(src / a.name) + ".npz")
+    if not (src / a.name).exists():
+        raise SystemExit(f"checkpoint not found: {src / a.name}")
+    if not _HAS_ORBAX:
         # the flat-npz fallback cannot reconstruct nesting without a
         # template; orbax is present in all supported environments
-        raise SystemExit("npz checkpoints need orbax to migrate")
+        raise SystemExit("checkpoint migration needs orbax")
+    import orbax.checkpoint as ocp
+
+    raw = ocp.StandardCheckpointer().restore((src / a.name).absolute())
     params = raw[0] if isinstance(raw, (list, tuple)) else raw
     stacks = True if a.t5_stacks == "both" else a.t5_stacks
-    migrated = migrate_params(params, a.to, t5_stacks=stacks)
+    migrated = migrate_params(params, a.to, t5_stacks=stacks,
+                              vit=a.vit == "scan")
     mgr = CheckpointManager(a.dst)
     mgr._save_tree(a.name, (migrated,),
                    {"layout": a.to, "migrated_from": str(src / a.name),
-                    "t5_stacks": a.t5_stacks})
+                    "t5_stacks": a.t5_stacks, "vit": a.vit})
     n = sum(x.size for x in jax.tree_util.tree_leaves(migrated))
     print(f"wrote {a.dst}/{a.name} ({a.to}, {n} params)")
 
