@@ -199,6 +199,30 @@ def test_migrate_ckpt_cli_roundtrip(tmp_path, models):
         lambda a, b: np.testing.assert_array_equal(
             np.asarray(a), np.asarray(b)), restored_u, tree)
 
+    # mixed layout: scanned T5 + unrolled ViT (--vit keep)
+    vit_tree = {"t5": p_u,
+                "visual_encoder": {"block_0": {"w": np.ones((2, 2))},
+                                   "norm": {"scale": np.ones((2,))}}}
+    src2 = tmp_path / "ckpt2"
+    CheckpointManager(str(src2))._save_tree("best", (vit_tree,), {})
+    dst2 = tmp_path / "ckpt2_scanned"
+    migrate_main(["--src", str(src2), "--name", "best", "--dst", str(dst2),
+                  "--to", "scanned", "--t5-stacks", "decoder",
+                  "--vit", "keep"])
+    import orbax.checkpoint as ocp
+
+    raw = ocp.StandardCheckpointer().restore(
+        (dst2 / "best").absolute())
+    got = raw[0] if isinstance(raw, (list, tuple)) else raw
+    assert "blocks" in got["t5"]["decoder"]
+    assert "block_0" in got["t5"]["encoder"]          # decoder-only scan
+    assert "block_0" in got["visual_encoder"]         # vit kept unrolled
+
+    # missing checkpoint -> clear error
+    with pytest.raises(SystemExit, match="not found"):
+        migrate_main(["--src", str(src2), "--name", "nope", "--dst",
+                      str(dst2), "--to", "scanned"])
+
 
 def test_megakernel_weight_stacking_matches(models):
     from vidchapters_tpu.ops.decode_megakernel import stack_decoder_weights
