@@ -72,3 +72,45 @@ def test_align_words_end_to_end():
     assert [w["word"] for w in words] == ["hello", "wor", "ld"]
     for w in words:
         assert 0 <= w["start"] <= w["end"] <= 1.0 + 1e-6
+
+
+@pytest.mark.slow
+def test_demo_align_segments_schema():
+    """demo_asr.align_segments: word timings per segment in the whisperx
+    output schema (words per segment + flat word_segments), offsets
+    anchored at each segment's start."""
+    import jax
+    import jax.numpy as jnp
+
+    from vidchapters_tpu.demo.demo_asr import align_segments
+    from vidchapters_tpu.factory.audio import SAMPLE_RATE
+    from vidchapters_tpu.models.whisper import Whisper, WhisperConfig
+
+    cfg = WhisperConfig(vocab_size=100, num_mel_bins=80, d_model=32,
+                        encoder_layers=1, decoder_layers=2, num_heads=4,
+                        d_ff=64, max_source_positions=1500,
+                        max_target_positions=16, dtype="float32")
+    model = Whisper(cfg)
+    params = model.init({"params": jax.random.PRNGKey(0)},
+                        jnp.zeros((1, 80, 3000), jnp.float32),
+                        jnp.ones((1, 4), jnp.int32))["params"]
+
+    class FakeTok:
+        def encode(self, text, add_special_tokens=False):
+            return [10 + i for i, _ in enumerate(text.split())]
+
+        def decode(self, ids):
+            return f" w{ids[0] - 10}"  # every token starts a word
+
+    audio = np.random.default_rng(0).normal(
+        size=(SAMPLE_RATE * 40,)).astype(np.float32) * 0.1
+    segments = [{"text": "hello there world", "start": 2.0, "end": 6.0},
+                {"text": "", "start": 31.0, "end": 33.0}]
+    out = align_segments(model, params, FakeTok(), audio, segments)
+    assert set(out) == {"segments", "word_segments"}
+    words = out["segments"][0]["words"]
+    assert [w["word"] for w in words] == ["w0", "w1", "w2"]
+    for w in words:
+        assert 2.0 <= w["start"] <= w["end"] <= 2.0 + 30.0 + 1e-6
+    assert out["segments"][1]["words"] == []
+    assert out["word_segments"] == words

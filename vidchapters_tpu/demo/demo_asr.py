@@ -19,8 +19,55 @@ import argparse
 from vidchapters_tpu.utils.io import save_pickle
 
 
+def align_segments(model, params, tokenizer, audio, segments) -> dict:
+    """Word-level timings for transcribed segments via cross-attention DTW
+    (factory/align.py) — the role whisperx.align plays in the reference
+    demo (demo_asr.py:21-26). Output mirrors whisperx's schema: each
+    segment gains ``words`` and a flat ``word_segments`` list is added."""
+    import numpy as np
+
+    from vidchapters_tpu.factory.align import align_words
+    from vidchapters_tpu.factory.audio import (
+        N_SAMPLES,
+        SAMPLE_RATE,
+        log_mel_spectrogram,
+    )
+
+    word_segments = []
+    for seg in segments:
+        ids = tokenizer.encode(seg["text"], add_special_tokens=False)
+        if not ids:
+            seg["words"] = []
+            continue
+        # group BPE pieces into words: the word's full text rides its
+        # first token, continuations pass "" (align_words merge rule)
+        pieces = [tokenizer.decode([t]) for t in ids]
+        token_words = []
+        widx = []  # indices of word-initial tokens
+        for i, piece in enumerate(pieces):
+            if piece.startswith(" ") or not widx:
+                widx.append(i)
+                token_words.append(piece.strip())
+            else:
+                token_words[-1] += piece
+        tw = [""] * len(ids)
+        for k, i in enumerate(widx):
+            tw[i] = token_words[k]
+        s0 = int(seg["start"] * SAMPLE_RATE)
+        window = audio[s0: s0 + N_SAMPLES]
+        mel = log_mel_spectrogram(window)
+        words = align_words(model, params, np.asarray(mel), ids, tw,
+                            audio_seconds=len(window) / SAMPLE_RATE)
+        for w in words:
+            w["start"] = round(w["start"] + seg["start"], 3)
+            w["end"] = round(w["end"] + seg["start"], 3)
+        seg["words"] = words
+        word_segments.extend(words)
+    return {"segments": segments, "word_segments": word_segments}
+
+
 def jax_transcribe(audio_path: str, model_name: str = "large-v2",
-                   vad: bool = False) -> dict:
+                   vad: bool = False, align: bool = False) -> dict:
     """TPU-native path: HF weights -> JAX Whisper -> chunked decode."""
     from transformers import WhisperTokenizer
 
@@ -34,15 +81,18 @@ def jax_transcribe(audio_path: str, model_name: str = "large-v2",
     tok = WhisperTokenizer.from_pretrained(hf_name)
     tr = JaxWhisperTranscriber(model, params, decode_tokens=tok.decode,
                                vad=vad)
-    out = tr.transcribe(load_audio(audio_path))
-    return {"segments": [
-        {"text": t, "start": s, "end": e}
-        for t, s, e in zip(out["text"], out["start"], out["end"])]}
+    audio = load_audio(audio_path)
+    out = tr.transcribe(audio)
+    segments = [{"text": t, "start": s, "end": e}
+                for t, s, e in zip(out["text"], out["start"], out["end"])]
+    if align:
+        return align_segments(model, tr.params, tok, audio, segments)
+    return {"segments": segments}
 
 
 def transcribe(video_path: str, model_name: str = "large-v2",
                device: str = "cpu", backend: str = "jax",
-               vad: bool = False) -> dict:
+               vad: bool = False, align: bool = False) -> dict:
     if backend == "whisperx":
         import whisper
         import whisperx
@@ -58,7 +108,7 @@ def transcribe(video_path: str, model_name: str = "large-v2",
 
         return make_hf_whisper_transcribe(f"openai/whisper-{model_name}",
                                           device)(video_path)
-    return jax_transcribe(video_path, model_name, vad=vad)
+    return jax_transcribe(video_path, model_name, vad=vad, align=align)
 
 
 def main(args=None) -> None:
@@ -72,9 +122,12 @@ def main(args=None) -> None:
     p.add_argument("--vad", action="store_true",
                    help="energy-VAD silence skipping (the role whisperx's "
                         "pyannote VAD plays in the reference --faster path)")
+    p.add_argument("--align", action="store_true",
+                   help="word-level timings via cross-attention DTW (the "
+                        "whisperx.align step of the reference demo)")
     a = p.parse_args(args)
     result = transcribe(a.video_path, a.model, a.device, a.backend,
-                        vad=a.vad)
+                        vad=a.vad, align=a.align)
     save_pickle(result, a.out)
     print(f"wrote {a.out} ({len(result['segments'])} segments)")
 
