@@ -289,8 +289,6 @@ def test_load_serving_params_torch_and_orbax(tmp_path):
 def test_load_serving_params_torch_scanned(tmp_path):
     """serve --ckpt <released .pth> under a scan_layers config restacks
     the imported tree to the scanned layout."""
-    import dataclasses
-
     import pytest
 
     torch = pytest.importorskip("torch")

@@ -33,7 +33,6 @@ def migrate_params(tree: Any, to: str, t5_stacks: Any = True,
                    vit: bool = True) -> Any:
     from vidchapters_tpu.models.torch_import import (
         scan_vid2seq_params,
-        stack_scanned_layers,
         unscan_stacked_layers,
         unscan_t5_params,
     )
