@@ -168,12 +168,19 @@ def deformable_sampling_1d(value: Array, spatial_shapes: Sequence[int],
 def _level_kernel(loc_ref, attn_ref, value_ref, out_ref, *, t_l: int):
     """One (batch, head) tile of one level.
 
-    loc_ref/attn_ref: [Lq, P]; value_ref: [T_l, D]; out_ref: [Lq, D].
-    Builds the attention-folded two-banded interpolation matrix in VMEM via
-    iota comparison and contracts it on the MXU.
+    Operands arrive head-major ([N, M, ...]) so every BlockSpec's last two
+    dims equal the array dims — Mosaic requires the trailing block dims to
+    be (8k, 128k) or exactly the array dims, and the original query-major
+    layout blocked the head axis to 1 in the second-minor position, which
+    does not lower on hardware (caught by tpu_parity.py).
+
+    loc_ref/attn_ref: [1, 1, Lq, P]; value_ref: [1, 1, T_l, D];
+    out_ref: [1, 1, Lq, D]. Builds the attention-folded two-banded
+    interpolation matrix in VMEM via iota comparison and contracts it on
+    the MXU.
     """
-    loc = loc_ref[0, :, 0, :].astype(jnp.float32)
-    attn = attn_ref[0, :, 0, :].astype(jnp.float32)
+    loc = loc_ref[0, 0].astype(jnp.float32)
+    attn = attn_ref[0, 0].astype(jnp.float32)
     px = loc * t_l - 0.5
     x0 = jnp.floor(px)
     w1 = px - x0
@@ -185,37 +192,45 @@ def _level_kernel(loc_ref, attn_ref, value_ref, out_ref, *, t_l: int):
     band = ((t_iota == x0i[..., None]).astype(jnp.float32) * (attn * w0)[..., None]
             + (t_iota == x1i[..., None]).astype(jnp.float32) * (attn * w1)[..., None])
     w_mat = band.sum(axis=1)  # [Lq, T_l]
-    out_ref[0, :, 0, :] = jnp.dot(w_mat, value_ref[0, :, 0, :].astype(jnp.float32),
-                                  preferred_element_type=jnp.float32)
+    out_ref[0, 0] = jnp.dot(w_mat, value_ref[0, 0].astype(jnp.float32),
+                            preferred_element_type=jnp.float32)
 
 
 def _pallas_level(value_l: Array, loc_l: Array, attn_l: Array, t_l: int,
                   interpret: bool = False) -> Array:
-    """value_l: [N, T, M, D]; loc_l/attn_l: [N, Lq, M, P] -> [N, Lq, M, D]."""
+    """value_l: [N, T, M, D]; loc_l/attn_l: [N, Lq, M, P] -> [N, Lq, M, D].
+
+    Operands are transposed head-major outside the kernel (cheap XLA
+    copies) so the per-(batch, head) blocks are Mosaic-legal; see
+    _level_kernel's docstring.
+    """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     n, t, m, d = value_l.shape
-    lq = loc_l.shape[1]
+    lq, p = loc_l.shape[1], loc_l.shape[-1]
+    loc_t = jnp.transpose(loc_l, (0, 2, 1, 3))      # [N, M, Lq, P]
+    attn_t = jnp.transpose(attn_l, (0, 2, 1, 3))    # [N, M, Lq, P]
+    value_t = jnp.transpose(value_l, (0, 2, 1, 3))  # [N, M, T, D]
     kernel = functools.partial(_level_kernel, t_l=t_l)
     grid = (n, m)
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, lq, 1, loc_l.shape[-1]),
-                         lambda i, j: (i, 0, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, lq, 1, attn_l.shape[-1]),
-                         lambda i, j: (i, 0, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, t, 1, d), lambda i, j: (i, 0, j, 0),
+            pl.BlockSpec((1, 1, lq, p), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, lq, p), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, t, d), lambda i, j: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, lq, 1, d), lambda i, j: (i, 0, j, 0),
+        out_specs=pl.BlockSpec((1, 1, lq, d), lambda i, j: (i, j, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, lq, m, d), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n, m, lq, d), jnp.float32),
         interpret=interpret,
-    )(loc_l, attn_l, value_l)
-    return out
+    )(loc_t, attn_t, value_t)
+    return jnp.transpose(out, (0, 2, 1, 3))  # [N, Lq, M, D]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 4))
