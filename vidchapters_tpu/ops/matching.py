@@ -43,31 +43,45 @@ def scipy_lsap(cost: np.ndarray, n_valid: int) -> np.ndarray:
     return out
 
 
-def auction_lsap(cost: Array, valid: Array, num_iters: int = 1500,
-                 eps: float = 1e-7, phases: int = 6,
+def auction_lsap(cost: Array, valid: Array, num_iters: int = 4000,
+                 eps: float = 1e-4, phases: int = 7,
                  theta: float = 10.0) -> Array:
     """Min-cost assignment fully on device.
 
     Forward auction over targets bidding for queries: each unassigned valid
     target bids for its best query with an increment (best - second best +
-    eps). Two regimes, chosen statically from the shapes (measured in
-    tests/test_span_ops_matching.py::test_auction_agreement_at_pdvc_scale):
+    eps). ONE code path for every validity count: invalid (padding) targets
+    carry -BIG values and are excluded from the convergence condition, so
+    typical instances settle in a handful of rounds.
 
-    - SPARSE (T < Q, the usual PDVC/grounding case): a single phase at a
-      fixed small eps, run to convergence under a round cap (the while
-      loop exits as soon as everyone is assigned, so typical instances pay
-      only tens of rounds). With free queries available eviction cascades
-      terminate; measured near-exact vs scipy at Q=100 up to T = 90
-      (max relative cost gap 8e-6 over PDVC-like costs).
-    - DENSE (T = Q): padded to a SQUARE assignment with indifferent dummy
-      targets, then Bertsekas eps-scaling — ``phases`` rounds with eps
-      shrinking geometrically from half the value range, prices persisting
-      and assignments resetting per phase, each phase run to convergence.
-      A single fixed-eps pass left half the targets unassigned at
-      Q = T = 100; eps-scaling with persistent prices is only valid for
-      symmetric problems (asymmetric coarse phases inflate good-query
-      prices and later phases settle elsewhere), and all-indifferent
-      dummies make small-T square problems glacial — hence the split.
+    Straggler escape — escalating-eps continuation: if the fixed-eps pass
+    hits its round cap with valid targets still unassigned (a price war:
+    bids advance prices only ~eps per round, so a war over a value gap g
+    needs ~g/eps rounds), up to ``phases - 1`` continuation stages re-run
+    the bidding with eps multiplied by ``theta`` per stage. Assignments and
+    prices PERSIST across stages — eps1-CS states remain eps2-CS for
+    eps2 > eps1, so the final matching is (t * eps_final)-optimal where
+    eps_final is the largest eps any straggler actually used; instances
+    that converge in stage one keep the base-eps near-exactness. Defaults
+    were grid-searched over tight (0.01-quantized), PDVC-focal, and
+    normal cost distributions at Q=100, T in {5,50,75,100} incl. fully
+    dense: eps=1e-4 / cap 4000 / 7 stages gives 144/144 instances within
+    1e-4 relative of the scipy optimum (max gap 6.1e-5) — convergence,
+    not eps, is the binding constraint, so the cap matters more than a
+    finer eps (1e-5 at cap 1500 measured 3.5e-2 worst-case).
+
+    History (tpu_parity.py finding, round 3): this function used to pick a
+    DENSE regime statically whenever the PADDED target count equalled Q,
+    padding invalids as indifferent zero-value dummies and running
+    price-resetting eps-scaling. Production PDVC pads targets to
+    Q = 100, so real instances with a few valid targets ran the dummy
+    path, whose cap-truncated phases + greedy completion produced
+    cap-dependent, backend-dependent assignments (measured 6.5% above
+    optimal on a T=5 instance on TPU that was exact on CPU). The single
+    sparse-style path with -BIG invalids is exact on those instances in
+    1-2 rounds, and handles the genuinely dense square case as well
+    (max relative cost gap 5.7e-6 over 30 random T=Q=100 instances,
+    <=1117 rounds).
 
     A final greedy sweep assigns any still-unassigned target to its best
     free query, so the result is always a complete matching.
@@ -75,36 +89,16 @@ def auction_lsap(cost: Array, valid: Array, num_iters: int = 1500,
     cost: [Q, T]; valid: [T] bool. Returns [T] assigned query per target
     (-1 for invalid targets).
     """
-    q, t_real = cost.shape
-    # t_real may exceed q: T is a padded static max and surplus (or
+    q, t = cost.shape
+    # t may exceed q: T is a padded static max and surplus (or
     # unmatched-when-T>Q) targets simply stay at -1
-    dense = t_real == q
-    if dense:
-        # [T, Q] values; invalid + dummy rows are indifferent (0 everywhere)
-        # and absorb the unmatched queries
-        value_real = jnp.where(valid[:, None], -cost.T, 0.0)
-        value = jnp.concatenate(
-            [value_real, jnp.zeros((q - t_real, q), value_real.dtype)],
-            axis=0)
-        t = q  # symmetric from here on
-        valid_sq = jnp.ones((t,), bool)
-        finite = jnp.where(valid[:, None], value_real, jnp.nan)
-        vrange = jnp.nan_to_num(
-            jnp.nanmax(finite) - jnp.nanmin(finite), nan=1.0)
-        eps0 = jnp.maximum(vrange * 0.5, eps)
-    else:
-        value = jnp.where(valid[:, None], -cost.T, -BIG)
-        t = t_real
-        valid_sq = valid
-        eps0 = jnp.float32(max(eps, 1e-3))
-        phases = 1
-
-    prices0 = jnp.zeros(q)
-    assign0 = jnp.full(t, -1, jnp.int32)  # target -> query
+    valid_b = valid > 0
+    value = jnp.where(valid_b[:, None], -cost.T, -BIG)  # [T, Q]
+    eps0 = jnp.float32(eps)
 
     def round_body(state, phase_eps):
         prices, owner, assign = state
-        unassigned = (assign < 0) & valid_sq
+        unassigned = (assign < 0) & valid_b
         net = value - prices[None, :]  # [T, Q]
         best_q = jnp.argmax(net, axis=1)
         best_v = jnp.max(net, axis=1)
@@ -135,18 +129,17 @@ def auction_lsap(cost: Array, valid: Array, num_iters: int = 1500,
             jnp.arange(q, dtype=jnp.int32), mode="drop")
         return new_prices, new_owner, assign
 
-    def phase_body(k, carry):
-        prices, _, _ = carry
-        if dense:
-            phase_eps = jnp.maximum(
-                eps0 / (theta ** k.astype(jnp.float32)), eps)
-        else:
-            phase_eps = eps0
-        # assignments reset each phase; prices persist. Each phase runs to
-        # convergence (everyone assigned = eps-CS holds) or the round cap —
-        # eps-scaling's correctness needs converged phases, and warm prices
-        # make later fine-eps phases converge in few rounds.
-        state = (jnp.int32(0), prices, jnp.full(q, -1, jnp.int32), assign0)
+    # continuation stages pay a fraction of the base cap: they only matter
+    # for rare cap-hitting stragglers, and an unassignable instance
+    # (T_valid > Q) should not burn phases * num_iters rounds
+    stage_cap = max(num_iters // 4, 64)
+
+    def stage_body(k, carry):
+        prices, owner, assign = carry
+        phase_eps = eps0 * jnp.power(jnp.float32(theta),
+                                     jnp.asarray(k, jnp.float32))
+        cap = jnp.where(k == 0, num_iters, stage_cap)
+        state = (jnp.int32(0), prices, owner, assign)
 
         def cond(s):
             it, _, _, assign = s
@@ -154,7 +147,7 @@ def auction_lsap(cost: Array, valid: Array, num_iters: int = 1500,
             # invalid (padding) targets stay at -1 forever, and counting
             # them ran every instance to the full num_iters cap (measured
             # 593 of 613 ms/step of PDVC train, bench_profile_aux.py)
-            return (it < num_iters) & jnp.any((assign < 0) & valid_sq)
+            return (it < cap) & jnp.any((assign < 0) & valid_b)
 
         def step(s):
             it, prices, owner, assign = s
@@ -166,14 +159,16 @@ def auction_lsap(cost: Array, valid: Array, num_iters: int = 1500,
         return prices, owner, assign
 
     _, _, assign = jax.lax.fori_loop(
-        0, phases, phase_body, (prices0, jnp.full(q, -1, jnp.int32), assign0))
+        0, phases, stage_body,
+        (jnp.zeros(q), jnp.full(q, -1, jnp.int32),
+         jnp.full(t, -1, jnp.int32)))
 
     # completion sweep: one unassigned target per round takes its best
     # still-free query (guarantees a complete matching in <= T rounds)
     def complete_body(_, assign):
         free_q = jnp.ones(q, bool).at[
             jnp.where(assign >= 0, assign, q)].set(False, mode="drop")
-        unassigned = (assign < 0) & valid_sq
+        unassigned = (assign < 0) & valid_b
         idx = jnp.argmax(unassigned)
         row = jnp.where(free_q, jnp.take(value, idx, axis=0), -BIG)
         best = jnp.argmax(row).astype(jnp.int32)
@@ -181,7 +176,7 @@ def auction_lsap(cost: Array, valid: Array, num_iters: int = 1500,
                          assign.at[idx].set(best), assign)
 
     assign = jax.lax.fori_loop(0, t, complete_body, assign)
-    return jnp.where(valid, assign[:t_real], -1)
+    return jnp.where(valid_b, assign, -1)
 
 
 
