@@ -73,6 +73,21 @@ def test_align_words_end_to_end():
     for w in words:
         assert 0 <= w["start"] <= w["end"] <= 1.0 + 1e-6
 
+    # teacher-forced prefix rows (whisper SOT sequence role) are stripped
+    # before the DTW: same words, same bounds
+    words_p = align_words(model, params, mel, tokens,
+                          ["", "hello", "wor", "", "ld"], audio_seconds=1.0,
+                          prefix_ids=(7, 8))
+    assert [w["word"] for w in words_p] == ["hello", "wor", "ld"]
+    for w in words_p:
+        assert 0 <= w["start"] <= w["end"] <= 1.0 + 1e-6
+
+    # zero real audio frames must not crash (whisper's trailing window can
+    # place a segment start at/past the end of the audio)
+    assert align_words(model, params, mel, tokens,
+                       ["", "hello", "wor", "", "ld"],
+                       audio_seconds=0.0) == []
+
 
 @pytest.mark.slow
 def test_demo_align_segments_schema():
@@ -105,12 +120,18 @@ def test_demo_align_segments_schema():
     audio = np.random.default_rng(0).normal(
         size=(SAMPLE_RATE * 40,)).astype(np.float32) * 0.1
     segments = [{"text": "hello there world", "start": 2.0, "end": 6.0},
-                {"text": "", "start": 31.0, "end": 33.0}]
+                {"text": "", "start": 31.0, "end": 33.0},
+                {"text": "ghost words", "start": 45.0, "end": 47.0}]
     out = align_segments(model, params, FakeTok(), audio, segments)
     assert set(out) == {"segments", "word_segments"}
     words = out["segments"][0]["words"]
     assert [w["word"] for w in words] == ["w0", "w1", "w2"]
+    # the alignment window is trimmed to the segment: every word timing
+    # (incl. the LAST word, which complete DTW pins to the window's final
+    # frame) stays inside [start, end], not [start, start + 30 s]
     for w in words:
-        assert 2.0 <= w["start"] <= w["end"] <= 2.0 + 30.0 + 1e-6
-    assert out["segments"][1]["words"] == []
+        assert 2.0 <= w["start"] <= w["end"] <= 6.0 + 1e-6
+    assert out["segments"][1]["words"] == []  # empty text
+    # start past the end of the audio: skipped, not a crash
+    assert out["segments"][2]["words"] == []
     assert out["word_segments"] == words

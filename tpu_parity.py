@@ -386,6 +386,8 @@ def check_auction():
         c_ref = sum(cost[ref[t], t] for t in range(n_valid) if ref[t] >= 0)
         assert sum(ours[t] >= 0 for t in range(n_valid)) == n_valid, \
             f"unassigned valid targets at n={n_valid}"
+        assert len(set(ours[:n_valid].tolist())) == n_valid, \
+            f"duplicate query assignment at n={n_valid}"
         rel = abs(c_ours - c_ref) / max(abs(c_ref), 1e-6)
         worst = max(worst, rel)
     assert worst < 0.01, f"worst rel cost gap {worst}"

@@ -26,19 +26,38 @@ def align_segments(model, params, tokenizer, audio, segments) -> dict:
     segment gains ``words`` and a flat ``word_segments`` list is added."""
     import numpy as np
 
-    from vidchapters_tpu.factory.align import align_words
+    from vidchapters_tpu.factory.align import align_words_batch
     from vidchapters_tpu.factory.audio import (
         N_SAMPLES,
         SAMPLE_RATE,
         log_mel_spectrogram,
     )
+    from vidchapters_tpu.factory.whisper_transcribe import (
+        LANG_EN,
+        NO_TIMESTAMPS,
+        SOT,
+        TRANSCRIBE,
+    )
 
-    word_segments = []
+    # teacher-force the decoder's training-time prefix (whisper
+    # find_alignment does the same); toy test configs with tiny vocabs
+    # drop the out-of-range ids and still exercise the slicing
+    vocab = int(model.cfg.vocab_size)
+    prefix = tuple(t for t in (SOT, LANG_EN, TRANSCRIBE, NO_TIMESTAMPS)
+                   if t < vocab)
+
+    todo = []  # (segment, mel, ids, token_words, seconds)
     for seg in segments:
+        seg["words"] = []
         ids = tokenizer.encode(seg["text"], add_special_tokens=False)
-        if not ids:
-            seg["words"] = []
-            continue
+        # window trimmed to the SEGMENT's bounds: an untrimmed 30 s window
+        # made the complete DTW stamp each segment's last word with
+        # end ~= start + 30 s, overlapping every following segment
+        s0 = int(seg["start"] * SAMPLE_RATE)
+        s1 = int(min(seg["end"] * SAMPLE_RATE, s0 + N_SAMPLES, len(audio)))
+        window = audio[s0:s1]
+        if not ids or len(window) < SAMPLE_RATE // 10:
+            continue  # empty text, or start at/past end of audio
         # group BPE pieces into words: the word's full text rides its
         # first token, continuations pass "" (align_words merge rule)
         pieces = [tokenizer.decode([t]) for t in ids]
@@ -53,11 +72,15 @@ def align_segments(model, params, tokenizer, audio, segments) -> dict:
         tw = [""] * len(ids)
         for k, i in enumerate(widx):
             tw[i] = token_words[k]
-        s0 = int(seg["start"] * SAMPLE_RATE)
-        window = audio[s0: s0 + N_SAMPLES]
-        mel = log_mel_spectrogram(window)
-        words = align_words(model, params, np.asarray(mel), ids, tw,
-                            audio_seconds=len(window) / SAMPLE_RATE)
+        todo.append((seg, np.asarray(log_mel_spectrogram(window)), ids, tw,
+                     len(window) / SAMPLE_RATE))
+
+    # one batched encoder + decoder call across all segments
+    aligned = align_words_batch(
+        model, params, [t[1] for t in todo], [t[2] for t in todo],
+        [t[3] for t in todo], [t[4] for t in todo], prefix_ids=prefix)
+    word_segments = []
+    for (seg, _, _, _, _), words in zip(todo, aligned):
         for w in words:
             w["start"] = round(w["start"] + seg["start"], 3)
             w["end"] = round(w["end"] + seg["start"], 3)

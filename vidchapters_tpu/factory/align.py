@@ -95,32 +95,8 @@ def token_times_from_attention(cross_attn: np.ndarray,
     return starts, ends
 
 
-def align_words(model, params, mel: np.ndarray, token_ids: Sequence[int],
-                token_words: Sequence[str], audio_seconds: float
-                ) -> List[Dict]:
-    """Teacher-force ``token_ids`` and produce word-level timings.
-
-    ``token_words[i]`` is the text of token i ("" merges it with the previous
-    word, e.g. BPE continuations). Returns [{word, start, end}].
-    """
-    import jax.numpy as jnp
-
-    tokens = jnp.asarray(np.asarray(token_ids, np.int32)[None])
-    enc = model.apply({"params": params}, jnp.asarray(mel[None]),
-                      method=model.encode)
-    _, inter = model.apply({"params": params}, tokens, enc,
-                           method=lambda m, t, e: m.decoder(t, e),
-                           mutable=["intermediates"])
-    # collect decoder cross-attention maps: decoder/layer_i/cross_attn
-    maps = []
-    dec = inter["intermediates"]["decoder"]
-    for key in sorted(dec, key=lambda k: int(k.split("_")[1])):
-        if "cross_attn" in dec[key]:
-            maps.append(np.asarray(dec[key]["cross_attn"]["attn_probs"][0][0]))
-    cross = np.stack(maps)  # [layers, heads, T_tok, T_audio]
-    n_frames = int(min(cross.shape[-1], audio_seconds / TIME_PER_FRAME))
-    starts, ends = token_times_from_attention(cross, n_frames)
-
+def _words_from_times(token_words: Sequence[str], starts: np.ndarray,
+                      ends: np.ndarray) -> List[Dict]:
     words: List[Dict] = []
     for i, word in enumerate(token_words):
         if word == "" and words:  # continuation token extends previous word
@@ -129,3 +105,75 @@ def align_words(model, params, mel: np.ndarray, token_ids: Sequence[int],
             words.append({"word": word, "start": float(starts[i]),
                           "end": float(ends[i])})
     return words
+
+
+def align_words_batch(model, params, mels: Sequence[np.ndarray],
+                      token_ids_list: Sequence[Sequence[int]],
+                      token_words_list: Sequence[Sequence[str]],
+                      audio_seconds_list: Sequence[float],
+                      prefix_ids: Sequence[int] = (),
+                      ) -> List[List[Dict]]:
+    """Teacher-force every segment in ONE encoder + ONE decoder call.
+
+    Mels are zero-padded to a common frame count and token sequences to a
+    common length (trailing pad rows and frames beyond each segment's real
+    audio are sliced off the attention maps before the DTW), so aligning a
+    long video costs one batched forward instead of one per segment.
+    ``prefix_ids`` (e.g. Whisper's [SOT, lang, task, <|notimestamps|>])
+    are teacher-forced ahead of the text so a pretrained decoder sees its
+    training-time input distribution — openai-whisper's find_alignment
+    does the same and strips the prefix rows; without it the decoder runs
+    out-of-distribution and the cross-attention maps degrade.
+    ``token_words[i]`` is the text of token i ("" merges it with the
+    previous word, e.g. BPE continuations). Returns one [{word, start,
+    end}] list per segment.
+    """
+    import jax.numpy as jnp
+
+    assert len(mels) == len(token_ids_list) == len(audio_seconds_list)
+    if not mels:
+        return []
+    p = len(prefix_ids)
+    lens = [len(ids) for ids in token_ids_list]
+    max_tok = p + max(lens)
+    tok_rows = []
+    for ids in token_ids_list:
+        row = list(prefix_ids) + list(ids)
+        tok_rows.append(row + [0] * (max_tok - len(row)))
+    max_frames = max(m.shape[-1] for m in mels)
+    mel_rows = [np.pad(m, ((0, 0), (0, max_frames - m.shape[-1])))
+                for m in mels]
+    tokens = jnp.asarray(np.asarray(tok_rows, np.int32))
+    enc = model.apply({"params": params},
+                      jnp.asarray(np.stack(mel_rows)), method=model.encode)
+    _, inter = model.apply({"params": params}, tokens, enc,
+                           method=lambda m, t, e: m.decoder(t, e),
+                           mutable=["intermediates"])
+    # collect decoder cross-attention maps: decoder/layer_i/cross_attn
+    maps = []
+    dec = inter["intermediates"]["decoder"]
+    for key in sorted(dec, key=lambda k: int(k.split("_")[1])):
+        if "cross_attn" in dec[key]:
+            maps.append(np.asarray(dec[key]["cross_attn"]["attn_probs"][0]))
+    cross_all = np.stack(maps, axis=1)  # [B, layers, heads, T_tok, T_aud]
+
+    out: List[List[Dict]] = []
+    for b, (n_tok, words, secs) in enumerate(
+            zip(lens, token_words_list, audio_seconds_list)):
+        cross = cross_all[b][:, :, p:p + n_tok]  # strip prefix + pad rows
+        n_frames = int(min(cross.shape[-1], secs / TIME_PER_FRAME))
+        if n_tok == 0 or n_frames < 1:  # empty text or no real audio
+            out.append([])
+            continue
+        starts, ends = token_times_from_attention(cross, n_frames)
+        out.append(_words_from_times(words, starts, ends))
+    return out
+
+
+def align_words(model, params, mel: np.ndarray, token_ids: Sequence[int],
+                token_words: Sequence[str], audio_seconds: float,
+                prefix_ids: Sequence[int] = ()) -> List[Dict]:
+    """Single-segment wrapper over align_words_batch."""
+    return align_words_batch(model, params, [mel], [token_ids],
+                             [token_words], [audio_seconds],
+                             prefix_ids=prefix_ids)[0]
