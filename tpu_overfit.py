@@ -15,11 +15,14 @@ Expected outcome on a working stack: total loss falls by >10x and the
 final train-set eval scores near-ceiling (CIDEr in the hundreds, SODA >50;
 an untrained model scores ~0 on both).
 
-Runtime on one v5e through the axon tunnel: ~25-40 min TRAIN compile +
-minutes of eval-decode compiles + a few minutes of steps.
+Runtime on one v5e through the axon tunnel: ~25-40 min TRAIN compile in
+the default unrolled layout, or ~1 min with --scan (scan_layers+remat —
+same math, much smaller HLO) + minutes of eval-decode compiles + a few
+minutes of steps.
 
-Usage: python tpu_overfit.py  [--epochs 300] [--videos 8]
-Writes OVERFIT_TPU.json and prints one JSON line.
+Usage: python tpu_overfit.py  [--epochs 300] [--videos 8] [--scan]
+Writes OVERFIT_TPU.json and prints one JSON line. --smoke validates the
+plumbing at tiny scale and does NOT write the record file.
 """
 
 from __future__ import annotations
@@ -95,6 +98,8 @@ def main() -> None:
     rng = np.random.default_rng(0)
     ann_path, asr_path, feat_dir = build_dataset(root, args.videos, rng)
 
+    from dataclasses import replace
+
     if args.smoke:
         model_cfg = Vid2SeqConfig(
             t5=T5Config(vocab_size=32200, d_model=64, d_kv=16, d_ff=128,
@@ -110,15 +115,14 @@ def main() -> None:
     else:
         # full reference recipe shapes (bench.py / README.md:179-185)
         model_cfg = Vid2SeqConfig()  # t5-base + 12-layer temporal ViT
-        if args.scan:
-            from dataclasses import replace
-            model_cfg = replace(
-                model_cfg,
-                t5=replace(model_cfg.t5, scan_layers=True, remat=True),
-                vit=replace(model_cfg.vit, scan_layers=True))
         data_cfg = DataConfig(max_feats=100, features_dim=768,
                               max_input_tokens=1000, max_output_tokens=256)
         gen_cfg = GenerationConfig(num_beams=4, max_length=256)
+    if args.scan:
+        model_cfg = replace(
+            model_cfg,
+            t5=replace(model_cfg.t5, scan_layers=True, remat=True),
+            vit=replace(model_cfg.vit, scan_layers=True))
 
     epochs = args.epochs
     cfg = ExperimentConfig(
@@ -163,7 +167,7 @@ def main() -> None:
         "f1": round(float(metrics.get("chapters_F1", 0.0)), 4),
         "epochs": epochs,
         "videos": args.videos,
-        "scan_layers": bool(args.scan),
+        "scan_layers": bool(model_cfg.t5.scan_layers),
         "workdir": root,
     }
     if not args.smoke:  # don't clobber the hardware record with a smoke run

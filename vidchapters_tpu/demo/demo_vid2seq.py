@@ -23,6 +23,10 @@ import numpy as np
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--config", default="",
+                   help="experiment json; its model section replaces the "
+                        "full-recipe Vid2Seq defaults (for custom-scale "
+                        "checkpoints)")
     p.add_argument("--video_path", default="")
     p.add_argument("--features_path", default="",
                    help="precomputed [T, 768] .npy (skips decode + CLIP)")
@@ -106,7 +110,12 @@ def main(args=None) -> list:
     # 3. model
     import jax
 
-    cfg = Vid2SeqConfig()
+    if args.config:
+        from vidchapters_tpu.config import ExperimentConfig, load_config
+
+        cfg = load_config(ExperimentConfig, args.config).model
+    else:
+        cfg = Vid2SeqConfig()
     model = Vid2Seq(cfg)
     if args.ckpt_path:
         from vidchapters_tpu.models.torch_import import (
