@@ -59,6 +59,293 @@ HELD_OUT = {
 }
 
 
+# Round-4 broadened fixture (VERDICT r3 weak #6): per language, the original
+# news/weather sentence plus nine more held-out texts across registers —
+# cooking, sports (tennis, disjoint from the seeds' football), tech, travel
+# (train, disjoint from the seeds' flight), health, finance, casual — and two
+# SHORT NOISY ASR-LIKE strings (fillers, no punctuation), none sharing
+# sentences with the seed corpora langid trains on.
+HELD_OUT_MULTI = {
+    "en": [
+        HELD_OUT["en"],
+        "chop the onions finely and fry them in olive oil until golden then add the garlic and stir for another minute",
+        "she hit a backhand winner down the line and the crowd rose to its feet as the final set came to an end",
+        "restart your phone open the settings menu and install the latest software update before you connect the printer",
+        "the train to the old town leaves from platform nine and a return ticket costs about fifteen euros per person",
+        "my doctor recommended drinking more water sleeping eight hours and taking a short walk every single day",
+        "prices rose again this quarter while the central bank kept interest rates unchanged despite growing inflation",
+        "honestly i was not expecting that ending we laughed so hard that the neighbours probably heard us through the wall",
+        "uh yeah so basically you just press this little button right here",
+        "okay um let's see maybe we add a bit of salt and pepper now",
+    ],
+    "es": [
+        HELD_OUT["es"],
+        "pica las cebollas finamente y fríelas en aceite de oliva hasta que estén doradas luego añade el ajo y remueve un minuto más",
+        "ella conectó un revés ganador paralelo y el público se puso de pie cuando terminó el último set",
+        "reinicia tu teléfono abre el menú de ajustes e instala la última actualización antes de conectar la impresora",
+        "el tren al casco antiguo sale del andén nueve y un billete de ida y vuelta cuesta unos quince euros por persona",
+        "mi médico me recomendó beber más agua dormir ocho horas y dar un paseo corto todos los días",
+        "los precios subieron otra vez este trimestre mientras el banco central mantuvo los tipos de interés sin cambios pese a la inflación",
+        "la verdad no me esperaba ese final nos reímos tanto que seguramente los vecinos nos oyeron a través de la pared",
+        "eh sí bueno básicamente solo aprietas este botoncito de aquí",
+        "vale eh a ver quizá ahora le echamos un poco de sal y pimienta",
+    ],
+    "fr": [
+        HELD_OUT["fr"],
+        "émincez finement les oignons et faites-les revenir dans l'huile d'olive jusqu'à ce qu'ils soient dorés puis ajoutez l'ail et remuez encore une minute",
+        "elle a réussi un revers gagnant le long de la ligne et le public s'est levé à la fin du dernier set",
+        "redémarre ton téléphone ouvre le menu des réglages et installe la dernière mise à jour avant de brancher l'imprimante",
+        "le train pour la vieille ville part du quai neuf et un aller-retour coûte environ quinze euros par personne",
+        "mon médecin m'a conseillé de boire plus d'eau de dormir huit heures et de faire une petite promenade chaque jour",
+        "les prix ont encore augmenté ce trimestre tandis que la banque centrale a maintenu ses taux d'intérêt malgré l'inflation",
+        "franchement je ne m'attendais pas à cette fin on a tellement ri que les voisins nous ont sûrement entendus à travers le mur",
+        "euh ouais donc en gros tu appuies juste sur ce petit bouton là",
+        "bon euh voyons on ajoute peut-être un peu de sel et de poivre maintenant",
+    ],
+    "de": [
+        HELD_OUT["de"],
+        "schneide die zwiebeln fein und brate sie in olivenöl goldbraun an dann gib den knoblauch dazu und rühre noch eine minute",
+        "sie schlug einen rückhand-gewinner die linie entlang und das publikum stand auf als der letzte satz zu ende ging",
+        "starte dein handy neu öffne das einstellungsmenü und installiere das neueste update bevor du den drucker anschließt",
+        "der zug in die altstadt fährt von gleis neun ab und eine rückfahrkarte kostet etwa fünfzehn euro pro person",
+        "mein arzt hat mir empfohlen mehr wasser zu trinken acht stunden zu schlafen und jeden tag einen kurzen spaziergang zu machen",
+        "die preise stiegen in diesem quartal erneut während die zentralbank die zinsen trotz der inflation unverändert ließ",
+        "ehrlich gesagt habe ich dieses ende nicht erwartet wir haben so laut gelacht dass die nachbarn uns bestimmt durch die wand gehört haben",
+        "äh ja also im grunde drückst du einfach auf diesen kleinen knopf hier",
+        "okay ähm mal sehen vielleicht geben wir jetzt etwas salz und pfeffer dazu",
+    ],
+    "pt": [
+        HELD_OUT["pt"],
+        "pique as cebolas finamente e frite-as no azeite até ficarem douradas depois acrescente o alho e mexa por mais um minuto",
+        "ela acertou um backhand vencedor na linha e a plateia se levantou quando o último set chegou ao fim",
+        "reinicie o seu celular abra o menu de configurações e instale a atualização mais recente antes de conectar a impressora",
+        "o trem para a cidade velha parte da plataforma nove e uma passagem de ida e volta custa cerca de quinze euros por pessoa",
+        "o meu médico recomendou beber mais água dormir oito horas e fazer uma caminhada curta todos os dias",
+        "os preços subiram de novo neste trimestre enquanto o banco central manteve os juros inalterados apesar da inflação",
+        "sinceramente eu não esperava aquele final rimos tanto que os vizinhos com certeza nos ouviram através da parede",
+        "é pois basicamente você só aperta esse botãozinho aqui",
+        "tá bom deixa eu ver talvez a gente coloque um pouco de sal e pimenta agora",
+    ],
+    "it": [
+        HELD_OUT["it"],
+        "trita finemente le cipolle e falle soffriggere nell'olio d'oliva finché non sono dorate poi aggiungi l'aglio e mescola ancora un minuto",
+        "lei ha piazzato un rovescio vincente lungolinea e il pubblico si è alzato in piedi alla fine dell'ultimo set",
+        "riavvia il telefono apri il menu delle impostazioni e installa l'ultimo aggiornamento prima di collegare la stampante",
+        "il treno per il centro storico parte dal binario nove e un biglietto di andata e ritorno costa circa quindici euro a persona",
+        "il mio medico mi ha consigliato di bere più acqua dormire otto ore e fare una breve passeggiata ogni giorno",
+        "i prezzi sono saliti di nuovo questo trimestre mentre la banca centrale ha lasciato i tassi di interesse invariati nonostante l'inflazione",
+        "sinceramente non mi aspettavo quel finale abbiamo riso così tanto che i vicini ci avranno sentito attraverso il muro",
+        "eh sì insomma praticamente basta premere questo pulsantino qui",
+        "ok allora vediamo magari adesso aggiungiamo un po' di sale e pepe",
+    ],
+    "nl": [
+        HELD_OUT["nl"],
+        "snijd de uien fijn en bak ze in olijfolie tot ze goudbruin zijn voeg dan de knoflook toe en roer nog een minuut",
+        "ze sloeg een backhand winner langs de lijn en het publiek ging staan toen de laatste set ten einde liep",
+        "herstart je telefoon open het instellingenmenu en installeer de nieuwste update voordat je de printer aansluit",
+        "de trein naar de oude stad vertrekt van spoor negen en een retourtje kost ongeveer vijftien euro per persoon",
+        "mijn huisarts raadde me aan meer water te drinken acht uur te slapen en elke dag een korte wandeling te maken",
+        "de prijzen stegen dit kwartaal opnieuw terwijl de centrale bank de rente ondanks de inflatie ongewijzigd liet",
+        "eerlijk gezegd had ik dat einde niet verwacht we moesten zo hard lachen dat de buren ons vast door de muur hoorden",
+        "uh ja dus eigenlijk druk je gewoon op dit knopje hier",
+        "oké eh even kijken misschien doen we er nu wat zout en peper bij",
+    ],
+    "sv": [
+        HELD_OUT["sv"],
+        "hacka löken fint och stek den i olivolja tills den är gyllene tillsätt sedan vitlöken och rör om en minut till",
+        "hon slog en backhandvinnare längs linjen och publiken reste sig när det sista setet tog slut",
+        "starta om din telefon öppna inställningsmenyn och installera den senaste uppdateringen innan du ansluter skrivaren",
+        "tåget till gamla stan avgår från spår nio och en tur och retur-biljett kostar ungefär femton euro per person",
+        "min läkare rekommenderade att dricka mer vatten sova åtta timmar och ta en kort promenad varje dag",
+        "priserna steg igen det här kvartalet medan centralbanken lämnade räntan oförändrad trots inflationen",
+        "ärligt talat väntade jag mig inte det slutet vi skrattade så mycket att grannarna säkert hörde oss genom väggen",
+        "eh ja alltså i princip trycker du bara på den här lilla knappen här",
+        "okej hm få se kanske vi tillsätter lite salt och peppar nu",
+    ],
+    "pl": [
+        HELD_OUT["pl"],
+        "posiekaj drobno cebulę i podsmaż ją na oliwie aż się zezłoci potem dodaj czosnek i mieszaj jeszcze minutę",
+        "ona zagrała wygrywającego bekhenda wzdłuż linii a publiczność wstała gdy ostatni set dobiegł końca",
+        "uruchom ponownie telefon otwórz menu ustawień i zainstaluj najnowszą aktualizację zanim podłączysz drukarkę",
+        "pociąg na stare miasto odjeżdża z peronu dziewiątego a bilet powrotny kosztuje około piętnastu euro od osoby",
+        "mój lekarz zalecił mi pić więcej wody spać osiem godzin i codziennie chodzić na krótki spacer",
+        "ceny znów wzrosły w tym kwartale podczas gdy bank centralny pozostawił stopy procentowe bez zmian mimo inflacji",
+        "szczerze mówiąc nie spodziewałem się takiego zakończenia śmialiśmy się tak głośno że sąsiedzi na pewno nas słyszeli przez ścianę",
+        "no tak więc w zasadzie po prostu naciskasz ten mały przycisk tutaj",
+        "dobra hm zobaczmy może teraz dodamy trochę soli i pieprzu",
+    ],
+    "cs": [
+        HELD_OUT["cs"],
+        "nakrájej cibuli najemno a osmaž ji na olivovém oleji dozlatova pak přidej česnek a míchej ještě minutu",
+        "zahrála vítězný bekhend podél lajny a diváci vstali když poslední set skončil",
+        "restartuj telefon otevři nabídku nastavení a nainstaluj nejnovější aktualizaci než připojíš tiskárnu",
+        "vlak do starého města odjíždí z deváté koleje a zpáteční jízdenka stojí asi patnáct eur na osobu",
+        "můj lékař mi doporučil pít více vody spát osm hodin a každý den si udělat krátkou procházku",
+        "ceny v tomto čtvrtletí opět vzrostly zatímco centrální banka navzdory inflaci ponechala úrokové sazby beze změny",
+        "upřímně jsem takový konec nečekal smáli jsme se tak nahlas že nás sousedé určitě slyšeli přes zeď",
+        "no jo takže v podstatě prostě zmáčkneš tohle malé tlačítko tady",
+        "tak jo hm uvidíme možná teď přidáme trochu soli a pepře",
+    ],
+    "tr": [
+        HELD_OUT["tr"],
+        "soğanları ince ince doğra ve zeytinyağında altın rengi alana kadar kavur sonra sarımsağı ekle ve bir dakika daha karıştır",
+        "çizgiye paralel kazandıran bir backhand vurdu ve son set sona ererken seyirciler ayağa kalktı",
+        "telefonunu yeniden başlat ayarlar menüsünü aç ve yazıcıyı bağlamadan önce en son güncellemeyi yükle",
+        "eski şehre giden tren dokuzuncu perondan kalkıyor ve gidiş dönüş bilet kişi başı yaklaşık on beş euro tutuyor",
+        "doktorum daha fazla su içmemi sekiz saat uyumamı ve her gün kısa bir yürüyüş yapmamı önerdi",
+        "bu çeyrekte fiyatlar yine yükseldi merkez bankası ise enflasyona rağmen faiz oranlarını değiştirmedi",
+        "açıkçası o sonu hiç beklemiyordum o kadar çok güldük ki komşular bizi duvarın arkasından kesin duymuştur",
+        "şey evet yani aslında sadece şuradaki küçük düğmeye basıyorsun",
+        "tamam şey bakalım belki şimdi biraz tuz ve karabiber ekleriz",
+    ],
+    "id": [
+        HELD_OUT["id"],
+        "iris bawang tipis-tipis lalu goreng dalam minyak zaitun sampai keemasan kemudian masukkan bawang putih dan aduk satu menit lagi",
+        "dia memukul backhand kemenangan menyusuri garis dan penonton berdiri saat set terakhir berakhir",
+        "mulai ulang ponselmu buka menu pengaturan dan pasang pembaruan terbaru sebelum menghubungkan printer",
+        "kereta menuju kota tua berangkat dari peron sembilan dan tiket pulang pergi harganya sekitar lima belas euro per orang",
+        "dokter saya menyarankan minum lebih banyak air tidur delapan jam dan berjalan kaki sebentar setiap hari",
+        "harga naik lagi kuartal ini sementara bank sentral mempertahankan suku bunga meskipun inflasi meningkat",
+        "jujur saya tidak menyangka akhir ceritanya kami tertawa begitu keras sampai tetangga pasti mendengar kami dari balik tembok",
+        "eh iya jadi pada dasarnya kamu tinggal tekan tombol kecil yang ini",
+        "oke hmm coba kita lihat mungkin sekarang kita tambahkan sedikit garam dan merica",
+    ],
+    "vi": [
+        HELD_OUT["vi"],
+        "thái hành tây thật nhỏ rồi phi trong dầu ô liu cho đến khi vàng sau đó thêm tỏi và đảo thêm một phút nữa",
+        "cô ấy đánh một cú trái tay ăn điểm dọc biên và khán giả đứng dậy khi ván cuối cùng kết thúc",
+        "khởi động lại điện thoại mở menu cài đặt và cài bản cập nhật mới nhất trước khi kết nối máy in",
+        "chuyến tàu đến phố cổ khởi hành từ sân ga số chín và vé khứ hồi giá khoảng mười lăm euro mỗi người",
+        "bác sĩ của tôi khuyên nên uống nhiều nước hơn ngủ đủ tám tiếng và đi bộ một quãng ngắn mỗi ngày",
+        "giá cả lại tăng trong quý này trong khi ngân hàng trung ương giữ nguyên lãi suất bất chấp lạm phát",
+        "thật sự mình không ngờ cái kết đó bọn mình cười to đến mức hàng xóm chắc chắn nghe thấy qua bức tường",
+        "ờ thì về cơ bản bạn chỉ cần nhấn cái nút nhỏ này thôi",
+        "được rồi để xem có lẽ bây giờ mình thêm một chút muối và tiêu",
+    ],
+    "ru": [
+        HELD_OUT["ru"],
+        "мелко нарежь лук и обжарь его в оливковом масле до золотистого цвета затем добавь чеснок и помешивай ещё минуту",
+        "она выполнила победный удар слева по линии и зрители встали когда последний сет подошёл к концу",
+        "перезагрузи телефон открой меню настроек и установи последнее обновление прежде чем подключать принтер",
+        "поезд в старый город отправляется с девятого пути а билет туда и обратно стоит около пятнадцати евро с человека",
+        "мой врач посоветовал пить больше воды спать восемь часов и каждый день совершать короткую прогулку",
+        "цены снова выросли в этом квартале тогда как центральный банк оставил процентные ставки без изменений несмотря на инфляцию",
+        "честно говоря я не ожидал такой концовки мы так громко смеялись что соседи наверняка слышали нас через стену",
+        "э ну в общем просто нажимаешь вот на эту маленькую кнопку",
+        "так ладно посмотрим может теперь добавим немного соли и перца",
+    ],
+    "uk": [
+        HELD_OUT["uk"],
+        "дрібно наріж цибулю і обсмаж її в оливковій олії до золотистого кольору потім додай часник і помішуй ще хвилину",
+        "вона виконала переможний удар зліва по лінії і глядачі підвелися коли останній сет добіг кінця",
+        "перезавантаж телефон відкрий меню налаштувань і встанови останнє оновлення перш ніж під'єднати принтер",
+        "потяг до старого міста відправляється з дев'ятої колії а квиток туди й назад коштує близько п'ятнадцяти євро з особи",
+        "мій лікар порадив пити більше води спати вісім годин і щодня робити коротку прогулянку",
+        "ціни знову зросли цього кварталу тоді як центральний банк залишив відсоткові ставки без змін попри інфляцію",
+        "чесно кажучи я не очікував такої кінцівки ми так голосно сміялися що сусіди напевно чули нас крізь стіну",
+        "е ну загалом просто натискаєш ось цю маленьку кнопку",
+        "гаразд подивимось може тепер додамо трохи солі та перцю",
+    ],
+    "ar": [
+        HELD_OUT["ar"],
+        "اقطع البصل قطعا صغيرة واقله في زيت الزيتون حتى يصبح ذهبيا ثم أضف الثوم وقلب لمدة دقيقة أخرى",
+        "ضربت كرة خلفية حاسمة على طول الخط فوقف الجمهور عندما انتهت المجموعة الأخيرة",
+        "أعد تشغيل هاتفك وافتح قائمة الإعدادات وثبت آخر تحديث قبل توصيل الطابعة",
+        "يغادر القطار إلى المدينة القديمة من الرصيف التاسع وتكلف تذكرة الذهاب والعودة نحو خمسة عشر يورو للشخص",
+        "نصحني الطبيب بشرب المزيد من الماء والنوم ثماني ساعات والمشي مسافة قصيرة كل يوم",
+        "ارتفعت الأسعار مجددا هذا الربع بينما أبقى البنك المركزي أسعار الفائدة دون تغيير رغم التضخم",
+        "بصراحة لم أتوقع تلك النهاية ضحكنا كثيرا حتى أن الجيران سمعونا عبر الجدار بالتأكيد",
+        "اه نعم يعني ببساطة تضغط على هذا الزر الصغير هنا",
+        "طيب يعني لنر ربما نضيف الآن قليلا من الملح والفلفل",
+    ],
+    "hi": [
+        HELD_OUT["hi"],
+        "प्याज़ को बारीक काट लें और जैतून के तेल में सुनहरा होने तक भूनें फिर लहसुन डालें और एक मिनट और चलाएं",
+        "उसने लाइन के साथ एक विजयी बैकहैंड मारा और आख़िरी सेट ख़त्म होते ही दर्शक खड़े हो गए",
+        "अपना फ़ोन दोबारा चालू करें सेटिंग्स मेनू खोलें और प्रिंटर जोड़ने से पहले नवीनतम अपडेट इंस्टॉल करें",
+        "पुराने शहर की ट्रेन नौवें प्लेटफ़ॉर्म से छूटती है और आने जाने का टिकट प्रति व्यक्ति लगभग पंद्रह यूरो का है",
+        "मेरे डॉक्टर ने ज़्यादा पानी पीने आठ घंटे सोने और रोज़ थोड़ी देर टहलने की सलाह दी",
+        "इस तिमाही में दाम फिर बढ़े जबकि केंद्रीय बैंक ने महंगाई के बावजूद ब्याज दरें नहीं बदलीं",
+        "सच कहूं तो मुझे उस अंत की उम्मीद नहीं थी हम इतनी ज़ोर से हंसे कि पड़ोसियों ने ज़रूर दीवार के पार सुना होगा",
+        "अरे हां तो बस आपको यह छोटा सा बटन दबाना है",
+        "अच्छा तो देखते हैं शायद अब थोड़ा नमक और काली मिर्च डालें",
+    ],
+    "ja": [
+        HELD_OUT["ja"],
+        "玉ねぎを細かく刻んでオリーブオイルできつね色になるまで炒めにんにくを加えてさらに一分混ぜます",
+        "彼女はライン際にバックハンドのウィナーを決め最終セットが終わると観客は立ち上がりました",
+        "プリンターをつなぐ前にスマホを再起動して設定メニューを開き最新のアップデートを入れてください",
+        "旧市街行きの電車は九番線から出発し往復切符は一人あたり十五ユーロくらいです",
+        "医者には水をもっと飲んで八時間寝て毎日少し散歩するように勧められました",
+        "今期も物価は再び上昇しましたが中央銀行はインフレにもかかわらず金利を据え置きました",
+        "正直あの結末は予想していなくて隣の人に壁越しに聞こえるくらい大笑いしました",
+        "えーとまあ要するにこの小さいボタンを押すだけです",
+        "はいえっとそうですね今度は塩とこしょうを少し加えましょうか",
+    ],
+    "ko": [
+        HELD_OUT["ko"],
+        "양파를 잘게 썰어 올리브유에 노릇해질 때까지 볶은 다음 마늘을 넣고 일 분 더 저어 주세요",
+        "그녀는 라인을 따라 백핸드 위너를 성공시켰고 마지막 세트가 끝나자 관중이 일어섰습니다",
+        "프린터를 연결하기 전에 휴대폰을 다시 시작하고 설정 메뉴를 열어 최신 업데이트를 설치하세요",
+        "구시가지로 가는 기차는 구 번 승강장에서 출발하고 왕복 표는 한 사람에 십오 유로 정도입니다",
+        "의사 선생님은 물을 더 많이 마시고 여덟 시간 자고 매일 잠깐 산책하라고 권했습니다",
+        "이번 분기에도 물가가 다시 올랐지만 중앙은행은 인플레이션에도 불구하고 금리를 동결했습니다",
+        "솔직히 그런 결말은 예상 못 했어요 우리가 너무 크게 웃어서 이웃이 벽 너머로 분명히 들었을 거예요",
+        "어 네 그러니까 그냥 여기 이 작은 버튼을 누르면 돼요",
+        "자 음 그럼 이제 소금이랑 후추를 조금 넣어 볼까요",
+    ],
+    "zh": [
+        HELD_OUT["zh"],
+        "把洋葱切碎用橄榄油炒到金黄然后加入大蒜再搅拌一分钟",
+        "她沿边线打出一记反手制胜球最后一盘结束时观众都站了起来",
+        "连接打印机之前先重启手机打开设置菜单安装最新的更新",
+        "去老城的火车从九号站台出发往返车票每人大约十五欧元",
+        "医生建议我多喝水睡够八个小时每天散一会儿步",
+        "本季度物价再次上涨而央行尽管通胀仍维持利率不变",
+        "说实话我没想到是那个结局我们笑得太大声邻居隔着墙肯定都听见了",
+        "呃对其实你只要按一下这里这个小按钮就行了",
+        "好的嗯我们看看也许现在加一点盐和胡椒",
+    ],
+}
+
+# accuracy floors for the table test: every long-form register sentence must
+# classify, short noisy ASR strings may drop a few overall
+_NOISY_START = 8  # index where the short noisy ASR strings begin
+
+
+def test_langid_heldout_accuracy_table():
+    """Accuracy over 200 held-out texts (10 per language, 7 registers + 2
+    short noisy ASR strings). The measured table is documented in
+    COMPONENTS.md; this asserts the floors so regressions surface."""
+    per_lang = {}
+    failures = []
+    n_long = n_long_ok = n_noisy = n_noisy_ok = 0
+    for lang, sents in HELD_OUT_MULTI.items():
+        assert len(sents) == 10, lang
+        ok = 0
+        for i, s in enumerate(sents):
+            got = langid.detect(s)
+            hit = got == lang
+            ok += hit
+            if i < _NOISY_START:
+                n_long += 1
+                n_long_ok += hit
+            else:
+                n_noisy += 1
+                n_noisy_ok += hit
+            if not hit:
+                failures.append((lang, i, got))
+        per_lang[lang] = ok / len(sents)
+    overall = sum(per_lang.values()) / len(per_lang)
+    table = ", ".join(f"{k}={v:.0%}" for k, v in sorted(per_lang.items()))
+    # long-form registers: perfect
+    assert n_long_ok == n_long, (table, failures)
+    # short noisy ASR strings: >= 90% overall, no language below 50%
+    assert n_noisy_ok / n_noisy >= 0.90, (table, failures)
+    assert min(per_lang.values()) >= 0.8, (table, failures)
+    assert overall >= 0.97, (table, failures)
+
+
 def test_langid_classifies_held_out_text():
     wrong = {}
     for lang, text in HELD_OUT.items():

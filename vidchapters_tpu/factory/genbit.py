@@ -30,22 +30,43 @@ from collections import Counter, defaultdict
 from typing import Dict, Iterable, List, Optional
 
 MALE_DEFINITION_WORDS = frozenset("""
-he him his himself man men boy boys male males father dad daddy brother
-brothers son sons husband husbands uncle uncles nephew nephews king kings
-prince princes sir gentleman gentlemen mr grandfather grandpa groom widower
-actor actors lad lads
+he him his himself man men boy boys male males father fathers dad dads daddy
+papa pa brother brothers son sons husband husbands uncle uncles nephew
+nephews king kings prince princes sir sirs gentleman gentlemen mr mister
+master grandfather grandfathers grandpa grandson grandsons groom grooms
+widower widowers actor actors lad lads guy dude bloke fella gent stepfather
+stepson stepbrother godfather godson fiance boyfriend boyfriends lord lords
+duke dukes earl earls baron barons emperor emperors tsar czar monk monks
+wizard wizards waiter waiters steward stewards heir heirs
+salesman salesmen spokesman spokesmen chairman chairmen businessman
+businessmen policeman policemen fireman firemen postman postmen congressman
+congressmen statesman statesmen countryman countrymen fisherman fishermen
+gents schoolboy schoolboys paternal fatherhood brotherhood manhood boyhood
+menfolk
 """.split())
 
 FEMALE_DEFINITION_WORDS = frozenset("""
-she her hers herself woman women girl girls female females mother mom mommy
-sister sisters daughter daughters wife wives aunt aunts niece nieces queen
-queens princess princesses madam lady ladies mrs ms grandmother grandma
-bride widow actress actresses lass lasses
+she her hers herself woman women girl girls female females mother mothers
+mom moms mommy mama ma sister sisters daughter daughters wife wives aunt
+aunts niece nieces queen queens princess princesses madam madame lady ladies
+mrs ms miss grandmother grandmothers grandma granddaughter granddaughters
+bride brides widow widows actress actresses lass lasses gal gals stepmother
+stepdaughter stepsister godmother goddaughter fiancee girlfriend girlfriends
+duchess duchesses countess countesses baroness baronesses empress empresses
+tsarina nun nuns witch witches waitress waitresses stewardess stewardesses
+hostess hostesses heroine heroines heiress heiresses saleswoman saleswomen
+spokeswoman spokeswomen chairwoman chairwomen businesswoman businesswomen
+policewoman policewomen congresswoman congresswomen maiden maidens matron
+matrons dame dames schoolgirl schoolgirls maternal motherhood sisterhood
+womanhood girlhood womenfolk belle belles
 """.split())
 
 NON_BINARY_DEFINITION_WORDS = frozenset("""
-they them theirs themself ze zir zirs xe xem xyr hir hirs enby nonbinary
-non-binary genderqueer genderfluid agender bigender demiboy demigirl
+they them theirs themself themselves ze zir zirs ziself xe xem xyr xyrs
+xemself hir hirs hirself ey em eir eirs emself ve ver vis verself per pers
+perself fae faer faers enby enbies nonbinary non-binary genderqueer
+genderfluid agender bigender demiboy demigirl pangender neutrois two-spirit
+androgyne androgynous
 """.split())
 
 _TOKEN_RE = re.compile(r"[a-zA-Z][a-zA-Z'-]*")
