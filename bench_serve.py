@@ -28,6 +28,9 @@ def main() -> None:
     p.add_argument("--max-batch", type=int, default=16)
     p.add_argument("--input-bucket", type=int, default=1000,
                    help="ASR length per request (snaps to this bucket)")
+    p.add_argument("--no-pipeline", action="store_true",
+                   help="round-3 behavior: block on each device call before "
+                        "assembling the next batch")
     a = p.parse_args()
 
     import jax
@@ -58,7 +61,8 @@ def main() -> None:
         model, params, tok, data_cfg, gen_cfg, cfg.num_bins,
         max_batch=a.max_batch,
         batch_buckets=tuple(b for b in (1, 2, 4, 8, 16, 32)
-                            if b <= a.max_batch))
+                            if b <= a.max_batch),
+        pipeline=not a.no_pipeline)
     # long synthetic ASR so requests land in the target input bucket
     n_seg = 60
     asr = {"text": ["some spoken words about the chapter topic"] * n_seg,
@@ -106,6 +110,7 @@ def main() -> None:
         "clients": a.clients,
         "requests": a.requests,
         "device_calls": engine.device_calls,
+        "pipeline": engine.pipeline,
         "vs_baseline": round(a.requests / wall / 1.32, 2),
         # baseline: reference one-shot demo path ~1.32 videos/s on A100
         # (BASELINE.md decode table — no serving batching exists there)

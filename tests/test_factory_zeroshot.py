@@ -376,3 +376,45 @@ def test_extract_features_sharded_pipelined(tmp_path):
     # idempotent: second run does nothing
     assert extract_features_sharded(paths, str(tmp_path), extractor,
                                     decode_fn=decode) == 0
+
+
+def test_extract_features_sharded_sync_and_workers(tmp_path):
+    """prefetch=0 reproduces the reference's synchronous
+    decode-between-batches VideoLoader (bench contrast mode); multiple
+    decode workers produce identical outputs."""
+    import threading
+
+    from vidchapters_tpu.factory.features import extract_features_sharded
+
+    decoded = []
+    lock = threading.Lock()
+
+    def decode(path):
+        with lock:
+            decoded.append(path)
+        i = int(path[-5])
+        return np.full((3, 4), i, np.float32)
+
+    order = []
+
+    def extractor(frames):
+        # synchronous mode: when video i encodes, exactly i+1 decodes ran
+        with lock:
+            order.append(len(decoded))
+        return frames + 1.0
+
+    paths = [f"/fake/vid{i}.mp4" for i in range(4)]
+    done = extract_features_sharded(paths, str(tmp_path / "sync"), extractor,
+                                    decode_fn=decode, prefetch=0)
+    assert done == 4
+    assert order == [1, 2, 3, 4]  # no decode ran ahead
+
+    done = extract_features_sharded(paths, str(tmp_path / "mw"), extractor,
+                                    decode_fn=decode, prefetch=2,
+                                    decode_workers=3)
+    assert done == 4
+    for i in range(4):
+        a = np.load(tmp_path / "sync" / f"vid{i}.npy")
+        b = np.load(tmp_path / "mw" / f"vid{i}.npy")
+        np.testing.assert_array_equal(a, np.full((3, 4), i + 1.0))
+        np.testing.assert_array_equal(a, b)

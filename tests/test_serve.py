@@ -128,6 +128,60 @@ def test_buckets_clamped_to_max_input():
     assert eng._bucket(999) == 64  # overflow truncates to the largest
 
 
+def test_pipelined_dispatch_overlaps_fetch():
+    """Double-buffered dispatch (round 4): batch N+1 must LAUNCH while
+    batch N's result fetch is still blocking — the chip-idle gap the
+    round-3 engine paid between every pair of device calls. Non-pipelined
+    mode serializes dispatch behind fetch (the contrast case)."""
+    import time
+
+    events = []
+
+    class SlowFetchArray:
+        """Stands in for an on-device result whose host fetch blocks."""
+
+        def __init__(self, val):
+            self.val = val
+
+        def __array__(self, dtype=None, copy=None):
+            time.sleep(0.3)
+            events.append(("fetch_done", time.monotonic()))
+            return np.asarray(self.val)
+
+    def run(pipeline: bool):
+        eng = _tiny_engine()
+        eng.pipeline = pipeline
+        eng._max_wait = 0.02
+        eng.warmup()  # compile with the real generate
+        real_generate = eng._generate
+
+        def generate(params, videos, tokens, rng):
+            events.append(("dispatch", time.monotonic()))
+            return SlowFetchArray(
+                np.asarray(real_generate(params, videos, tokens, rng)))
+
+        eng._generate = generate
+        events.clear()
+        feats = np.random.default_rng(0).normal(size=(20, 16)).astype(
+            np.float32)
+        asr = {"text": ["hello"], "start": [0.0], "end": [2.0]}
+        t1 = threading.Thread(
+            target=lambda: eng.generate_chapters(feats, 30.0, asr))
+        t1.start()
+        time.sleep(0.12)  # batch 1 is dispatched and mid-fetch by now
+        t2 = threading.Thread(
+            target=lambda: eng.generate_chapters(feats, 30.0, asr))
+        t2.start()
+        t1.join()
+        t2.join()
+        kinds = [k for k, _ in events]
+        eng.close()
+        return kinds
+
+    assert run(pipeline=True)[:2] == ["dispatch", "dispatch"]
+    assert run(pipeline=False)[:2] == ["dispatch", "fetch_done"]
+
+
 def test_generate_chapters_shapes_and_schema():
     eng = _tiny_engine()
     feats = np.random.default_rng(0).normal(size=(20, 16)).astype(np.float32)

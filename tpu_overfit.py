@@ -142,7 +142,10 @@ def main() -> None:
                               fraction_warmup_steps=0.05),
             checkpoint=CheckpointConfig(
                 save_dir=os.path.join(root, "ckpt"),
-                best_metric="soda_c"),
+                best_metric="soda_c",
+                # a full recipe-scale save is minutes of tunnel traffic;
+                # per-epoch `last` saves would dominate the whole run
+                save_last_every_epochs=epochs),
             mesh=MeshConfig()),
     )
 

@@ -394,6 +394,10 @@ class CheckpointConfig:
     keep_last: int = 1
     keep_best: int = 1
     save_every_epochs: int = 0  # 0 = only best/last
+    # cadence of the rolling ``last`` (resume) save; the reference writes
+    # ckpt.pth every epoch (dvc.py:429-441) but at recipe scale a full
+    # save moves GBs — raise to trade resume granularity for step time
+    save_last_every_epochs: int = 1
     best_metric: str = "CIDEr"  # chapter-gen selects on CIDEr (dvc.py:402)
     best_mode: str = "max"
 

@@ -119,14 +119,17 @@ class CLIPFeatureExtractor:
 def extract_features_sharded(video_paths: Sequence[str], out_dir: str,
                              extractor: Callable[[np.ndarray], np.ndarray],
                              decode_fn: Optional[Callable[[str], np.ndarray]] = None,
-                             seed: int = 0, prefetch: int = 2) -> int:
+                             seed: int = 0, prefetch: int = 2,
+                             decode_workers: int = 1) -> int:
     """Idempotent sharded feature extraction (same resume pattern as the ASR
     factory: skip existing outputs, shuffle work).
 
-    Video decode runs on a background thread ``prefetch`` videos ahead so
-    the CPU ffmpeg decode overlaps device encoding — the reference's
-    VideoLoader decodes synchronously between GPU batches
-    (run_on_video/data_utils.py:9-31), roughly halving its throughput."""
+    Video decode runs on ``decode_workers`` background threads ``prefetch``
+    videos ahead so the CPU decode overlaps device encoding — the
+    reference's VideoLoader decodes synchronously between GPU batches
+    (run_on_video/data_utils.py:9-31), roughly halving its throughput.
+    ``prefetch=0`` reproduces that synchronous behavior (bench contrast
+    mode)."""
     from concurrent.futures import ThreadPoolExecutor
 
     out = Path(out_dir)
@@ -137,7 +140,20 @@ def extract_features_sharded(video_paths: Sequence[str], out_dir: str,
     todo = [p for p in paths
             if not (out / (Path(p).stem + ".npy")).exists()]
     done = 0
-    with ThreadPoolExecutor(max_workers=1) as pool:
+
+    def save(path: str, frames: np.ndarray) -> int:
+        target = out / (Path(path).stem + ".npy")
+        if target.exists():  # another shard may have raced us
+            return 0
+        np.save(target, extractor(frames).astype(np.float32))
+        return 1
+
+    if prefetch <= 0:  # synchronous decode-between-batches (reference mode)
+        for path in todo:
+            done += save(path, decode_fn(path))
+        return done
+    prefetch = max(prefetch, decode_workers)
+    with ThreadPoolExecutor(max_workers=max(1, decode_workers)) as pool:
         futures = {}
         for i, path in enumerate(todo[:prefetch]):
             futures[i] = pool.submit(decode_fn, path)
@@ -146,9 +162,5 @@ def extract_features_sharded(video_paths: Sequence[str], out_dir: str,
             nxt = i + prefetch
             if nxt < len(todo):
                 futures[nxt] = pool.submit(decode_fn, todo[nxt])
-            target = out / (Path(path).stem + ".npy")
-            if target.exists():  # another shard may have raced us
-                continue
-            np.save(target, extractor(frames).astype(np.float32))
-            done += 1
+            done += save(path, frames)
     return done

@@ -19,6 +19,13 @@ TPU-minded design choices:
   batch is on the chip new requests accumulate, so batches form
   adaptively under load (a lone request still dispatches immediately
   after at most ``max_wait_ms``);
+- device calls are PIPELINED (double-buffered): dispatch is async under
+  JAX, so the dispatcher launches batch N and immediately assembles and
+  launches batch N+1 while N executes; a separate completion thread
+  blocks on N's result fetch and wakes its requests. The chip never
+  idles on host work (result transfer, token decode, HTTP turnaround,
+  re-batching) between calls — the round-3 engine lost ~30% of the bare
+  decode rate to exactly those gaps;
 - batch sizes snap to ``batch_buckets`` (pad rows are replicas of row 0)
   so the compiled-program count stays bounded;
 - features are subsampled/padded host-side to the static ``max_feats``.
@@ -71,7 +78,8 @@ class ChapterGenerator:
     def __init__(self, model, params, tokenizer, data_cfg: DataConfig,
                  gen_cfg: GenerationConfig, num_bins: int, seed: int = 0,
                  coalesce: bool = True, max_batch: int = 8,
-                 batch_buckets=(1, 2, 4, 8), max_wait_ms: float = 2.0):
+                 batch_buckets=(1, 2, 4, 8), max_wait_ms: float = 2.0,
+                 pipeline: bool = True):
         import jax
 
         from vidchapters_tpu.train.dvc_train import make_generate_fn
@@ -99,6 +107,11 @@ class ChapterGenerator:
         self._dispatcher: Optional[threading.Thread] = None
         self._dispatcher_lock = threading.Lock()
         self._closed = False
+        # pipelined (double-buffered) dispatch: in-flight device results
+        # travel dispatcher -> completion thread through a bounded queue
+        self.pipeline = pipeline
+        self._completion_q: queue_mod.Queue = queue_mod.Queue(maxsize=1)
+        self._completer: Optional[threading.Thread] = None
 
     def _ensure_dispatcher(self) -> None:
         # locked: two concurrent first requests must not each start a
@@ -110,6 +123,11 @@ class ChapterGenerator:
                 self._dispatcher = threading.Thread(
                     target=self._dispatch_loop, daemon=True)
                 self._dispatcher.start()
+            if self.pipeline and (self._completer is None
+                                  or not self._completer.is_alive()):
+                self._completer = threading.Thread(
+                    target=self._completion_loop, daemon=True)
+                self._completer.start()
 
     def _batch_bucket(self, n: int) -> int:
         for b in self.batch_buckets:
@@ -145,6 +163,21 @@ class ChapterGenerator:
         for p in batch:
             groups.setdefault(p.bucket, []).append(p)
         for group in groups.values():
+            if self.pipeline:
+                # async dispatch now; a completion thread fetches later so
+                # the dispatcher can assemble + launch the NEXT batch while
+                # this one executes on the chip
+                try:
+                    seqs = self._device_dispatch(
+                        np.stack([p.video for p in group]),
+                        np.stack([p.tokens for p in group]))
+                except Exception as e:  # tracing/shape errors: fail now
+                    for p in group:
+                        p.error = e
+                        p.event.set()
+                    continue
+                self._completion_q.put((group, seqs))
+                continue
             try:
                 seqs = self._device_generate(
                     np.stack([p.video for p in group]),
@@ -158,9 +191,27 @@ class ChapterGenerator:
                 for p in group:
                     p.event.set()
 
-    def _device_generate(self, videos: np.ndarray, tokens: np.ndarray
-                         ) -> np.ndarray:
-        """One jit'd generate over a batch padded to a batch bucket."""
+    def _completion_loop(self) -> None:
+        """Block on in-flight device results and wake their requests."""
+        while True:
+            item = self._completion_q.get()
+            if item is None:  # shutdown sentinel
+                return
+            group, seqs = item
+            try:
+                out = np.asarray(seqs)[: len(group)]
+                for p, seq in zip(group, out):
+                    p.seq = seq
+            except Exception as e:
+                for p in group:
+                    p.error = e
+            finally:
+                for p in group:
+                    p.event.set()
+
+    def _device_dispatch(self, videos: np.ndarray, tokens: np.ndarray):
+        """Launch one jit'd generate (padded to a batch bucket) WITHOUT
+        fetching the result; returns the on-device sequences."""
         import jax
         import jax.numpy as jnp
 
@@ -176,7 +227,13 @@ class ChapterGenerator:
             seqs = self._generate(self.params, jnp.asarray(videos),
                                   jnp.asarray(tokens), sub)
             self.device_calls += 1
-        return np.asarray(seqs)[:n]
+        return seqs
+
+    def _device_generate(self, videos: np.ndarray, tokens: np.ndarray
+                         ) -> np.ndarray:
+        """Dispatch + blocking fetch (warmup and non-coalesced paths)."""
+        n = videos.shape[0]
+        return np.asarray(self._device_dispatch(videos, tokens))[:n]
 
     def _bucket(self, n: int) -> int:
         for b in self.buckets:
@@ -246,7 +303,10 @@ class ChapterGenerator:
         if self._dispatcher is not None and self._dispatcher.is_alive():
             self._queue.put(None)
             self._dispatcher.join(timeout=5.0)
-        # drain requests stranded behind (or racing) the sentinel
+        if self._completer is not None and self._completer.is_alive():
+            self._completion_q.put(None)
+            self._completer.join(timeout=5.0)
+        # drain requests stranded behind (or racing) the sentinels
         while True:
             try:
                 item = self._queue.get_nowait()
@@ -256,6 +316,16 @@ class ChapterGenerator:
                 item.error = RuntimeError("ChapterGenerator closed before "
                                           "this request was dispatched")
                 item.event.set()
+        while True:
+            try:
+                item = self._completion_q.get_nowait()
+            except queue_mod.Empty:
+                break
+            if item is not None:
+                for p in item[0]:
+                    p.error = RuntimeError("ChapterGenerator closed before "
+                                           "this result was fetched")
+                    p.event.set()
 
 
 def _make_handler(engine: ChapterGenerator):
@@ -377,6 +447,9 @@ def main(args=None) -> None:
     p.add_argument("--no-warmup", action="store_true")
     p.add_argument("--no-coalesce", action="store_true",
                    help="serialize requests one by one (round-1 behavior)")
+    p.add_argument("--no-pipeline", action="store_true",
+                   help="block on each device call before assembling the "
+                        "next batch (round-3 behavior)")
     p.add_argument("--max-batch", type=int, default=8,
                    help="largest coalesced batch (snaps to batch buckets)")
     p.add_argument("--max-wait-ms", type=float, default=2.0,
@@ -394,7 +467,8 @@ def main(args=None) -> None:
                               cfg.model.num_bins,
                               coalesce=not a.no_coalesce,
                               max_batch=a.max_batch,
-                              max_wait_ms=a.max_wait_ms)
+                              max_wait_ms=a.max_wait_ms,
+                              pipeline=not a.no_pipeline)
     serve(engine, a.host, a.port, warmup=not a.no_warmup)
 
 

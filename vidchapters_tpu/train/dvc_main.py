@@ -222,7 +222,9 @@ def main(cfg: ExperimentConfig,
                         json.dump({"results": preds}, f)
                 ckpt.maybe_save_best(tuple(state), epoch, metrics)
 
-        ckpt.save_last(tuple(state), epoch)
+        last_every = max(1, cfg.train.checkpoint.save_last_every_epochs)
+        if (epoch + 1) % last_every == 0 or epoch == cfg.train.epochs - 1:
+            ckpt.save_last(tuple(state), epoch)
         if is_main_process():
             with open(log_path, "a") as f:
                 f.write(json.dumps({"epoch": epoch, **epoch_stats}) + "\n")
