@@ -67,11 +67,9 @@ def main() -> None:
         else:
             fns = make_decode_fns(model, params, a.steps)
         rows = a.batch * beams
-        if beams > 1 and a.mega:
-            # the megakernel packs per-row int8 cross KV; rows repeat
-            enc = jnp.repeat(enc, beams, axis=0)
-        # standard path with beams: cross KV stays per-example and the
-        # attention layer groups the beam axis (like _beam_decode)
+        # both paths keep cross KV per-example with beams: the standard
+        # attention layer groups the beam axis; the megapath shares one
+        # cross block per example inside the kernel (like _beam_decode)
         cache = fns.init_cache(rows, enc)
         tokens = jnp.full((rows,), 50258, jnp.int32)  # <|sot|>
 

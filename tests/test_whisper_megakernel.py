@@ -177,8 +177,16 @@ def test_mega_beam_ancestry_matches_standard(setup):
     ref = make_decode_fns(model, params, MAX_LEN)
     std_tokens = beam_loop(ref, ref.init_cache(rows, enc))  # shared cross
 
+    # production mega-beam layout (round 4): UNREPEATED enc -> the kernel
+    # groups K consecutive rows over one per-example cross block
     mega = make_whisper_mega_fns(cfg, params, MAX_LEN, interpret=True,
                                  quantize=False)
-    enc_rep = jnp.repeat(enc, K, axis=0)
-    mega_tokens = beam_loop(mega, mega.init_cache(rows, enc_rep))
+    mega_tokens = beam_loop(mega, mega.init_cache(rows, enc))
     np.testing.assert_array_equal(mega_tokens, std_tokens)
+
+    # legacy per-row layout (repeated enc, group=1) must stay exact too
+    mega2 = make_whisper_mega_fns(cfg, params, MAX_LEN, interpret=True,
+                                  quantize=False)
+    enc_rep = jnp.repeat(enc, K, axis=0)
+    mega_rep_tokens = beam_loop(mega2, mega2.init_cache(rows, enc_rep))
+    np.testing.assert_array_equal(mega_rep_tokens, std_tokens)

@@ -227,15 +227,12 @@ class JaxWhisperTranscriber:
         def _beam_decode(params, enc, prefix):
             K = self.beam_size
             b = enc.shape[0]
-            if _mega_enabled():
-                # the megakernel packs per-row int8 cross KV; rows repeat
-                enc_k = jnp.repeat(enc, K, axis=0)
-                cache = fns.init_cache(b * K, enc_k)
-            else:
-                # standard path: self caches at b*K rows, cross KV stays
-                # per-example and beams group over it in-layer
-                # (models/whisper.py WhisperAttention grouped branch)
-                cache = fns.init_cache(b * K, enc)
+            # both paths keep cross KV per-example: the standard path's
+            # beams group over it in-layer (models/whisper.py
+            # WhisperAttention grouped branch); the megakernel shares one
+            # cross block per example inside the kernel (group=K), so the
+            # multi-GB int8 cross streams once per example per step
+            cache = fns.init_cache(b * K, enc)
             tok_k = jnp.repeat(prefix, K, axis=0)
             p_len = prefix.shape[1]
             no_speech = jnp.zeros((b,), jnp.float32)

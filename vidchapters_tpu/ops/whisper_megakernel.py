@@ -76,7 +76,7 @@ def _whisper_kernel(idx_sp, x_in, lns, lnb, wqkv, bqkv, wo_s, bo_s, wq_c,
                     kc, vc, kx, vx, kxs, vxs,
                     x_out, knew, vnew, xs,
                     *, n_layers: int, bb: int, heads: int, dkv: int,
-                    lenc: int, cdt, quant: bool):
+                    lenc: int, cdt, quant: bool, group: int = 1):
     """One (layer, batch-block) grid cell; hidden state in VMEM scratch."""
     i = pl.program_id(0)
     b = pl.program_id(1)
@@ -144,29 +144,33 @@ def _whisper_kernel(idx_sp, x_in, lns, lnb, wqkv, bqkv, wo_s, bo_s, wq_c,
     ones_h = jnp.ones((1, heads), f32)
     parts = []
     for r in range(bb):
+        # beam rows within an example share one cross block: the cross
+        # arrays carry bb // group example rows per block and row r reads
+        # example r // group (group=1 -> per-row KV, the greedy layout)
+        e = r // group
         qe = qc[r:r + 1]                             # [1, inner]
         if quant:
-            qe = qe * kxs[r, 0, 0][None, :].astype(cdt)
+            qe = qe * kxs[e, 0, 0][None, :].astype(cdt)
         # qex[d, h] = qe[0, d] (A^T.B against a ones row); block-diagonal
         # via the segment mask
         qex = jax.lax.dot_general(qe.astype(f32), ones_h,
                                   (((0,), (0,)), ((), ())),
                                   preferred_element_type=f32)  # [inner, H]
         qbd2d = (qex * seg[...]).astype(cdt)
-        kxe = kx[r, 0].astype(cdt)                   # [LencP, inner]
+        kxe = kx[e, 0].astype(cdt)                   # [LencP, inner]
         sc = jnp.dot(kxe, qbd2d, preferred_element_type=f32)  # [LencP, H]
         rows_c = jax.lax.broadcasted_iota(jnp.int32, sc.shape, 0)
         sc = jnp.where(rows_c < lenc, sc, NEG_INF)
         mx = jnp.max(sc, axis=0, keepdims=True)
         ec = jnp.exp(sc - mx)
         p = ec / jnp.sum(ec, axis=0, keepdims=True)
-        vxe = vx[r, 0].astype(cdt)
+        vxe = vx[e, 0].astype(cdt)
         ctx2d = jax.lax.dot_general(p.astype(cdt), vxe,
                                     (((0,), (0,)), ((), ())),
                                     preferred_element_type=f32)  # [H, inner]
         part = jnp.sum(ctx2d * seg_t[...], axis=0)   # [inner]
         if quant:
-            part = part * vxs[r, 0, 0]
+            part = part * vxs[e, 0, 0]
         parts.append(part[None])
     ctx_c = jnp.concatenate(parts, axis=0).astype(cdt)  # [bb, inner]
     x = x + mm(ctx_c, wo_c[0], bo_c[0, 0])
@@ -190,27 +194,38 @@ def whisper_mega_step(stacked: Dict[str, Array], x: Array,
                       bb: int = 2,
                       k_cross_scale: "Array | None" = None,
                       v_cross_scale: "Array | None" = None,
+                      group: int = 1,
                       interpret: bool = False):
     """One full decoder step over all layers.
 
     x [B, d] (token+position embeds, compute dtype); self caches
-    [B, N, L, inner]; cross KV [B, N, LencP, inner] (per example = per
-    row; greedy/sampling — beam callers repeat rows). Returns
-    (hidden [B, d] BEFORE the final LayerNorm, k_new [B, N, inner],
-    v_new [B, N, inner]).
+    [B, N, L, inner]; cross KV [B // group, N, LencP, inner] — ``group``
+    consecutive rows (the beams of one example) SHARE one cross block, so
+    beam decode streams each example's multi-GB cross KV once per step
+    instead of once per beam (group=1 = per-row KV, greedy/sampling).
+    Returns (hidden [B, d] BEFORE the final LayerNorm,
+    k_new [B, N, inner], v_new [B, N, inner]).
     """
     bsz, d = x.shape
     _, n_layers, l, inner = k_cache.shape
     lencp = k_cross.shape[2]
+    if group > 1:
+        # batch blocks must cover whole examples so each grid cell maps
+        # to a single contiguous slice of the per-example cross arrays
+        bb = max(bb - bb % group, group) if bsz >= group else bsz
     bb = min(bb, bsz)  # single-window decode runs batch 1
     assert bsz % bb == 0, (bsz, bb)
+    assert k_cross.shape[0] * group == bsz, (k_cross.shape, group, bsz)
+    assert bb % group == 0, (bb, group)
     dkv = inner // heads
     n_blocks = bsz // bb
+    ex_per_block = bb // group
     cdt = x.dtype
     d_ff = stacked["wi"].shape[2]
     quant = k_cross_scale is not None
     if not quant:
-        k_cross_scale = jnp.ones((bsz, n_layers, 1, inner), jnp.float32)
+        k_cross_scale = jnp.ones((bsz // group, n_layers, 1, inner),
+                                 jnp.float32)
         v_cross_scale = k_cross_scale
 
     idx = jnp.asarray(cache_index, jnp.int32).reshape(1)
@@ -228,10 +243,10 @@ def whisper_mega_step(stacked: Dict[str, Array], x: Array,
     cache_spec = pl.BlockSpec((bb, 1, l, inner),
                               lambda i, b, s: (b, i, 0, 0),
                               memory_space=pltpu.VMEM)
-    cross_spec = pl.BlockSpec((bb, 1, lencp, inner),
+    cross_spec = pl.BlockSpec((ex_per_block, 1, lencp, inner),
                               lambda i, b, s: (b, i, 0, 0),
                               memory_space=pltpu.VMEM)
-    scale_spec = pl.BlockSpec((bb, 1, 1, inner),
+    scale_spec = pl.BlockSpec((ex_per_block, 1, 1, inner),
                               lambda i, b, s: (b, i, 0, 0),
                               memory_space=pltpu.VMEM)
     # Mosaic requires block trailing dims (mult-of-8, mult-of-128) OR
@@ -273,7 +288,7 @@ def whisper_mega_step(stacked: Dict[str, Array], x: Array,
             k_cross_scale, v_cross_scale]
     kernel = functools.partial(
         _whisper_kernel, n_layers=n_layers, bb=bb, heads=heads, dkv=dkv,
-        lenc=lenc, cdt=cdt, quant=quant)
+        lenc=lenc, cdt=cdt, quant=quant, group=group)
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -393,15 +408,20 @@ def make_whisper_mega_fns(cfg, params: Dict[str, Any], max_length: int,
                          preferred_element_type=jnp.float32)
               + stacked["bv_cross"][None]).astype(cdt)  # [1, N, 1, d]
         pad = [(0, 0), (0, 0), (0, lencp - lenc), (0, 0)]
-        # lenc is STATIC (needed for the kernel's padding mask); stash it
-        # on the closure at trace time rather than in the carried cache
+        # lenc/group are STATIC (the kernel's padding mask + block layout);
+        # stash them on the closure at trace time rather than in the
+        # carried cache
         static_state["lenc"] = lenc
         cross = {"k": jnp.pad(kx, pad), "v": jnp.pad(vx, pad)}
         if quantize:
             cross["k"], cross["k_scale"] = _quantize_lanes(cross["k"])
             cross["v"], cross["v_scale"] = _quantize_lanes(cross["v"])
-        if b0 != batch:  # beam callers pass enc repeated already
-            raise ValueError(f"enc batch {b0} != cache batch {batch}")
+        if batch % b0 != 0:  # beam callers pass UNREPEATED enc (b0 rows)
+            raise ValueError(f"enc batch {b0} does not divide cache "
+                             f"batch {batch}")
+        # group consecutive rows (one example's beams) share a cross block
+        # inside the kernel — the multi-GB int8 cross stays per-example
+        static_state["group"] = batch // b0
         return {
             "self_k": jnp.zeros((batch, n, max_length, d), cdt),
             "self_v": jnp.zeros((batch, n, max_length, d), cdt),
@@ -419,6 +439,7 @@ def make_whisper_mega_fns(cfg, params: Dict[str, Any], max_length: int,
             static_state["lenc"], bb=BATCH_BLOCK_ROWS,
             k_cross_scale=cache["cross"].get("k_scale"),
             v_cross_scale=cache["cross"].get("v_scale"),
+            group=static_state["group"],
             interpret=interpret)
         new_cache = {
             "self_k": jax.lax.dynamic_update_slice(
