@@ -214,7 +214,7 @@ class RelativePositionBias(nn.Module):
         """[1, heads, q_len, k_len] additive bias."""
         cfg = self.cfg
         emb = self.param(
-            "rel_embedding", nn.initializers.normal(1.0),
+            "rel_embedding", nn.initializers.normal(cfg.d_model ** -0.5),
             (cfg.relative_attention_num_buckets, cfg.num_heads), jnp.float32)
         ctx = jnp.arange(query_length)[:, None] + query_offset
         mem = jnp.arange(key_length)[None, :]
@@ -243,12 +243,22 @@ class T5Attention(nn.Module):
     def setup(self):
         cfg = self.cfg
         inner = cfg.num_heads * cfg.d_kv
-        kernel_init = nn.initializers.normal(1.0)
+        # Mesh-TF factor-scaled init (reference model/modeling_t5.py:829-838,
+        # T5Attention branch of _init_weights): q absorbs the absent 1/sqrt(d_kv)
+        # softmax scaling; from-scratch training diverges without this.
         dt = _dtype(cfg)
-        self.q = nn.Dense(inner, use_bias=False, dtype=dt, kernel_init=kernel_init, name="q")
-        self.k = nn.Dense(inner, use_bias=False, dtype=dt, kernel_init=kernel_init, name="k")
-        self.v = nn.Dense(inner, use_bias=False, dtype=dt, kernel_init=kernel_init, name="v")
-        self.o = nn.Dense(cfg.d_model, use_bias=False, dtype=dt, kernel_init=kernel_init, name="o")
+        self.q = nn.Dense(inner, use_bias=False, dtype=dt,
+                          kernel_init=nn.initializers.normal(
+                              (cfg.d_model * cfg.d_kv) ** -0.5), name="q")
+        self.k = nn.Dense(inner, use_bias=False, dtype=dt,
+                          kernel_init=nn.initializers.normal(
+                              cfg.d_model ** -0.5), name="k")
+        self.v = nn.Dense(inner, use_bias=False, dtype=dt,
+                          kernel_init=nn.initializers.normal(
+                              cfg.d_model ** -0.5), name="v")
+        self.o = nn.Dense(cfg.d_model, use_bias=False, dtype=dt,
+                          kernel_init=nn.initializers.normal(
+                              (cfg.num_heads * cfg.d_kv) ** -0.5), name="o")
 
     def _split(self, x: Array) -> Array:
         b, l, _ = x.shape
@@ -452,17 +462,19 @@ class T5FeedForward(nn.Module):
     def __call__(self, x: Array, dropout_rate: float, deterministic: bool) -> Array:
         cfg = self.cfg
         dt = _dtype(cfg)
-        init = nn.initializers.normal(1.0)
+        # Mesh-TF FF init (reference model/modeling_t5.py:810-828)
+        wi_init = nn.initializers.normal(cfg.d_model ** -0.5)
+        wo_init = nn.initializers.normal(cfg.d_ff ** -0.5)
         if cfg.is_gated_act:
-            g = nn.Dense(cfg.d_ff, use_bias=False, dtype=dt, kernel_init=init, name="wi_0")(x)
-            l = nn.Dense(cfg.d_ff, use_bias=False, dtype=dt, kernel_init=init, name="wi_1")(x)
+            g = nn.Dense(cfg.d_ff, use_bias=False, dtype=dt, kernel_init=wi_init, name="wi_0")(x)
+            l = nn.Dense(cfg.d_ff, use_bias=False, dtype=dt, kernel_init=wi_init, name="wi_1")(x)
             # HF "gated-gelu" resolves to gelu_new = tanh approximation
             h = jax.nn.gelu(g, approximate=True) * l
         else:
-            h = nn.Dense(cfg.d_ff, use_bias=False, dtype=dt, kernel_init=init, name="wi")(x)
+            h = nn.Dense(cfg.d_ff, use_bias=False, dtype=dt, kernel_init=wi_init, name="wi")(x)
             h = jax.nn.relu(h)
         h = nn.Dropout(rate=dropout_rate, deterministic=deterministic)(h)
-        return nn.Dense(cfg.d_model, use_bias=False, dtype=dt, kernel_init=init, name="wo")(h)
+        return nn.Dense(cfg.d_model, use_bias=False, dtype=dt, kernel_init=wo_init, name="wo")(h)
 
 
 class T5Block(nn.Module):
