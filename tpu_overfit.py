@@ -11,9 +11,15 @@ step bench.py times must actually LEARN on the chip, the decode must emit
 the memorized time tokens + captions, and the metric stack must score them
 — end to end, one command, real scale.
 
-Expected outcome on a working stack: total loss falls by >10x and the
-final train-set eval scores near-ceiling (CIDEr in the hundreds, SODA >50;
-an untrained model scores ~0 on both).
+Expected outcome on a working stack: the generative loss falls to the
+label-smoothing floor (~1.36 nats at eps=0.1 over the 32k vocab — a
+"10x total-loss drop" is mathematically impossible with smoothing on, so
+the record reports the floor and the distance to it) and the final
+train-set eval scores near-ceiling (CIDEr in the hundreds, SODA >50; an
+untrained model scores ~0 on both). Hardware record from round 4:
+loss 21.47 -> 3.34 total (generative 11.06 -> 1.412 vs floor 1.357;
+denoising bounded by the stochastic span masks), CIDEr 729, SODA_c 50.6,
+F1 100.
 
 Runtime on one v5e through the axon tunnel: ~25-40 min TRAIN compile in
 the default unrolled layout, or ~1 min with --scan (scan_layers+remat —
@@ -153,7 +159,7 @@ def main() -> None:
 
     # loss trajectory from the per-epoch log
     log_path = os.path.join(root, "ckpt", "log.txt")
-    losses = []
+    losses, gen_losses = [], []
     with open(log_path) as f:
         for line in f:
             row = json.loads(line)
@@ -161,10 +167,25 @@ def main() -> None:
                 if k in row:
                     losses.append(float(row[k]))
                     break
+            if "train_loss" in row:  # generative (chapters) component
+                gen_losses.append(float(row["train_loss"]))
+
+    # label smoothing puts a hard floor under the CE: at eps the optimum
+    # assigns p_target = 1-eps+eps/V, p_other = eps/V, so "loss -> 0" is
+    # unreachable by construction — report the floor so the record is
+    # self-explaining (the proof is generative loss AT the floor, plus
+    # near-ceiling eval metrics).
+    eps = model_cfg.t5.label_smoothing
+    V = model_cfg.t5.vocab_size
+    p_t, p_o = 1.0 - eps + eps / V, eps / V
+    floor = -(p_t * np.log(p_t) + (V - 1) * p_o * np.log(p_o))
     out = {
         "metric": "tpu_overfit_recipe_scale",
         "loss_first_epoch": round(losses[0], 4) if losses else None,
         "loss_last_epoch": round(losses[-1], 4) if losses else None,
+        "generative_loss_first": round(gen_losses[0], 4) if gen_losses else None,
+        "generative_loss_last": round(gen_losses[-1], 4) if gen_losses else None,
+        "label_smoothing_floor": round(float(floor), 4),
         "cider": round(float(metrics.get("chapters_CIDEr", 0.0)), 4),
         "soda_c": round(float(metrics.get("chapters_soda_c", 0.0)), 4),
         "f1": round(float(metrics.get("chapters_F1", 0.0)), 4),
