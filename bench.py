@@ -50,8 +50,12 @@ def main() -> None:
         raise SystemExit(f"SCAN_LAYERS must be 0|1|encoder|decoder, "
                          f"got {scan_env!r}")
     t5_scan: object = {"0": False, "1": True}.get(scan_env, scan_env)
+    # FUSED_QKV=1: packed attention projections (T5Config.fused_qkv) — one
+    # matmul + one optimizer leaf per projection group
+    fused = os.environ.get("FUSED_QKV", "0") == "1"
     cfg = Vid2SeqConfig(
-        t5=T5Config(remat=t5_scan is True, scan_layers=t5_scan),
+        t5=T5Config(remat=t5_scan is True, scan_layers=t5_scan,
+                    fused_qkv=fused),
         vit=TemporalViTConfig(scan_layers=t5_scan is not False))
     model = Vid2Seq(cfg)
 

@@ -147,6 +147,13 @@ class T5Config:
     # WITH remat costs more recompute than the tail win (44.5 -> 32.9
     # videos/s measured), so the throughput recipe scans decoder-only
     scan_layers: Any = False
+    # pack each attention's projections into single params (self-attn
+    # qkv [d_model, heads, 3, d_kv]; cross-attn kv [d_model, heads, 2,
+    # d_kv]): one matmul + one optimizer leaf per group instead of 3/2.
+    # Head-major packing keeps the Megatron column-sharding rule exact.
+    # Checkpoints migrate between layouts via utils/migrate_ckpt
+    # (torch_import fuses released .pth weights on load automatically).
+    fused_qkv: bool = False
 
     @property
     def is_gated_act(self) -> bool:

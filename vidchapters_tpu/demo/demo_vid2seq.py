@@ -119,16 +119,14 @@ def main(args=None) -> list:
     model = Vid2Seq(cfg)
     if args.ckpt_path:
         from vidchapters_tpu.models.torch_import import (
+            apply_param_layouts,
             convert_vid2seq_state_dict,
             load_torch_checkpoint,
         )
 
-        params = convert_vid2seq_state_dict(load_torch_checkpoint(args.ckpt_path))
-        if cfg.t5.scan_layers or cfg.vit.scan_layers:
-            from vidchapters_tpu.models.torch_import import scan_vid2seq_params
-
-            params = scan_vid2seq_params(
-                params, t5=cfg.t5.scan_layers, vit=cfg.vit.scan_layers)
+        params = apply_param_layouts(
+            convert_vid2seq_state_dict(load_torch_checkpoint(args.ckpt_path)),
+            cfg)
     else:
         print("WARNING: no checkpoint given; using random weights")
         params = model.init({"params": jax.random.PRNGKey(0),

@@ -235,10 +235,43 @@ class RelativePositionBias(nn.Module):
         return jnp.transpose(bias, (2, 0, 1))[None].astype(_dtype(cfg))
 
 
+def _fused_proj_init(scales, d_kv):
+    """Per-projection Mesh-TF init scales for a fused [d_model, heads, P,
+    d_kv] kernel (P = packed projections). Flax's DenseGeneral initializes
+    the kernel on a FLATTENED (d_model, heads*P*d_kv) shape and reshapes
+    afterwards, so the scales are tiled along the flat feature axis."""
+    import numpy as _np
+
+    scales = _np.asarray(scales, _np.float32)
+    block = _np.repeat(scales, d_kv)  # [P * d_kv], one head's columns
+
+    def init(key, shape, dtype=jnp.float32):
+        w = jax.random.normal(key, shape, dtype)
+        if len(shape) >= 3:  # full [.., heads, P, d_kv] layout
+            s = jnp.asarray(scales, dtype).reshape(
+                (1,) * (len(shape) - 2) + (len(scales), 1))
+            return w * s
+        heads = shape[-1] // block.size
+        s = jnp.asarray(_np.tile(block, heads), dtype)
+        return w * s
+
+    return init
+
+
 class T5Attention(nn.Module):
-    """Multi-head attention, unscaled QK^T, optional additive position bias."""
+    """Multi-head attention, unscaled QK^T, optional additive position bias.
+
+    With ``T5Config.fused_qkv`` the projections are stored as packed params —
+    self-attention ``qkv`` [d_model, heads, 3, d_kv], cross-attention ``kv``
+    [d_model, heads, 2, d_kv] — so each projection group is ONE matmul and
+    ONE optimizer leaf (the round-2 profile charged ~8 ms/step to XLA
+    memory-space staging across the per-leaf tree). Head-major packing keeps
+    the Megatron column-sharding rule exact: sharding the heads axis gives
+    every model shard whole heads with their q/k/v together.
+    """
 
     cfg: T5Config
+    role: str = "self"  # "self" | "cross"
 
     def setup(self):
         cfg = self.cfg
@@ -246,23 +279,60 @@ class T5Attention(nn.Module):
         # Mesh-TF factor-scaled init (reference model/modeling_t5.py:829-838,
         # T5Attention branch of _init_weights): q absorbs the absent 1/sqrt(d_kv)
         # softmax scaling; from-scratch training diverges without this.
+        q_std = (cfg.d_model * cfg.d_kv) ** -0.5
+        kv_std = cfg.d_model ** -0.5
         dt = _dtype(cfg)
-        self.q = nn.Dense(inner, use_bias=False, dtype=dt,
-                          kernel_init=nn.initializers.normal(
-                              (cfg.d_model * cfg.d_kv) ** -0.5), name="q")
-        self.k = nn.Dense(inner, use_bias=False, dtype=dt,
-                          kernel_init=nn.initializers.normal(
-                              cfg.d_model ** -0.5), name="k")
-        self.v = nn.Dense(inner, use_bias=False, dtype=dt,
-                          kernel_init=nn.initializers.normal(
-                              cfg.d_model ** -0.5), name="v")
+        self._fused = bool(getattr(cfg, "fused_qkv", False))
+        if self._fused and self.role == "self":
+            self.qkv = nn.DenseGeneral(
+                (cfg.num_heads, 3, cfg.d_kv), use_bias=False, dtype=dt,
+                kernel_init=_fused_proj_init((q_std, kv_std, kv_std),
+                                             cfg.d_kv),
+                name="qkv")
+        elif self._fused:
+            self.q = nn.Dense(inner, use_bias=False, dtype=dt,
+                              kernel_init=nn.initializers.normal(q_std),
+                              name="q")
+            self.kv = nn.DenseGeneral(
+                (cfg.num_heads, 2, cfg.d_kv), use_bias=False, dtype=dt,
+                kernel_init=_fused_proj_init((kv_std, kv_std), cfg.d_kv),
+                name="kv")
+        else:
+            self.q = nn.Dense(inner, use_bias=False, dtype=dt,
+                              kernel_init=nn.initializers.normal(q_std),
+                              name="q")
+            self.k = nn.Dense(inner, use_bias=False, dtype=dt,
+                              kernel_init=nn.initializers.normal(kv_std),
+                              name="k")
+            self.v = nn.Dense(inner, use_bias=False, dtype=dt,
+                              kernel_init=nn.initializers.normal(kv_std),
+                              name="v")
         self.o = nn.Dense(cfg.d_model, use_bias=False, dtype=dt,
                           kernel_init=nn.initializers.normal(
-                              (cfg.num_heads * cfg.d_kv) ** -0.5), name="o")
+                              (cfg.num_heads * cfg.d_kv) ** -0.5),
+                          name="o")
 
     def _split(self, x: Array) -> Array:
         b, l, _ = x.shape
         return x.reshape(b, l, self.cfg.num_heads, self.cfg.d_kv).transpose(0, 2, 1, 3)
+
+    def _qkv_self(self, x: Array) -> Tuple[Array, Array, Array]:
+        """(q, k, v) each [b, h, l, d] projected from ONE tensor (self-attn)."""
+        if self._fused:
+            y = self.qkv(x)  # [b, l, h, 3, d_kv]
+            return (y[..., 0, :].transpose(0, 2, 1, 3),
+                    y[..., 1, :].transpose(0, 2, 1, 3),
+                    y[..., 2, :].transpose(0, 2, 1, 3))
+        return (self._split(self.q(x)), self._split(self.k(x)),
+                self._split(self.v(x)))
+
+    def _kv_cross(self, x: Array) -> Tuple[Array, Array]:
+        """(k, v) each [b, h, l, d] from the encoder states (cross-attn)."""
+        if self._fused:
+            y = self.kv(x)  # [b, l, h, 2, d_kv]
+            return (y[..., 0, :].transpose(0, 2, 1, 3),
+                    y[..., 1, :].transpose(0, 2, 1, 3))
+        return self._split(self.k(x)), self._split(self.v(x))
 
     def _merge(self, x: Array) -> Array:
         b, h, l, d = x.shape
@@ -277,11 +347,9 @@ class T5Attention(nn.Module):
         """``bias`` is batch-independent ([1, h, q, k] rel-pos (+ causal));
         the [B, K] ``key_mask`` is applied separately so no [B, h, L, L]
         bias tensor is ever materialized in HBM (the v5e OOMs otherwise)."""
-        q = self._split(self.q(hidden))
         if cache is not None and "k" in cache and kv is hidden:
             # incremental self-attention: write new kv at cache_index
-            k_new = self._split(self.k(hidden))
-            v_new = self._split(self.v(hidden))
+            q, k_new, v_new = self._qkv_self(hidden)
             if _fused_decode_enabled() and bias is not None:
                 # one custom call per layer step: cache writes + attention
                 # (the decode loop is op-overhead-bound, BENCH_NOTES.md)
@@ -297,6 +365,7 @@ class T5Attention(nn.Module):
             v = jax.lax.dynamic_update_slice(cache["v"], v_new, (0, 0, cache_index, 0))
             cache = {"k": k, "v": v}
         elif cache is not None:  # precomputed cross-attention kv
+            q = self._split(self.q(hidden))
             k, v = cache["k"], cache["v"]
             if (_fused_decode_enabled() and bias is None
                     and key_mask is not None and q.shape[2] == 1):
@@ -329,8 +398,11 @@ class T5Attention(nn.Module):
                 out = out.reshape(q.shape[0], cfgh, q.shape[2], dkv)
                 return self.o(self._merge(out)), cache
         else:
-            k = self._split(self.k(kv))
-            v = self._split(self.v(kv))
+            if kv is hidden:
+                q, k, v = self._qkv_self(hidden)
+            else:
+                q = self._split(self.q(hidden))
+                k, v = self._kv_cross(kv)
         large = (cache is None and q.shape[2] > self.CHUNK
                  and q.shape[2] * k.shape[2] > 512 * 512)
         use_fused = (large and _fused_attention_enabled()
@@ -452,7 +524,8 @@ class T5Attention(nn.Module):
         return out[:, :, :lq]
 
     def precompute_kv(self, kv: Array) -> Dict[str, Array]:
-        return {"k": self._split(self.k(kv)), "v": self._split(self.v(kv))}
+        k, v = self._kv_cross(kv)
+        return {"k": k, "v": v}
 
 
 class T5FeedForward(nn.Module):
@@ -486,11 +559,11 @@ class T5Block(nn.Module):
         dt = _dtype(cfg)
         self.self_attn_norm = RMSNorm(cfg.d_model, cfg.layer_norm_epsilon, dt,
                                       name="self_attn_norm")
-        self.self_attn = T5Attention(cfg, name="self_attn")
+        self.self_attn = T5Attention(cfg, role="self", name="self_attn")
         if self.is_decoder:
             self.cross_attn_norm = RMSNorm(cfg.d_model, cfg.layer_norm_epsilon, dt,
                                            name="cross_attn_norm")
-            self.cross_attn = T5Attention(cfg, name="cross_attn")
+            self.cross_attn = T5Attention(cfg, role="cross", name="cross_attn")
         self.ff_norm = RMSNorm(cfg.d_model, cfg.layer_norm_epsilon, dt, name="ff_norm")
         self.ff = T5FeedForward(cfg, name="ff")
 

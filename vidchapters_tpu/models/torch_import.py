@@ -177,6 +177,96 @@ def unscan_t5_params(t5_params: Params) -> Params:
     return out
 
 
+def _fuse_attn(attn: Params, heads: int, d_kv: int, packed: int) -> Params:
+    """Pack per-projection kernels into one [..., d_model, heads, P, d_kv]
+    param (P=3 self qkv, P=2 cross kv). Works on unrolled leaves and on
+    scanned leaves with a leading layer axis alike."""
+    names = ("q", "k", "v") if packed == 3 else ("k", "v")
+    mats = []
+    for nm in names:
+        w = np.asarray(attn[nm]["kernel"])
+        mats.append(w.reshape(w.shape[:-1] + (heads, d_kv)))
+    fused = np.stack(mats, axis=-2)  # [..., d_model, heads, P, d_kv]
+    out = {k: v for k, v in attn.items() if k not in names}
+    out["qkv" if packed == 3 else "kv"] = {"kernel": fused}
+    return out
+
+
+def _unfuse_attn(attn: Params) -> Params:
+    key = "qkv" if "qkv" in attn else "kv"
+    fused = np.asarray(attn[key]["kernel"])  # [..., d, heads, P, d_kv]
+    packed = fused.shape[-2]
+    flat = fused.shape[:-3] + (fused.shape[-3] * fused.shape[-1],)
+    names = ("q", "k", "v") if packed == 3 else ("k", "v")
+    out = {k: v for k, v in attn.items() if k != key}
+    for i, nm in enumerate(names):
+        out[nm] = {"kernel": np.ascontiguousarray(
+            fused[..., i, :]).reshape(flat)}
+    return out
+
+
+def _map_attention_blocks(stack: Params, fn) -> Params:
+    """Apply ``fn(attn_subtree, role)`` to every attention in a T5 stack
+    (unrolled ``block_{i}`` or scanned ``blocks`` layout)."""
+    out = dict(stack)
+    for key, blk in stack.items():
+        if key != "blocks" and not key.startswith("block_"):
+            continue
+        new_blk = dict(blk)
+        if "self_attn" in blk:
+            new_blk["self_attn"] = fn(blk["self_attn"], "self")
+        if "cross_attn" in blk:
+            new_blk["cross_attn"] = fn(blk["cross_attn"], "cross")
+        out[key] = new_blk
+    return out
+
+
+def fuse_t5_attention_params(t5_params: Params, num_heads: int,
+                             d_kv: int) -> Params:
+    """Separate q/k/v kernels -> the ``T5Config.fused_qkv`` packed layout."""
+
+    def fn(attn, role):
+        if "qkv" in attn or "kv" in attn:
+            return attn  # already fused
+        return _fuse_attn(attn, num_heads, d_kv, 3 if role == "self" else 2)
+
+    out = dict(t5_params)
+    for stack in ("encoder", "decoder"):
+        if stack in t5_params:
+            out[stack] = _map_attention_blocks(t5_params[stack], fn)
+    return out
+
+
+def unfuse_t5_attention_params(t5_params: Params) -> Params:
+    """Inverse of :func:`fuse_t5_attention_params` (no-op if unfused)."""
+
+    def fn(attn, role):
+        if "qkv" not in attn and "kv" not in attn:
+            return attn
+        return _unfuse_attn(attn)
+
+    out = dict(t5_params)
+    for stack in ("encoder", "decoder"):
+        if stack in t5_params:
+            out[stack] = _map_attention_blocks(t5_params[stack], fn)
+    return out
+
+
+def apply_param_layouts(params: Params, model_cfg) -> Params:
+    """Bring a converted (unrolled, unfused) Vid2Seq param tree to the
+    layouts ``model_cfg`` requests: fused_qkv packing, then scan stacking.
+    Shared by dvc_main --load, serve --ckpt and demo_vid2seq."""
+    t5 = model_cfg.t5
+    if getattr(t5, "fused_qkv", False):
+        params = dict(params)
+        params["t5"] = fuse_t5_attention_params(
+            params["t5"], t5.num_heads, t5.d_kv)
+    if t5.scan_layers or model_cfg.vit.scan_layers:
+        params = scan_vid2seq_params(params, t5=t5.scan_layers,
+                                     vit=model_cfg.vit.scan_layers)
+    return params
+
+
 def scan_vid2seq_params(params: Params, t5: Any = True,
                         vit: bool = True) -> Params:
     """Unrolled Vid2Seq param tree -> the scan_layers layouts requested by

@@ -553,6 +553,31 @@ def stack_decoder_weights(t5_params: Dict[str, Any], cfg,
     dec = t5_params["decoder"]
     n = cfg.num_decoder_layers
 
+    def _unfuse(attn):
+        """T5Config.fused_qkv packed kernels -> separate q/k/v views (one
+        slice+reshape per projection at generate-fn setup; the kernel's own
+        streaming layout re-packs below either way)."""
+        key = "qkv" if "qkv" in attn else ("kv" if "kv" in attn else None)
+        if key is None:
+            return attn
+        w = jnp.asarray(attn[key]["kernel"])  # [..., d, heads, P, d_kv]
+        flat = w.shape[:-3] + (w.shape[-3] * w.shape[-1],)
+        names = ("q", "k", "v") if w.shape[-2] == 3 else ("k", "v")
+        out = {k: v for k, v in attn.items() if k != key}
+        for i, nm in enumerate(names):
+            out[nm] = {"kernel": w[..., i, :].reshape(flat)}
+        return out
+
+    def _unfuse_block(blk):
+        new = dict(blk)
+        for a in ("self_attn", "cross_attn"):
+            if a in blk:
+                new[a] = _unfuse(blk[a])
+        return new
+
+    dec = {k: (_unfuse_block(v) if k == "blocks" or k.startswith("block_")
+               else v) for k, v in dec.items()}
+
     if "blocks" in dec:
         # scanned layout (T5Config.scan_layers): params already carry the
         # leading [N] layer axis this kernel streams — no restacking

@@ -28,6 +28,10 @@ _RULES: Tuple[Tuple[str, P], ...] = (
     # T5 attention
     (r".*self_attn/(q|k|v)/kernel", P(None, "model")),
     (r".*cross_attn/(q|k|v)/kernel", P(None, "model")),
+    # fused_qkv packed layouts: shard the heads axis (whole heads with
+    # their q/k/v together per model shard — the Megatron layout)
+    (r".*self_attn/qkv/kernel", P(None, "model", None, None)),
+    (r".*cross_attn/kv/kernel", P(None, "model", None, None)),
     (r".*self_attn/o/kernel", P("model", None)),
     (r".*cross_attn/o/kernel", P("model", None)),
     # T5 FFN

@@ -407,18 +407,14 @@ def load_serving_params(cfg, model, ckpt: Optional[str]):
     if ckpt and not Path(ckpt).is_dir():
         # released reference .pth -> serve directly (dvc.py --load path)
         from vidchapters_tpu.models.torch_import import (
+            apply_param_layouts,
             convert_vid2seq_state_dict,
             load_torch_checkpoint,
         )
 
-        params = convert_vid2seq_state_dict(
-            load_torch_checkpoint(ckpt), gated=cfg.model.t5.is_gated_act)
-        if cfg.model.t5.scan_layers or cfg.model.vit.scan_layers:
-            from vidchapters_tpu.models.torch_import import scan_vid2seq_params
-
-            params = scan_vid2seq_params(
-                params, t5=cfg.model.t5.scan_layers,
-                vit=cfg.model.vit.scan_layers)
+        params = apply_param_layouts(convert_vid2seq_state_dict(
+            load_torch_checkpoint(ckpt), gated=cfg.model.t5.is_gated_act),
+            cfg.model)
         print(f"imported torch checkpoint {ckpt}")
     elif ckpt:
         from vidchapters_tpu.runtime.checkpoint import CheckpointManager

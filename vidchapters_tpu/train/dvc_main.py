@@ -98,19 +98,15 @@ def main(cfg: ExperimentConfig,
     if init_params is None and load and not Path(load).is_dir():
         # reference .pth checkpoint (released weights path)
         from vidchapters_tpu.models.torch_import import (
+            apply_param_layouts,
             convert_vid2seq_state_dict,
             load_torch_checkpoint,
         )
 
         print(f"loading torch checkpoint from {load}")
-        init_params = convert_vid2seq_state_dict(
-            load_torch_checkpoint(load), gated=cfg.model.t5.is_gated_act)
-        if cfg.model.t5.scan_layers or cfg.model.vit.scan_layers:
-            from vidchapters_tpu.models.torch_import import scan_vid2seq_params
-
-            init_params = scan_vid2seq_params(
-                init_params, t5=cfg.model.t5.scan_layers,
-                vit=cfg.model.vit.scan_layers)
+        init_params = apply_param_layouts(convert_vid2seq_state_dict(
+            load_torch_checkpoint(load), gated=cfg.model.t5.is_gated_act),
+            cfg.model)
     if init_params is None:
         init_params = model.init(
             {"params": rng, "dropout": rng}, dummy_video, dummy_inp,

@@ -30,9 +30,12 @@ def _detect_vid2seq(tree: Any) -> Any:
 
 
 def migrate_params(tree: Any, to: str, t5_stacks: Any = True,
-                   vit: bool = True) -> Any:
+                   vit: bool = True, fuse: str = "keep",
+                   num_heads: int = 12, d_kv: int = 64) -> Any:
     from vidchapters_tpu.models.torch_import import (
+        fuse_t5_attention_params,
         scan_vid2seq_params,
+        unfuse_t5_attention_params,
         unscan_stacked_layers,
         unscan_t5_params,
     )
@@ -49,6 +52,14 @@ def migrate_params(tree: Any, to: str, t5_stacks: Any = True,
             out["visual_encoder"] = unscan_stacked_layers(ve)
     else:
         raise ValueError(to)
+    if fuse == "fuse":
+        out = dict(out)
+        out["t5"] = fuse_t5_attention_params(out["t5"], num_heads, d_kv)
+    elif fuse == "unfuse":
+        out = dict(out)
+        out["t5"] = unfuse_t5_attention_params(out["t5"])
+    elif fuse != "keep":
+        raise ValueError(fuse)
     return out["t5"] if bare_t5 else out
 
 
@@ -67,6 +78,14 @@ def main(args=None) -> None:
                    help="'keep' leaves the visual tower unrolled when "
                         "migrating --to scanned (matches configs with "
                         "TemporalViTConfig.scan_layers=False)")
+    p.add_argument("--fuse", default="keep", choices=["keep", "fuse", "unfuse"],
+                   help="attention projection packing: 'fuse' -> the "
+                        "T5Config.fused_qkv layout, 'unfuse' -> separate "
+                        "q/k/v params, 'keep' -> leave as stored")
+    p.add_argument("--num-heads", type=int, default=12,
+                   help="T5 num_heads (needed by --fuse fuse)")
+    p.add_argument("--d-kv", type=int, default=64,
+                   help="T5 d_kv (needed by --fuse fuse)")
     a = p.parse_args(args)
 
     import jax
@@ -86,11 +105,12 @@ def main(args=None) -> None:
     params = raw[0] if isinstance(raw, (list, tuple)) else raw
     stacks = True if a.t5_stacks == "both" else a.t5_stacks
     migrated = migrate_params(params, a.to, t5_stacks=stacks,
-                              vit=a.vit == "scan")
+                              vit=a.vit == "scan", fuse=a.fuse,
+                              num_heads=a.num_heads, d_kv=a.d_kv)
     mgr = CheckpointManager(a.dst)
     mgr._save_tree(a.name, (migrated,),
                    {"layout": a.to, "migrated_from": str(src / a.name),
-                    "t5_stacks": a.t5_stacks, "vit": a.vit})
+                    "t5_stacks": a.t5_stacks, "vit": a.vit, "fuse": a.fuse})
     n = sum(x.size for x in jax.tree_util.tree_leaves(migrated))
     print(f"wrote {a.dst}/{a.name} ({a.to}, {n} params)")
 
