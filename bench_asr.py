@@ -36,6 +36,12 @@ def main() -> None:
                    help="beam size; 0/1 = greedy. beam 5 matches the "
                         "faster-whisper default the reference's --faster "
                         "factory path runs (whisper_inference.py:40-43)")
+    p.add_argument("--vad-fraction", type=float, default=None,
+                   help="run the REAL JaxWhisperTranscriber (vad=True) over "
+                        "long synthetic audio that is only this fraction "
+                        "speech (rest silence) and report EFFECTIVE "
+                        "audio-s/s — the role whisperx's pyannote VAD plays "
+                        "in the reference --faster path's ~70x-RT figure")
     a = p.parse_args()
 
     from vidchapters_tpu.models.whisper import LARGE_V2, Whisper
@@ -50,6 +56,10 @@ def main() -> None:
     if a.dtype:
         dt = jnp.dtype(a.dtype)
         params = jax.tree_util.tree_map(lambda x: x.astype(dt), params)
+
+    if a.vad_fraction is not None:
+        _vad_bench(model, params, a)
+        return
 
     from vidchapters_tpu.ops.decoding import (
         make_decode_fns,
@@ -110,6 +120,61 @@ def main() -> None:
         "beam": a.beam,
         "mega": bool(a.mega),
         "vs_baseline": round(audio_s / dt / 70.0, 2),  # whisperx ~70x RT
+    }))
+
+
+def _vad_bench(model, params, a) -> None:
+    """Effective audio-s/s through the REAL transcriber on long audio that
+    is only ``--vad-fraction`` speech: VAD skips silent 30 s windows before
+    any mel/encode/decode work, so effective throughput scales ~1/fraction.
+    Random weights mean every decoded window runs the full worst-case
+    token budget; gates/temperature retries are disabled so both arms run
+    one deterministic pass per window."""
+    from vidchapters_tpu.factory.whisper_transcribe import (
+        JaxWhisperTranscriber,
+    )
+    from vidchapters_tpu.factory.vad import SAMPLE_RATE
+
+    rng = np.random.default_rng(1)
+    secs, period = 120, 30  # 4 windows per item; whole-window speech blocks
+    n_speech = int(round(secs / period * a.vad_fraction))
+    audios = []
+    for _ in range(a.batch):
+        blocks = []
+        for w in range(secs // period):
+            if w < n_speech:
+                blocks.append(rng.normal(0, 0.05,
+                                         period * SAMPLE_RATE).astype(
+                                             np.float32))
+            else:
+                blocks.append(np.zeros(period * SAMPLE_RATE, np.float32))
+        audios.append(np.concatenate(blocks))
+
+    def run(vad: bool) -> float:
+        tr = JaxWhisperTranscriber(
+            model, params, max_decode_len=a.steps, vad=vad,
+            beam_size=a.beam if a.beam > 1 else None,
+            temperatures=(0.0,), compression_ratio_threshold=None,
+            logprob_threshold=None, no_speech_threshold=None)
+        tr.transcribe_batch(audios)  # compile both programs
+        t0 = time.perf_counter()
+        tr.transcribe_batch(audios)
+        return time.perf_counter() - t0
+
+    dt_off, dt_on = run(False), run(True)
+    total = a.batch * secs
+    print(json.dumps({
+        "metric": "whisper_largev2_effective_audio_seconds_per_sec",
+        "value": round(total / dt_on, 1),
+        "unit": "audio-s/s",
+        "vad_off": round(total / dt_off, 1),
+        "speech_fraction": a.vad_fraction,
+        "batch": a.batch,
+        "dtype": a.dtype or "float32",
+        "beam": a.beam,
+        "vs_baseline": round(total / dt_on / 70.0, 2),  # whisperx ~70x RT,
+        # itself a VAD-assisted real-audio figure — this row is the
+        # apples-to-apples comparison for the factory default config
     }))
 
 
