@@ -118,8 +118,13 @@ def _e2e_bench(a) -> None:
     extractor = CLIPFeatureExtractor(enc, params, batch_size=a.batch)
     total_frames = a.videos * a.frames
 
-    # warm the compiled tower (and page the media into fs cache)
+    # warm the compiled tower, and decode EVERY video once so both timed
+    # arms read a warm page cache — otherwise the sync arm (which runs
+    # first) pays cold-media page-in the pipelined arm never sees, and
+    # pipeline_speedup is inflated
     extractor(decode_fn(paths[0])[: a.batch])
+    for p in paths:
+        decode_fn(p)
 
     results = {}
     for mode, prefetch, workers in (

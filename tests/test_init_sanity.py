@@ -56,13 +56,12 @@ def test_from_scratch_init_grads_are_sane():
     # Old stddev-1.0 init measured ~1e10 here; factor-scaled init is O(10).
     assert np.isfinite(gn) and gn < 1e3, gn
 
-    # Per-projection init scales match the reference _init_weights recipe.
-    t5p = params["t5"]["encoder"]["blocks_0"] if "blocks_0" in params["t5"][
-        "encoder"] else None
-    if t5p is not None:
-        q = t5p["self_attn"]["q"]["kernel"]
-        k = t5p["self_attn"]["k"]["kernel"]
-        d_model, d_kv = cfg.t5.d_model, cfg.t5.d_kv
-        assert abs(float(jnp.std(q)) - (d_model * d_kv) ** -0.5) < 0.2 * (
-            d_model * d_kv) ** -0.5
-        assert abs(float(jnp.std(k)) - d_model ** -0.5) < 0.2 * d_model ** -0.5
+    # Per-projection init scales match the reference _init_weights recipe
+    # (unrolled blocks are named "block_{i}", t5.py T5Stack).
+    t5p = params["t5"]["encoder"]["block_0"]
+    q = t5p["self_attn"]["q"]["kernel"]
+    k = t5p["self_attn"]["k"]["kernel"]
+    d_model, d_kv = cfg.t5.d_model, cfg.t5.d_kv
+    assert abs(float(jnp.std(q)) - (d_model * d_kv) ** -0.5) < 0.2 * (
+        d_model * d_kv) ** -0.5
+    assert abs(float(jnp.std(k)) - d_model ** -0.5) < 0.2 * d_model ** -0.5

@@ -255,6 +255,42 @@ def test_close_fails_stranded_requests_and_rejects_new(monkeypatch):
         engine.generate_chapters(np.zeros((8, 16), np.float32), 10.0)
 
 
+def test_close_during_inflight_device_call_still_wakes_requests():
+    """Round-4 regression: with pipeline=True, a device call that OUTLIVES
+    close()'s join timeout must still wake its requests. The completion
+    thread therefore ends on the dispatcher's own sentinel (enqueued after
+    its last in-flight result), never on one injected by close() while the
+    dispatcher is mid-call — otherwise the late (group, seqs) has no
+    consumer and every caller hangs forever in event.wait()."""
+    import time
+
+    eng = _tiny_engine()
+    eng.pipeline = True
+    eng._max_wait = 0.02
+    eng._close_timeout = 0.1  # expire the join while the call is in flight
+    eng.warmup()
+    real_generate = eng._generate
+    release = threading.Event()
+
+    def slow_generate(params, videos, tokens, rng):
+        release.wait(timeout=10.0)  # device call far longer than the join
+        return real_generate(params, videos, tokens, rng)
+
+    eng._generate = slow_generate
+    feats = np.random.default_rng(0).normal(size=(20, 16)).astype(np.float32)
+    asr = {"text": ["hello"], "start": [0.0], "end": [2.0]}
+    result = {}
+    t = threading.Thread(target=lambda: result.update(
+        out=eng.generate_chapters(feats, 30.0, asr)))
+    t.start()
+    time.sleep(0.3)  # dispatcher is now blocked inside the device call
+    eng.close()  # join times out; completer must stay alive
+    release.set()
+    t.join(timeout=10.0)
+    assert not t.is_alive(), "request stranded after close()"
+    assert "out" in result and isinstance(result["out"], list)
+
+
 def test_get_raw_video_zero_frames_falls_back(monkeypatch):
     """ADVICE r2: ffmpeg succeeding with zero decoded frames must return the
     zeros fallback, not a zero-length array."""

@@ -38,11 +38,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="OpenAI CLIP ViT-L/14 .pt state dict")
     p.add_argument("--tokenizer_path", default="",
                    help="T5 spiece.model (byte fallback if empty)")
-    p.add_argument("--num_bins", type=int, default=100)
-    p.add_argument("--max_feats", type=int, default=100)
-    p.add_argument("--max_input_tokens", type=int, default=1000)
+    # None = inherit from --config (model.num_bins / data.*) when given,
+    # else the reference demo defaults; an explicit flag always wins
+    p.add_argument("--num_bins", type=int, default=None)
+    p.add_argument("--max_feats", type=int, default=None)
+    p.add_argument("--max_input_tokens", type=int, default=None)
     p.add_argument("--num_beams", type=int, default=4)
-    p.add_argument("--max_output_tokens", type=int, default=256)
+    p.add_argument("--max_output_tokens", type=int, default=None)
     p.add_argument("--out_path", default="")
     return p
 
@@ -62,6 +64,28 @@ def main(args=None) -> list:
     from vidchapters_tpu.train.dvc_train import make_generate_fn
 
     args = build_parser().parse_args(args)
+    # resolve config FIRST: the tokenizer's time-token block and the
+    # quantization below must use the loaded model's num_bins, or chapters
+    # come back silently mis-timestamped on custom-scale checkpoints
+    if args.config:
+        from vidchapters_tpu.config import ExperimentConfig, load_config
+
+        exp_cfg = load_config(ExperimentConfig, args.config)
+        cfg = exp_cfg.model
+        data_defaults = exp_cfg.data
+    else:
+        from vidchapters_tpu.config import DataConfig
+
+        cfg = Vid2SeqConfig()
+        data_defaults = DataConfig()
+    if args.num_bins is None:
+        args.num_bins = cfg.num_bins
+    if args.max_feats is None:
+        args.max_feats = data_defaults.max_feats
+    if args.max_input_tokens is None:
+        args.max_input_tokens = data_defaults.max_input_tokens
+    if args.max_output_tokens is None:
+        args.max_output_tokens = data_defaults.max_output_tokens
     tokenizer = build_tokenizer(args.tokenizer_path, num_bins=args.num_bins)
 
     # 1. frame features
@@ -110,12 +134,6 @@ def main(args=None) -> list:
     # 3. model
     import jax
 
-    if args.config:
-        from vidchapters_tpu.config import ExperimentConfig, load_config
-
-        cfg = load_config(ExperimentConfig, args.config).model
-    else:
-        cfg = Vid2SeqConfig()
     model = Vid2Seq(cfg)
     if args.ckpt_path:
         from vidchapters_tpu.models.torch_import import (
@@ -125,7 +143,8 @@ def main(args=None) -> list:
         )
 
         params = apply_param_layouts(
-            convert_vid2seq_state_dict(load_torch_checkpoint(args.ckpt_path)),
+            convert_vid2seq_state_dict(load_torch_checkpoint(args.ckpt_path),
+                                       gated=cfg.t5.is_gated_act),
             cfg)
     else:
         print("WARNING: no checkpoint given; using random weights")

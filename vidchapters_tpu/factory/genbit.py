@@ -32,8 +32,8 @@ from typing import Dict, Iterable, List, Optional
 MALE_DEFINITION_WORDS = frozenset("""
 he him his himself man men boy boys male males father fathers dad dads daddy
 papa pa brother brothers son sons husband husbands uncle uncles nephew
-nephews king kings prince princes sir sirs gentleman gentlemen mr mister
-master grandfather grandfathers grandpa grandson grandsons groom grooms
+nephews king kings prince princes sir sirs gentleman gentlemen mr
+grandfather grandfathers grandpa grandson grandsons groom grooms
 widower widowers actor actors lad lads guy dude bloke fella gent stepfather
 stepson stepbrother godfather godson fiance boyfriend boyfriends lord lords
 duke dukes earl earls baron barons emperor emperors tsar czar monk monks
@@ -49,7 +49,7 @@ FEMALE_DEFINITION_WORDS = frozenset("""
 she her hers herself woman women girl girls female females mother mothers
 mom moms mommy mama ma sister sisters daughter daughters wife wives aunt
 aunts niece nieces queen queens princess princesses madam madame lady ladies
-mrs ms miss grandmother grandmothers grandma granddaughter granddaughters
+mrs ms grandmother grandmothers grandma granddaughter granddaughters
 bride brides widow widows actress actresses lass lasses gal gals stepmother
 stepdaughter stepsister godmother goddaughter fiancee girlfriend girlfriends
 duchess duchesses countess countesses baroness baronesses empress empresses
@@ -61,9 +61,14 @@ matrons dame dames schoolgirl schoolgirls maternal motherhood sisterhood
 womanhood girlhood womenfolk belle belles
 """.split())
 
+# NOTE: common-English homographs are deliberately EXCLUDED from every
+# lexicon — 'miss' (verb), 'master'/'mister' (master bedroom, plain noun),
+# and the neopronoun homographs 'per' (miles per hour), 'em' ('em), 've'
+# ('ve) would systematically mis-gender ordinary ASR text; the genbit
+# package's own lists keep to unambiguous tokens for the same reason.
 NON_BINARY_DEFINITION_WORDS = frozenset("""
 they them theirs themself themselves ze zir zirs ziself xe xem xyr xyrs
-xemself hir hirs hirself ey em eir eirs emself ve ver vis verself per pers
+xemself hir hirs hirself ey eir eirs emself vis verself pers
 perself fae faer faers enby enbies nonbinary non-binary genderqueer
 genderfluid agender bigender demiboy demigirl pangender neutrois two-spirit
 androgyne androgynous

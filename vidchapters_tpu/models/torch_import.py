@@ -192,16 +192,24 @@ def _fuse_attn(attn: Params, heads: int, d_kv: int, packed: int) -> Params:
     return out
 
 
-def _unfuse_attn(attn: Params) -> Params:
-    key = "qkv" if "qkv" in attn else "kv"
-    fused = np.asarray(attn[key]["kernel"])  # [..., d, heads, P, d_kv]
+def _unfuse_attn(attn: Params, xp=np) -> Params:
+    """Packed qkv/kv kernel -> separate q/k/v entries. ``xp`` picks the
+    array namespace (numpy for checkpoint transforms; decode_megakernel
+    passes jax.numpy at generate-fn setup) so the packed-layout format —
+    axis order [..., d, heads, P, d_kv], P=3/2 discrimination, key naming
+    — lives in exactly one place. No-op if already unfused."""
+    key = "qkv" if "qkv" in attn else ("kv" if "kv" in attn else None)
+    if key is None:
+        return attn
+    fused = xp.asarray(attn[key]["kernel"])  # [..., d, heads, P, d_kv]
     packed = fused.shape[-2]
     flat = fused.shape[:-3] + (fused.shape[-3] * fused.shape[-1],)
     names = ("q", "k", "v") if packed == 3 else ("k", "v")
     out = {k: v for k, v in attn.items() if k != key}
     for i, nm in enumerate(names):
-        out[nm] = {"kernel": np.ascontiguousarray(
-            fused[..., i, :]).reshape(flat)}
+        out[nm] = {"kernel": xp.reshape(xp.ascontiguousarray(fused[..., i, :])
+                                        if xp is np else fused[..., i, :],
+                                        flat)}
     return out
 
 

@@ -556,17 +556,11 @@ def stack_decoder_weights(t5_params: Dict[str, Any], cfg,
     def _unfuse(attn):
         """T5Config.fused_qkv packed kernels -> separate q/k/v views (one
         slice+reshape per projection at generate-fn setup; the kernel's own
-        streaming layout re-packs below either way)."""
-        key = "qkv" if "qkv" in attn else ("kv" if "kv" in attn else None)
-        if key is None:
-            return attn
-        w = jnp.asarray(attn[key]["kernel"])  # [..., d, heads, P, d_kv]
-        flat = w.shape[:-3] + (w.shape[-3] * w.shape[-1],)
-        names = ("q", "k", "v") if w.shape[-2] == 3 else ("k", "v")
-        out = {k: v for k, v in attn.items() if k != key}
-        for i, nm in enumerate(names):
-            out[nm] = {"kernel": w[..., i, :].reshape(flat)}
-        return out
+        streaming layout re-packs below either way). The packed-layout
+        format itself lives in torch_import._unfuse_attn."""
+        from vidchapters_tpu.models.torch_import import _unfuse_attn
+
+        return _unfuse_attn(attn, xp=jnp)
 
     def _unfuse_block(blk):
         new = dict(blk)

@@ -112,6 +112,7 @@ class ChapterGenerator:
         self.pipeline = pipeline
         self._completion_q: queue_mod.Queue = queue_mod.Queue(maxsize=1)
         self._completer: Optional[threading.Thread] = None
+        self._close_timeout = 5.0  # close() join patience (tests shrink it)
 
     def _ensure_dispatcher(self) -> None:
         # locked: two concurrent first requests must not each start a
@@ -139,24 +140,33 @@ class ChapterGenerator:
         """Drain the queue into per-input-bucket groups and run one device
         call per group.  While a batch is on the chip, new requests pile up
         in the queue, so batching adapts to load without a fixed delay."""
-        while True:
-            item = self._queue.get()
-            if item is None:  # shutdown sentinel
-                return
-            batch = [item]
-            deadline = time.monotonic() + self._max_wait
-            while len(batch) < self._max_batch:
-                timeout = deadline - time.monotonic()
-                try:
-                    nxt = (self._queue.get_nowait() if timeout <= 0
-                           else self._queue.get(timeout=timeout))
-                except queue_mod.Empty:
-                    break
-                if nxt is None:
-                    self._run_groups(batch)
+        try:
+            while True:
+                item = self._queue.get()
+                if item is None:  # shutdown sentinel
                     return
-                batch.append(nxt)
-            self._run_groups(batch)
+                batch = [item]
+                deadline = time.monotonic() + self._max_wait
+                while len(batch) < self._max_batch:
+                    timeout = deadline - time.monotonic()
+                    try:
+                        nxt = (self._queue.get_nowait() if timeout <= 0
+                               else self._queue.get(timeout=timeout))
+                    except queue_mod.Empty:
+                        break
+                    if nxt is None:
+                        self._run_groups(batch)
+                        return
+                    batch.append(nxt)
+                self._run_groups(batch)
+        finally:
+            if self.pipeline:
+                # the dispatcher — not close() — ends the completion
+                # thread: FIFO guarantees every in-flight (group, seqs)
+                # this loop enqueued is fetched before the sentinel, so a
+                # device call that outlives close()'s join timeout still
+                # wakes its requests instead of stranding them
+                self._completion_q.put(None)
 
     def _run_groups(self, batch: List[_Pending]) -> None:
         groups: Dict[int, List[_Pending]] = {}
@@ -300,12 +310,23 @@ class ChapterGenerator:
         are failed fast (error set + event signalled) so no caller blocks
         forever, and new enqueues are rejected."""
         self._closed = True
+        t = self._close_timeout
+        dispatcher_exited = True
         if self._dispatcher is not None and self._dispatcher.is_alive():
             self._queue.put(None)
-            self._dispatcher.join(timeout=5.0)
+            self._dispatcher.join(timeout=t)
+            dispatcher_exited = not self._dispatcher.is_alive()
         if self._completer is not None and self._completer.is_alive():
-            self._completion_q.put(None)
-            self._completer.join(timeout=5.0)
+            # the dispatch loop enqueues the completion sentinel itself on
+            # exit (after its last in-flight result). Only inject one here
+            # if the dispatcher never started its loop exit — i.e. it is
+            # already dead without having sent it (defensive; a live
+            # dispatcher will send it, and the completer must outlive it).
+            if dispatcher_exited:
+                self._completer.join(timeout=t)
+                if self._completer.is_alive():
+                    self._completion_q.put(None)
+                    self._completer.join(timeout=t)
         # drain requests stranded behind (or racing) the sentinels
         while True:
             try:
