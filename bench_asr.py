@@ -92,8 +92,11 @@ def main() -> None:
                 parent = (jnp.arange(a.batch)[:, None] * beams
                           + idx // logits.shape[-1]).reshape(-1)
                 # beam-invariant leaves (shared/repeated cross KV) skip
-                # the gather — same rules as production (ops.decoding)
-                cache = reorder_beam_cache(cache, parent)
+                # the gather — same rules as production (ops.decoding);
+                # the mega path defers the permutation into the next
+                # step's kernel (fns.reorder_cache)
+                cache = (fns.reorder_cache or reorder_beam_cache)(
+                    cache, parent)
                 nxt = (idx % logits.shape[-1]).reshape(-1).astype(jnp.int32)
             else:
                 nxt = jnp.argmax(logits, -1).astype(jnp.int32)

@@ -165,7 +165,12 @@ def test_mega_beam_ancestry_matches_standard(setup):
                 return (jnp.take(x, parent, axis=0)
                         if x.ndim and x.shape[0] == rows else x)
 
-            if isinstance(cache, dict) and "cross" in cache:
+            if fns.reorder_cache is not None:
+                # mega beam path: the permutation is DEFERRED into the
+                # next step's kernel — a manual tree gather here would
+                # double-permute
+                cache = fns.reorder_cache(cache, parent)
+            elif isinstance(cache, dict) and "cross" in cache:
                 cache = {k: (v if k == "cross"
                              else jax.tree_util.tree_map(perm, v))
                          for k, v in cache.items()}

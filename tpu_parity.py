@@ -344,6 +344,71 @@ def check_whisper_mega():
     return f"tokens identical ({ref_seqs.size})"
 
 
+@run("whisper_mega_beam")
+def check_whisper_mega_beam():
+    """Whisper megakernel BEAM path on chip: deferred in-kernel beam
+    permutation (aliased cache write-back + in-kernel row append, round 4)
+    vs the standard path's explicit tree gather — token ancestry must be
+    identical (same fixture family as
+    tests/test_whisper_megakernel.py::test_mega_beam_ancestry_matches_standard,
+    compiled instead of interpreted)."""
+    from vidchapters_tpu.models.whisper import Whisper, WhisperConfig
+    from vidchapters_tpu.ops.decoding import make_decode_fns
+    from vidchapters_tpu.ops.whisper_megakernel import make_whisper_mega_fns
+    max_len = 10
+    K, b = 4, 2
+    rows = b * K
+    cfg = WhisperConfig(vocab_size=256, num_mel_bins=8, d_model=64,
+                        encoder_layers=1, decoder_layers=2, num_heads=4,
+                        d_ff=128, max_source_positions=30,
+                        max_target_positions=max_len, dtype="float32")
+    model = Whisper(cfg)
+    rng = np.random.default_rng(0)
+    mel = jnp.asarray(rng.normal(size=(b, 8, 60)), jnp.float32)
+    toks = jnp.zeros((1, 4), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), mel[:1], toks)["params"]
+    enc = model.apply({"params": params}, mel, method=model.encode)
+    vocab = cfg.vocab_size
+
+    def beam_loop(fns, cache):
+        tokens = jnp.full((rows,), 5, jnp.int32)
+        sum_lp = jnp.concatenate(
+            [jnp.zeros((b, 1)), jnp.full((b, K - 1), -1e9)], axis=1)
+        picked = []
+        for i in range(6):
+            logits, cache = fns.step(tokens, cache, jnp.asarray(i), None)
+            logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+            flat = (sum_lp[..., None] + logp.reshape(b, K, vocab)
+                    ).reshape(b, K * vocab)
+            sum_lp, idx = jax.lax.top_k(flat, K)
+            parent = (jnp.arange(b)[:, None] * K
+                      + idx // vocab).reshape(-1)
+            tokens = (idx % vocab).reshape(-1).astype(jnp.int32)
+            if fns.reorder_cache is not None:
+                cache = fns.reorder_cache(cache, parent)
+            else:
+                def perm(x):
+                    return (jnp.take(x, parent, axis=0)
+                            if x.ndim and x.shape[0] == rows else x)
+                if isinstance(cache, dict) and "cross" in cache:
+                    cache = {k: (v if k == "cross"
+                                 else jax.tree_util.tree_map(perm, v))
+                             for k, v in cache.items()}
+                else:
+                    cache = jax.tree_util.tree_map(perm, cache)
+            picked.append(np.asarray(tokens))
+        return np.stack(picked)
+
+    ref = make_decode_fns(model, params, max_len)
+    std_tokens = beam_loop(ref, ref.init_cache(rows, enc))
+    mega = make_whisper_mega_fns(cfg, params, max_len, interpret=False,
+                                 quantize=False)
+    mega_tokens = beam_loop(mega, mega.init_cache(rows, enc))
+    diff = int((std_tokens != mega_tokens).sum())
+    assert diff == 0, f"token mismatches: {diff}/{std_tokens.size}"
+    return f"beam ancestry identical ({std_tokens.size} tokens)"
+
+
 @run("topk_vs_lax")
 def check_topk():
     """Single-pass Pallas beam top-k vs lax.top_k: exact values AND
@@ -401,6 +466,7 @@ ALL = [check_fused_fwd, check_fused_bwd, check_fused_padded,
        check_deform_fwd, check_deform_bwd,
        check_mega_greedy, check_mega_beam,
        check_fused_decode_step, check_whisper_mega,
+       check_whisper_mega_beam,
        check_topk, check_auction]
 
 

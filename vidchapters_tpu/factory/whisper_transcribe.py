@@ -271,8 +271,11 @@ class JaxWhisperTranscriber:
                 tok = (idx % vocab).astype(jnp.int32)
                 flatsel = (jnp.arange(b)[:, None] * K + parent).reshape(-1)
                 # beam-invariant leaves (the shared/repeated cross KV)
-                # skip the gather — rules live in ops.decoding
-                cache = reorder_beam_cache(cache, flatsel)
+                # skip the gather — rules live in ops.decoding; the mega
+                # path instead DEFERS the permutation into the next
+                # step's kernel (fns.reorder_cache)
+                cache = (fns.reorder_cache or reorder_beam_cache)(
+                    cache, flatsel)
                 seqbuf = jnp.take_along_axis(seqbuf, parent[..., None],
                                              axis=1)
                 pdone = jnp.take_along_axis(done, parent, axis=1)

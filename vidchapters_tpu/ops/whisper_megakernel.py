@@ -76,8 +76,17 @@ def _whisper_kernel(idx_sp, x_in, lns, lnb, wqkv, bqkv, wo_s, bo_s, wq_c,
                     kc, vc, kx, vx, kxs, vxs,
                     x_out, knew, vnew, xs,
                     *, n_layers: int, bb: int, heads: int, dkv: int,
-                    lenc: int, cdt, quant: bool, group: int = 1):
-    """One (layer, batch-block) grid cell; hidden state in VMEM scratch."""
+                    lenc: int, cdt, quant: bool, group: int = 1,
+                    src_ref=None, kc_out=None, vc_out=None):
+    """One (layer, batch-block) grid cell; hidden state in VMEM scratch.
+
+    With ``src_ref`` (beam search), the previous step's beam permutation
+    is applied HERE, exactly as in decode_megakernel: cache rows are
+    gathered in VMEM while the block is resident anyway and written back
+    through the aliased ``kc_out``/``vc_out`` — the separate multi-GB
+    one-hot-matmul reorder pass (and its HBM layout copies) disappears.
+    The current token's k/v row is appended during the same write-back,
+    so the two dynamic_update_slice ops outside disappear too."""
     i = pl.program_id(0)
     b = pl.program_id(1)
     idx = idx_sp[0]
@@ -113,8 +122,29 @@ def _whisper_kernel(idx_sp, x_in, lns, lnb, wqkv, bqkv, wo_s, bo_s, wq_c,
     knew[0, 0] = k_new
     vnew[0, 0] = v_new
 
-    kcb = kc[:, 0]                                   # [bb, L, inner]
-    vcb = vc[:, 0]
+    if src_ref is not None:
+        # deferred beam permutation: gather rows while the block is
+        # resident (beams only permute within an example, and blocks
+        # cover whole examples, so every source row lives in this block);
+        # dynamic row reads must go through the REF (dynamic_slice on a
+        # loaded value has no Mosaic lowering)
+        base = b * bb
+        kcb = jnp.stack([kc[src_ref[0, base + r] - base, 0]
+                         for r in range(bb)], axis=0)
+        vcb = jnp.stack([vc[src_ref[0, base + r] - base, 0]
+                         for r in range(bb)], axis=0)
+        # append the current token's k/v row (row idx) during the
+        # write-back; it is invisible to this step's scores (masked to
+        # rows < idx) — the online extra row below covers it instead
+        l_rows = kc.shape[2]
+        rows_w = jax.lax.broadcasted_iota(
+            jnp.int32, (bb, l_rows, inner), 1)
+        at_new = rows_w == idx
+        kc_out[:, 0] = jnp.where(at_new, k_new[:, None, :], kcb)
+        vc_out[:, 0] = jnp.where(at_new, v_new[:, None, :], vcb)
+    else:
+        kcb = kc[:, 0]                               # [bb, L, inner]
+        vcb = vc[:, 0]
     qbd = (q.astype(f32)[:, :, None] * seg[...][None]).astype(cdt)
     s = jax.lax.dot_general(kcb.astype(cdt), qbd,
                             (((2,), (1,)), ((0,), (0,))),
@@ -195,6 +225,7 @@ def whisper_mega_step(stacked: Dict[str, Array], x: Array,
                       k_cross_scale: "Array | None" = None,
                       v_cross_scale: "Array | None" = None,
                       group: int = 1,
+                      src: "Array | None" = None,
                       interpret: bool = False):
     """One full decoder step over all layers.
 
@@ -205,6 +236,12 @@ def whisper_mega_step(stacked: Dict[str, Array], x: Array,
     instead of once per beam (group=1 = per-row KV, greedy/sampling).
     Returns (hidden [B, d] BEFORE the final LayerNorm,
     k_new [B, N, inner], v_new [B, N, inner]).
+
+    With ``src`` [B] int32 (beam search), the self caches are first
+    permuted by rows in-kernel (the deferred previous-step beam reorder),
+    the new k/v rows are appended at ``cache_index`` during the same
+    write-back, and the updated caches come back as two extra outputs
+    (donated buffers aliased to the cache inputs).
     """
     bsz, d = x.shape
     _, n_layers, l, inner = k_cache.shape
@@ -289,22 +326,52 @@ def whisper_mega_step(stacked: Dict[str, Array], x: Array,
     kernel = functools.partial(
         _whisper_kernel, n_layers=n_layers, bb=bb, heads=heads, dkv=dkv,
         lenc=lenc, cdt=cdt, quant=quant, group=group)
+    out_specs = list(out_specs)
+    out_shape = list(out_shape)
+    aliases = {}
+    if src is not None:
+        # deferred beam permutation: src rides SMEM after the scalar idx;
+        # permuted caches out (aliased to the cache inputs)
+        def kernel_fn(idx_sp, src_ref, x_in, lns, lnb, wqkv, bqkv, wo_s,
+                      bo_s, wq_c, bq_c, wo_c, bo_c, wi, bi, wo_f, bo_f,
+                      seg, seg_t, kc, vc, kx, vx, kxs, vxs,
+                      x_out, knew, vnew, kc_out, vc_out, xs):
+            kernel(idx_sp, x_in, lns, lnb, wqkv, bqkv, wo_s, bo_s, wq_c,
+                   bq_c, wo_c, bo_c, wi, bi, wo_f, bo_f, seg, seg_t,
+                   kc, vc, kx, vx, kxs, vxs, x_out, knew, vnew, xs,
+                   src_ref=src_ref, kc_out=kc_out, vc_out=vc_out)
+
+        in_specs.insert(0, pl.BlockSpec((1, bsz), lambda i, b, s: (0, 0),
+                                        memory_space=pltpu.SMEM))
+        args.insert(0, jnp.asarray(src, jnp.int32).reshape(1, bsz))
+        out_specs += [cache_spec, cache_spec]
+        out_shape += [jax.ShapeDtypeStruct(k_cache.shape, cdt),
+                      jax.ShapeDtypeStruct(v_cache.shape, cdt)]
+        # operand indices include the scalar-prefetch idx and src (0/1),
+        # then x + 16 smalls -> k/v cache inputs at 19/20
+        aliases = {19: 3, 20: 4}
+    else:
+        kernel_fn = kernel
     out = pl.pallas_call(
-        kernel,
+        kernel_fn,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(n_layers, n_blocks),
             in_specs=in_specs,
-            out_specs=out_specs,
+            out_specs=tuple(out_specs),
             scratch_shapes=[pltpu.VMEM((n_blocks, bb, d), cdt)],
         ),
-        out_shape=out_shape,
+        out_shape=tuple(out_shape),
+        input_output_aliases=aliases,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=127 * 1024 * 1024),
         interpret=interpret,
     )(idx, *args)
-    hidden, k_new, v_new = out
+    hidden, k_new, v_new = out[:3]
     to_bn = lambda a: a.transpose(1, 2, 0, 3).reshape(bsz, n_layers, inner)
+    if src is not None:
+        return (hidden.reshape(bsz, d), to_bn(k_new), to_bn(v_new),
+                out[3], out[4])
     return hidden.reshape(bsz, d), to_bn(k_new), to_bn(v_new)
 
 
@@ -422,32 +489,47 @@ def make_whisper_mega_fns(cfg, params: Dict[str, Any], max_length: int,
         # group consecutive rows (one example's beams) share a cross block
         # inside the kernel — the multi-GB int8 cross stays per-example
         static_state["group"] = batch // b0
-        return {
+        cache = {
             "self_k": jnp.zeros((batch, n, max_length, d), cdt),
             "self_v": jnp.zeros((batch, n, max_length, d), cdt),
             "cross": cross,
         }
+        if static_state["group"] > 1:
+            # beam search: the beam permutation is DEFERRED — stored here
+            # by reorder_cache and applied inside the next step's kernel
+            # while the self caches stream through VMEM anyway
+            cache["pending_src"] = jnp.arange(batch, dtype=jnp.int32)
+        return cache
 
     def step(tokens: Array, cache, index, enc_mask: Array):
         del enc_mask  # full-encoding attention (models/whisper.py:231)
         x = emb[tokens].astype(cdt)
         p_row = jax.lax.dynamic_slice_in_dim(pos, index, 1, axis=0)
         x = x + p_row.astype(cdt)
-        hidden, k_new, v_new = whisper_mega_step(
+        src = cache.get("pending_src")
+        out = whisper_mega_step(
             stacked, x, cache["self_k"], cache["self_v"],
             cache["cross"]["k"], cache["cross"]["v"], index, heads,
             static_state["lenc"], bb=BATCH_BLOCK_ROWS,
             k_cross_scale=cache["cross"].get("k_scale"),
             v_cross_scale=cache["cross"].get("v_scale"),
-            group=static_state["group"],
+            group=static_state["group"], src=src,
             interpret=interpret)
-        new_cache = {
-            "self_k": jax.lax.dynamic_update_slice(
-                cache["self_k"], k_new[:, :, None, :], (0, 0, index, 0)),
-            "self_v": jax.lax.dynamic_update_slice(
-                cache["self_v"], v_new[:, :, None, :], (0, 0, index, 0)),
-            "cross": cache["cross"],
-        }
+        if src is not None:
+            # the kernel already permuted the caches and appended the new
+            # k/v rows during the write-back — no reorder pass, no DUS
+            hidden, k_new, v_new, self_k, self_v = out
+            new_cache = {"self_k": self_k, "self_v": self_v,
+                         "cross": cache["cross"], "pending_src": src}
+        else:
+            hidden, k_new, v_new = out
+            new_cache = {
+                "self_k": jax.lax.dynamic_update_slice(
+                    cache["self_k"], k_new[:, :, None, :], (0, 0, index, 0)),
+                "self_v": jax.lax.dynamic_update_slice(
+                    cache["self_v"], v_new[:, :, None, :], (0, 0, index, 0)),
+                "cross": cache["cross"],
+            }
         # final LayerNorm + tied-embedding logits outside the kernel
         hf = hidden.astype(jnp.float32)
         mu = jnp.mean(hf, axis=-1, keepdims=True)
@@ -460,4 +542,12 @@ def make_whisper_mega_fns(cfg, params: Dict[str, Any], max_length: int,
                          preferred_element_type=jnp.float32)
         return logits.astype(jnp.float32), new_cache
 
-    return DecodeFns(init_cache, step)
+    def reorder_cache(cache, flat_src):
+        if "pending_src" not in cache:
+            # legacy repeated-enc layout (group=1): no deferred path
+            from vidchapters_tpu.ops.decoding import reorder_beam_cache
+
+            return reorder_beam_cache(cache, flat_src)
+        return {**cache, "pending_src": flat_src.astype(jnp.int32)}
+
+    return DecodeFns(init_cache, step, reorder_cache)
