@@ -28,6 +28,19 @@ ops/decode_megakernel.py with Whisper's differences:
 Score/context reductions use the MXU block-diagonal-q formulation
 measured fastest in round 3 (free-dims dot_generals have no Mosaic
 lowering; batched one-batch-dim dots and A^T.B 2-D dots work).
+
+Round 4 brings the kernel to decode_megakernel's full structure:
+- the self cache streams in CACHE_CHUNK-row pieces along a third grid
+  dimension with prefix-skip (dead chunks clamp their index map — no
+  DMA — and skip compute), online-softmax state in VMEM scratch;
+- beam search DEFERS the beam permutation into the next step's kernel
+  (src in SMEM, in-VMEM row gather, aliased cache write-back with
+  in-kernel new-row append) — the out-of-kernel one-hot-matmul reorder
+  moved read+write 2x the full cache per step and forced a full-cache
+  layout copy that put bs32/beam-5 over HBM;
+- cross-attention batches each example's beams into one [LencP, g*H]
+  MXU matmul via a static beam selector (the per-row loop issued thin
+  [LencP, H] matmuls).
 """
 
 from __future__ import annotations
@@ -52,6 +65,14 @@ QUANTIZE_CROSS_KV = None
 # for only small cache blocks at the 128 MB VMEM budget
 BATCH_BLOCK_ROWS = 2
 
+# self-cache chunk rows (prefix-skip streaming): dead chunks clamp their
+# index map to the last live chunk — no DMA — and skip compute, so
+# per-step cache traffic is proportional to the decoded prefix
+# (decode_megakernel's paged-attention-style design). Must divide the
+# cache length and be a multiple of 8; lengths it does not divide fall
+# back to a single full-length chunk.
+CACHE_CHUNK = 56
+
 
 def _erf(x: Array) -> Array:
     """Abramowitz-Stegun 7.1.26 erf (f32): max abs error 1.5e-7."""
@@ -73,26 +94,44 @@ def _round_up(x: int, m: int) -> int:
 
 def _whisper_kernel(idx_sp, x_in, lns, lnb, wqkv, bqkv, wo_s, bo_s, wq_c,
                     bq_c, wo_c, bo_c, wi, bi, wo_f, bo_f, seg, seg_t,
+                    selg, segrep,
                     kc, vc, kx, vx, kxs, vxs,
-                    x_out, knew, vnew, xs,
+                    x_out, knew, vnew, xs, q2s, ms, dens, ctxs,
                     *, n_layers: int, bb: int, heads: int, dkv: int,
                     lenc: int, cdt, quant: bool, group: int = 1,
+                    chunk: int = 0, n_chunks: int = 1,
                     src_ref=None, kc_out=None, vc_out=None):
-    """One (layer, batch-block) grid cell; hidden state in VMEM scratch.
+    """One (layer, batch-block, cache-chunk) grid cell; hidden state in
+    VMEM scratch (decode_megakernel's structure with Whisper's math).
+
+    The self cache streams in ``chunk``-row pieces along the third grid
+    dimension; chunks whose rows are all >= ``idx`` are DEAD — their
+    index map clamps to the last live chunk (consecutive identical block
+    indices skip the DMA) and their compute is skipped, so per-step cache
+    traffic is proportional to the decoded prefix. The online-softmax
+    state (running max / denom / unnormalised context) lives in VMEM
+    scratch across the chunk cells; projections run in the first chunk
+    cell, the current-token row, cross-attention and the FF in the last.
 
     With ``src_ref`` (beam search), the previous step's beam permutation
-    is applied HERE, exactly as in decode_megakernel: cache rows are
-    gathered in VMEM while the block is resident anyway and written back
-    through the aliased ``kc_out``/``vc_out`` — the separate multi-GB
-    one-hot-matmul reorder pass (and its HBM layout copies) disappears.
-    The current token's k/v row is appended during the same write-back,
-    so the two dynamic_update_slice ops outside disappear too."""
+    is applied HERE: cache rows are gathered in VMEM while the (live)
+    chunk is resident anyway and written back through the aliased
+    ``kc_out``/``vc_out`` — the separate multi-GB one-hot-matmul reorder
+    pass (and its HBM layout copies) disappears. The current token's k/v
+    row is appended during the same write-back.
+
+    Cross-attention batches each example's ``group`` beams into one
+    [LencP, g*H] MXU matmul via the static beam selector ``selg`` and the
+    per-beam tiled segment matrix ``segrep`` (the round-3 per-row loop
+    issued ``bb`` thin [LencP, H] matmuls)."""
     i = pl.program_id(0)
     b = pl.program_id(1)
+    c = pl.program_id(2)
     idx = idx_sp[0]
     inner = heads * dkv
     f32 = jnp.float32
     scale = np.float32(dkv ** -0.5)
+    live = idx // chunk + 1
 
     def ln(x, w, bias):
         xf = x.astype(f32)
@@ -108,113 +147,147 @@ def _whisper_kernel(idx_sp, x_in, lns, lnb, wqkv, bqkv, wo_s, bo_s, wq_c,
             out = out + bias.astype(f32)
         return out.astype(cdt)
 
-    @pl.when(i == 0)
+    def expand_heads_f32(p):
+        """[bb, H] per-head values -> [bb, inner] broadcast across each
+        head's dkv lanes (0/1 matmul, no transpose)."""
+        return jax.lax.dot_general(p, seg_t[...], (((1,), (0,)), ((), ())),
+                                   preferred_element_type=f32)
+
+    # ---- first chunk cell: projections + accumulator reset ----
+    @pl.when(jnp.logical_and(i == 0, c == 0))
     def _():
         xs[b] = x_in[0]
 
-    x = xs[b]
-    # ---- self-attention (cache rows < idx PLUS the current token) ----
-    h = ln(x, lns[0, 0], lnb[0, 0])
-    qkv = mm(h, wqkv[0], bqkv[0, 0])                 # [bb, 3*inner]
-    q = (qkv[:, :inner].astype(f32) * scale).astype(cdt)
-    k_new = qkv[:, inner:2 * inner]
-    v_new = qkv[:, 2 * inner:]
-    knew[0, 0] = k_new
-    vnew[0, 0] = v_new
-
-    if src_ref is not None:
-        # deferred beam permutation: gather rows while the block is
-        # resident (beams only permute within an example, and blocks
-        # cover whole examples, so every source row lives in this block);
-        # dynamic row reads must go through the REF (dynamic_slice on a
-        # loaded value has no Mosaic lowering)
-        base = b * bb
-        kcb = jnp.stack([kc[src_ref[0, base + r] - base, 0]
-                         for r in range(bb)], axis=0)
-        vcb = jnp.stack([vc[src_ref[0, base + r] - base, 0]
-                         for r in range(bb)], axis=0)
-        # append the current token's k/v row (row idx) during the
-        # write-back; it is invisible to this step's scores (masked to
-        # rows < idx) — the online extra row below covers it instead
-        l_rows = kc.shape[2]
-        rows_w = jax.lax.broadcasted_iota(
-            jnp.int32, (bb, l_rows, inner), 1)
-        at_new = rows_w == idx
-        kc_out[:, 0] = jnp.where(at_new, k_new[:, None, :], kcb)
-        vc_out[:, 0] = jnp.where(at_new, v_new[:, None, :], vcb)
-    else:
-        kcb = kc[:, 0]                               # [bb, L, inner]
-        vcb = vc[:, 0]
-    qbd = (q.astype(f32)[:, :, None] * seg[...][None]).astype(cdt)
-    s = jax.lax.dot_general(kcb.astype(cdt), qbd,
-                            (((2,), (1,)), ((0,), (0,))),
-                            preferred_element_type=f32)  # [bb, L, H]
-    rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-    s = jnp.where(rows < idx, s, NEG_INF)
-    # current row: scores via the tiny per-row product
-    prod_new = (q * k_new).astype(cdt)
-    s_new = jax.lax.dot_general(prod_new, seg[...].astype(cdt),
-                                (((1,), (0,)), ((), ())),
-                                preferred_element_type=f32)  # [bb, H]
-    m = jnp.maximum(jnp.max(s, axis=1), s_new)       # [bb, H]
-    e = jnp.where(rows < idx, jnp.exp(s - m[:, None, :]), 0.0)
-    e_new = jnp.exp(s_new - m)
-    denom = jnp.sum(e, axis=1) + e_new
-    ctx2 = jax.lax.dot_general(e.astype(cdt), vcb.astype(cdt),
-                               (((1,), (1,)), ((0,), (0,))),
-                               preferred_element_type=f32)  # [bb, H, inner]
-    ctx2 = ctx2 + e_new[:, :, None] * v_new.astype(f32)[:, None, :]
-    ctx2 = ctx2 / denom[:, :, None]
-    ctx = jnp.sum(ctx2 * seg_t[...][None], axis=1)   # [bb, inner] f32
-    x = x + mm(ctx.astype(cdt), wo_s[0], bo_s[0, 0])
-
-    # ---- cross-attention (per-row KV; full 1500-frame encoding) ----
-    h = ln(x, lns[0, 1], lnb[0, 1])
-    qc = (mm(h, wq_c[0], bq_c[0, 0]).astype(f32) * scale).astype(cdt)
-    ones_h = jnp.ones((1, heads), f32)
-    parts = []
-    for r in range(bb):
-        # beam rows within an example share one cross block: the cross
-        # arrays carry bb // group example rows per block and row r reads
-        # example r // group (group=1 -> per-row KV, the greedy layout)
-        e = r // group
-        qe = qc[r:r + 1]                             # [1, inner]
-        if quant:
-            qe = qe * kxs[e, 0, 0][None, :].astype(cdt)
-        # qex[d, h] = qe[0, d] (A^T.B against a ones row); block-diagonal
-        # via the segment mask
-        qex = jax.lax.dot_general(qe.astype(f32), ones_h,
-                                  (((0,), (0,)), ((), ())),
-                                  preferred_element_type=f32)  # [inner, H]
-        qbd2d = (qex * seg[...]).astype(cdt)
-        kxe = kx[e, 0].astype(cdt)                   # [LencP, inner]
-        sc = jnp.dot(kxe, qbd2d, preferred_element_type=f32)  # [LencP, H]
-        rows_c = jax.lax.broadcasted_iota(jnp.int32, sc.shape, 0)
-        sc = jnp.where(rows_c < lenc, sc, NEG_INF)
-        mx = jnp.max(sc, axis=0, keepdims=True)
-        ec = jnp.exp(sc - mx)
-        p = ec / jnp.sum(ec, axis=0, keepdims=True)
-        vxe = vx[e, 0].astype(cdt)
-        ctx2d = jax.lax.dot_general(p.astype(cdt), vxe,
-                                    (((0,), (0,)), ((), ())),
-                                    preferred_element_type=f32)  # [H, inner]
-        part = jnp.sum(ctx2d * seg_t[...], axis=0)   # [inner]
-        if quant:
-            part = part * vxs[e, 0, 0]
-        parts.append(part[None])
-    ctx_c = jnp.concatenate(parts, axis=0).astype(cdt)  # [bb, inner]
-    x = x + mm(ctx_c, wo_c[0], bo_c[0, 0])
-
-    # ---- feed-forward (exact-form GELU via polynomial erf) ----
-    h = ln(x, lns[0, 2], lnb[0, 2])
-    hh = jnp.dot(h.astype(cdt), wi[0], preferred_element_type=f32)
-    hh = gelu_erf(hh + bi[0, 0].astype(f32)).astype(cdt)
-    x = x + mm(hh, wo_f[0], bo_f[0, 0])
-
-    xs[b] = x
-    @pl.when(i == n_layers - 1)
+    @pl.when(c == 0)
     def _():
-        x_out[0] = x
+        x = xs[b]
+        h = ln(x, lns[0, 0], lnb[0, 0])
+        qkv = mm(h, wqkv[0], bqkv[0, 0])             # [bb, 3*inner]
+        q2s[...] = (qkv[:, :inner].astype(f32) * scale).astype(cdt)
+        knew[0, 0] = qkv[:, inner:2 * inner]
+        vnew[0, 0] = qkv[:, 2 * inner:]
+        ms[...] = jnp.full_like(ms[...], NEG_INF)
+        dens[...] = jnp.zeros_like(dens[...])
+        ctxs[...] = jnp.zeros_like(ctxs[...])
+
+    # ---- live chunk cells: online-softmax partial over cache rows ----
+    @pl.when(c < live)
+    def _():
+        q = q2s[...]
+        k_new = knew[0, 0]
+        v_new = vnew[0, 0]
+        if src_ref is not None:
+            # deferred beam permutation: gather rows while the chunk is
+            # resident (beams only permute within an example, and blocks
+            # cover whole examples, so every source row lives in this
+            # block); dynamic row reads must go through the REF
+            # (dynamic_slice on a loaded value has no Mosaic lowering)
+            base = b * bb
+            kcb = jnp.stack([kc[src_ref[0, base + r] - base, 0]
+                             for r in range(bb)], axis=0)
+            vcb = jnp.stack([vc[src_ref[0, base + r] - base, 0]
+                             for r in range(bb)], axis=0)
+            # append the current token's k/v row (row idx) during the
+            # write-back; it is invisible to this step's scores (masked
+            # to rows < idx) — the online extra row at finalize covers it
+            rows_w = (jax.lax.broadcasted_iota(
+                jnp.int32, (bb, chunk, inner), 1) + c * chunk)
+            at_new = rows_w == idx
+            kc_out[:, 0] = jnp.where(at_new, k_new[:, None, :], kcb)
+            vc_out[:, 0] = jnp.where(at_new, v_new[:, None, :], vcb)
+        else:
+            kcb = kc[:, 0]                           # [bb, C, inner]
+            vcb = vc[:, 0]
+        qbd = (q.astype(f32)[:, :, None] * seg[...][None]).astype(cdt)
+        s = jax.lax.dot_general(kcb.astype(cdt), qbd,
+                                (((2,), (1,)), ((0,), (0,))),
+                                preferred_element_type=f32)  # [bb, C, H]
+        rows = (jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+                + c * chunk)
+        s = jnp.where(rows < idx, s, NEG_INF)
+        m_new = jnp.maximum(ms[...], jnp.max(s, axis=1))
+        sc2 = jnp.exp(ms[...] - m_new)               # [bb, H]
+        # explicit zero for masked rows: when a chunk has NO valid row,
+        # m_new == NEG_INF and exp(s - m_new) would be exp(0) == 1
+        e = jnp.where(rows < idx, jnp.exp(s - m_new[:, None, :]), 0.0)
+        dens[...] = dens[...] * sc2 + jnp.sum(e, axis=1)
+        ctx2 = jax.lax.dot_general(
+            e.astype(cdt), vcb.astype(cdt), (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=f32)              # [bb, H, inner]
+        part = jnp.sum(ctx2 * seg_t[...][None], axis=1)  # [bb, inner]
+        ctxs[...] = ctxs[...] * expand_heads_f32(sc2) + part
+        ms[...] = m_new
+
+    # ---- last chunk cell: current-token row, cross-attention, FF ----
+    @pl.when(c == n_chunks - 1)
+    def _():
+        x = xs[b]
+        q = q2s[...]
+        k_new = knew[0, 0]
+        v_new = vnew[0, 0]
+        # current row (whisper attends to pos <= idx): online extra row
+        prod_new = (q * k_new).astype(cdt)
+        s_new = jax.lax.dot_general(prod_new, seg[...].astype(cdt),
+                                    (((1,), (0,)), ((), ())),
+                                    preferred_element_type=f32)  # [bb, H]
+        m = jnp.maximum(ms[...], s_new)
+        sc2 = jnp.exp(ms[...] - m)                   # [bb, H]
+        e_new = jnp.exp(s_new - m)                   # [bb, H]
+        denom = dens[...] * sc2 + e_new
+        ctx = (ctxs[...] * expand_heads_f32(sc2)
+               + expand_heads_f32(e_new) * v_new.astype(f32))
+        ctx = ctx / expand_heads_f32(denom)
+        x = x + mm(ctx.astype(cdt), wo_s[0], bo_s[0, 0])
+
+        # ---- cross-attention (per-example KV shared across beams; one
+        # [LencP, g*H] MXU matmul per example via selg/segrep) ----
+        h = ln(x, lns[0, 1], lnb[0, 1])
+        qc = (mm(h, wq_c[0], bq_c[0, 0]).astype(f32) * scale).astype(cdt)
+        ctx_parts = []
+        n_ex = bb // group
+        for e_i in range(n_ex):
+            qe = qc[e_i * group:(e_i + 1) * group]   # [g, inner]
+            if quant:
+                # int8 cross KV: the per-lane k-scale folds into q BEFORE
+                # the product (exactly dequantizing k), the per-lane
+                # v-scale into the summed context AFTER
+                qe = qe * kxs[e_i, 0, 0][None, :].astype(cdt)
+            qex = jax.lax.dot_general(
+                qe.astype(f32), selg[...], (((0,), (0,)), ((), ())),
+                preferred_element_type=f32)          # [inner, g*H]
+            qbd2d = (qex * segrep[...]).astype(cdt)
+            kxe = kx[e_i, 0].astype(cdt)             # [LencP, inner]
+            sc = jnp.dot(kxe, qbd2d,
+                         preferred_element_type=f32)  # [LencP, g*H]
+            rows_c = jax.lax.broadcasted_iota(jnp.int32, sc.shape, 0)
+            sc = jnp.where(rows_c < lenc, sc, NEG_INF)
+            mx = jnp.max(sc, axis=0, keepdims=True)
+            ec = jnp.exp(sc - mx)
+            p = ec / jnp.sum(ec, axis=0, keepdims=True)
+            vxe = vx[e_i, 0].astype(cdt)
+            ctx2d = jax.lax.dot_general(
+                p.astype(cdt), vxe, (((0,), (0,)), ((), ())),
+                preferred_element_type=f32)          # [g*H, inner]
+            ctx3 = ctx2d.reshape(group, heads, inner)  # major-dim split
+            part = jnp.sum(ctx3 * seg_t[...][None], axis=1)  # [g, inner]
+            if quant:
+                part = part * vxs[e_i, 0, 0][None, :]
+            ctx_parts.append(part)
+        ctx_c = (jnp.concatenate(ctx_parts, axis=0)
+                 if n_ex > 1 else ctx_parts[0]).astype(cdt)  # [bb, inner]
+        x = x + mm(ctx_c, wo_c[0], bo_c[0, 0])
+
+        # ---- feed-forward (exact-form GELU via polynomial erf) ----
+        h = ln(x, lns[0, 2], lnb[0, 2])
+        hh = jnp.dot(h.astype(cdt), wi[0], preferred_element_type=f32)
+        hh = gelu_erf(hh + bi[0, 0].astype(f32)).astype(cdt)
+        x = x + mm(hh, wo_f[0], bo_f[0, 0])
+
+        xs[b] = x
+
+        @pl.when(i == n_layers - 1)
+        def _():
+            x_out[0] = x
 
 
 def whisper_mega_step(stacked: Dict[str, Array], x: Array,
@@ -271,28 +344,47 @@ def whisper_mega_step(stacked: Dict[str, Array], x: Array,
     seg_np = segment_matrix(heads, dkv)
     seg = jnp.asarray(seg_np)
     seg_t = jnp.asarray(np.ascontiguousarray(seg_np.T))
+    # static cross-attention MXU operands: beam selector [g, g*H] and the
+    # per-beam tiled segment matrix [inner, g*H] (decode_megakernel v6)
+    selg_np = np.zeros((group, group * heads), np.float32)
+    for gg in range(group):
+        selg_np[gg, gg * heads:(gg + 1) * heads] = 1.0
+    selg = jnp.asarray(selg_np)
+    segrep = jnp.asarray(np.tile(seg_np, (1, group)))
+
+    # self-cache chunking (prefix-skip): dead chunks clamp their index
+    # map to the last live chunk — no DMA — and skip compute
+    chunk = CACHE_CHUNK if l % CACHE_CHUNK == 0 else l
+    n_chunks = l // chunk
+
+    def chunk_clamped(c, idx_ref):
+        live = idx_ref[0] // chunk + 1
+        return jnp.minimum(c, live - 1)
 
     wspec = lambda *shape: pl.BlockSpec(
-        (1,) + shape, lambda i, b, s: (i,) + (0,) * len(shape),
+        (1,) + shape, lambda i, b, c, s: (i,) + (0,) * len(shape),
         memory_space=pltpu.VMEM)
-    const2 = lambda s0, s1: pl.BlockSpec((s0, s1), lambda i, b, s: (0, 0),
+    const2 = lambda s0, s1: pl.BlockSpec((s0, s1),
+                                         lambda i, b, c, s: (0, 0),
                                          memory_space=pltpu.VMEM)
-    cache_spec = pl.BlockSpec((bb, 1, l, inner),
-                              lambda i, b, s: (b, i, 0, 0),
+    cache_spec = pl.BlockSpec((bb, 1, chunk, inner),
+                              lambda i, b, c, s: (b, i,
+                                                  chunk_clamped(c, s), 0),
                               memory_space=pltpu.VMEM)
     cross_spec = pl.BlockSpec((ex_per_block, 1, lencp, inner),
-                              lambda i, b, s: (b, i, 0, 0),
+                              lambda i, b, c, s: (b, i, 0, 0),
                               memory_space=pltpu.VMEM)
     scale_spec = pl.BlockSpec((ex_per_block, 1, 1, inner),
-                              lambda i, b, s: (b, i, 0, 0),
+                              lambda i, b, c, s: (b, i, 0, 0),
                               memory_space=pltpu.VMEM)
     # Mosaic requires block trailing dims (mult-of-8, mult-of-128) OR
     # equal to the array dims — bb=2 row blocks satisfy neither on a
     # [bsz, d] array, so rows ride a leading n_blocks/n_layers dim whose
     # trailing (bb, d) block EQUALS the array dims.
-    row_spec = pl.BlockSpec((1, bb, d), lambda i, b, s: (b, 0, 0),
+    row_spec = pl.BlockSpec((1, bb, d), lambda i, b, c, s: (b, 0, 0),
                             memory_space=pltpu.VMEM)
-    new_spec = pl.BlockSpec((1, 1, bb, inner), lambda i, b, s: (i, b, 0, 0),
+    new_spec = pl.BlockSpec((1, 1, bb, inner),
+                            lambda i, b, c, s: (i, b, 0, 0),
                             memory_space=pltpu.VMEM)
 
     in_specs = [
@@ -306,60 +398,69 @@ def whisper_mega_step(stacked: Dict[str, Array], x: Array,
         wspec(d_ff, d), wspec(1, d),                 # wo_ff / bias
         const2(inner, heads),                        # seg
         const2(heads, inner),                        # seg_t
+        const2(group, group * heads),                # selg
+        const2(inner, group * heads),                # segrep
         cache_spec, cache_spec,                      # self k / v
         cross_spec, cross_spec,                      # cross k / v
         scale_spec, scale_spec,                      # cross scales
     ]
-    out_specs = (row_spec, new_spec, new_spec)
-    out_shape = (
+    out_specs = [row_spec, new_spec, new_spec]
+    out_shape = [
         jax.ShapeDtypeStruct((n_blocks, bb, d), cdt),
         jax.ShapeDtypeStruct((n_layers, n_blocks, bb, inner), cdt),
         jax.ShapeDtypeStruct((n_layers, n_blocks, bb, inner), cdt),
-    )
+    ]
     args = [x.reshape(n_blocks, bb, d), stacked["ln_scale"], stacked["ln_bias"], stacked["wqkv"],
             stacked["bqkv"], stacked["wo_self"], stacked["bo_self"],
             stacked["wq_cross"], stacked["bq_cross"], stacked["wo_cross"],
             stacked["bo_cross"], stacked["wi"], stacked["bi"],
-            stacked["wo_ff"], stacked["bo_ff"], seg, seg_t,
+            stacked["wo_ff"], stacked["bo_ff"], seg, seg_t, selg, segrep,
             k_cache, v_cache, k_cross, v_cross,
             k_cross_scale, v_cross_scale]
     kernel = functools.partial(
         _whisper_kernel, n_layers=n_layers, bb=bb, heads=heads, dkv=dkv,
-        lenc=lenc, cdt=cdt, quant=quant, group=group)
-    out_specs = list(out_specs)
-    out_shape = list(out_shape)
+        lenc=lenc, cdt=cdt, quant=quant, group=group,
+        chunk=chunk, n_chunks=n_chunks)
     aliases = {}
     if src is not None:
         # deferred beam permutation: src rides SMEM after the scalar idx;
         # permuted caches out (aliased to the cache inputs)
         def kernel_fn(idx_sp, src_ref, x_in, lns, lnb, wqkv, bqkv, wo_s,
                       bo_s, wq_c, bq_c, wo_c, bo_c, wi, bi, wo_f, bo_f,
-                      seg, seg_t, kc, vc, kx, vx, kxs, vxs,
-                      x_out, knew, vnew, kc_out, vc_out, xs):
+                      seg, seg_t, selg, segrep, kc, vc, kx, vx, kxs, vxs,
+                      x_out, knew, vnew, kc_out, vc_out,
+                      xs, q2s, ms, dens, ctxs):
             kernel(idx_sp, x_in, lns, lnb, wqkv, bqkv, wo_s, bo_s, wq_c,
                    bq_c, wo_c, bo_c, wi, bi, wo_f, bo_f, seg, seg_t,
-                   kc, vc, kx, vx, kxs, vxs, x_out, knew, vnew, xs,
+                   selg, segrep, kc, vc, kx, vx, kxs, vxs,
+                   x_out, knew, vnew, xs, q2s, ms, dens, ctxs,
                    src_ref=src_ref, kc_out=kc_out, vc_out=vc_out)
 
-        in_specs.insert(0, pl.BlockSpec((1, bsz), lambda i, b, s: (0, 0),
+        in_specs.insert(0, pl.BlockSpec((1, bsz), lambda i, b, c, s: (0, 0),
                                         memory_space=pltpu.SMEM))
         args.insert(0, jnp.asarray(src, jnp.int32).reshape(1, bsz))
         out_specs += [cache_spec, cache_spec]
         out_shape += [jax.ShapeDtypeStruct(k_cache.shape, cdt),
                       jax.ShapeDtypeStruct(v_cache.shape, cdt)]
         # operand indices include the scalar-prefetch idx and src (0/1),
-        # then x + 16 smalls -> k/v cache inputs at 19/20
-        aliases = {19: 3, 20: 4}
+        # then x + 18 smalls -> k/v cache inputs at 21/22
+        aliases = {21: 3, 22: 4}
     else:
         kernel_fn = kernel
     out = pl.pallas_call(
         kernel_fn,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(n_layers, n_blocks),
+            grid=(n_layers, n_blocks, n_chunks),
             in_specs=in_specs,
             out_specs=tuple(out_specs),
-            scratch_shapes=[pltpu.VMEM((n_blocks, bb, d), cdt)],
+            scratch_shapes=[
+                pltpu.VMEM((n_blocks, bb, d), cdt),      # xs
+                pltpu.VMEM((bb, inner), cdt),            # q2s (pre-scaled)
+                pltpu.VMEM((bb, heads), jnp.float32),    # ms
+                pltpu.VMEM((bb, heads), jnp.float32),    # dens
+                pltpu.VMEM((bb, inner), jnp.float32),    # ctxs
+            ],
         ),
         out_shape=tuple(out_shape),
         input_output_aliases=aliases,
