@@ -31,6 +31,9 @@ def main() -> None:
     p.add_argument("--no-pipeline", action="store_true",
                    help="round-3 behavior: block on each device call before "
                         "assembling the next batch")
+    p.add_argument("--max-wait-ms", type=float, default=2.0,
+                   help="coalescing window: how long a lone request waits "
+                        "for co-batchers before dispatch")
     a = p.parse_args()
 
     import jax
@@ -62,6 +65,7 @@ def main() -> None:
         max_batch=a.max_batch,
         batch_buckets=tuple(b for b in (1, 2, 4, 8, 16, 32)
                             if b <= a.max_batch),
+        max_wait_ms=a.max_wait_ms,
         pipeline=not a.no_pipeline)
     # long synthetic ASR so requests land in the target input bucket
     n_seg = 60

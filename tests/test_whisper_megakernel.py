@@ -195,3 +195,72 @@ def test_mega_beam_ancestry_matches_standard(setup):
     enc_rep = jnp.repeat(enc, K, axis=0)
     mega_rep_tokens = beam_loop(mega2, mega2.init_cache(rows, enc_rep))
     np.testing.assert_array_equal(mega_rep_tokens, std_tokens)
+
+
+def test_multi_chunk_greedy_and_beam_cross_boundary():
+    """Round 4: CACHE_CHUNK(56)-row prefix-skip streaming. A 112-row cache
+    runs TWO chunks, so decoding past step 56 exercises the online-softmax
+    accumulation across a chunk boundary, the dead-chunk clamp before it,
+    and (beam) the deferred permutation write-back per live chunk. Tokens
+    must match the standard path on both sides of the boundary."""
+    max_len = 112
+    K, b = 2, 2
+    rows = b * K
+    cfg = WhisperConfig(vocab_size=64, num_mel_bins=8, d_model=32,
+                        encoder_layers=1, decoder_layers=2, num_heads=2,
+                        d_ff=64, max_source_positions=30,
+                        max_target_positions=max_len, dtype="float32")
+    model = Whisper(cfg)
+    rng = np.random.default_rng(3)
+    mel = jnp.asarray(rng.normal(size=(b, 8, 60)), jnp.float32)
+    toks = jnp.zeros((1, 4), jnp.int32)
+    params = model.init(jax.random.PRNGKey(3), mel[:1], toks)["params"]
+    enc = model.apply({"params": params}, mel, method=model.encode)
+    enc_mask = jnp.ones(enc.shape[:2], jnp.int32)
+    vocab = cfg.vocab_size
+
+    from vidchapters_tpu.ops import whisper_megakernel as wm
+
+    assert max_len % wm.CACHE_CHUNK == 0 and max_len // wm.CACHE_CHUNK == 2
+
+    # greedy: full 112-step identity (boundary at step 56)
+    ref = make_decode_fns(model, params, max_len)
+    mega = make_whisper_mega_fns(cfg, params, max_len, interpret=True,
+                                 quantize=False)
+    ref_seqs = np.asarray(greedy_decode(ref, enc, enc_mask, max_len))
+    mega_seqs = np.asarray(greedy_decode(mega, enc, enc_mask, max_len))
+    np.testing.assert_array_equal(mega_seqs, ref_seqs)
+
+    # beam: ancestry identity across the boundary (steps 50..62)
+    def beam_loop(fns, cache):
+        tokens = jnp.full((rows,), 5, jnp.int32)
+        sum_lp = jnp.concatenate(
+            [jnp.zeros((b, 1)), jnp.full((b, K - 1), -1e9)], axis=1)
+        picked = []
+        for i in range(62):
+            logits, cache = fns.step(tokens, cache, jnp.asarray(i), None)
+            logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+            flat = (sum_lp[..., None] + logp.reshape(b, K, vocab)
+                    ).reshape(b, K * vocab)
+            sum_lp, idx = jax.lax.top_k(flat, K)
+            parent = (jnp.arange(b)[:, None] * K
+                      + idx // vocab).reshape(-1)
+            tokens = (idx % vocab).reshape(-1).astype(jnp.int32)
+            if fns.reorder_cache is not None:
+                cache = fns.reorder_cache(cache, parent)
+            else:
+                def perm(x):
+                    return (jnp.take(x, parent, axis=0)
+                            if x.ndim and x.shape[0] == rows else x)
+                cache = {k: (v if k == "cross"
+                             else jax.tree_util.tree_map(perm, v))
+                         for k, v in cache.items()}
+            if i >= 50:  # boundary region only — keep the test fast
+                picked.append(np.asarray(tokens))
+        return np.stack(picked)
+
+    std_tokens = beam_loop(ref, ref.init_cache(rows, enc))
+    mega_b = make_whisper_mega_fns(cfg, params, max_len, interpret=True,
+                                   quantize=False)
+    mega_tokens = beam_loop(mega_b, mega_b.init_cache(rows, enc))
+    np.testing.assert_array_equal(mega_tokens, std_tokens)
