@@ -70,8 +70,14 @@ BATCH_BLOCK_ROWS = 2
 # per-step cache traffic is proportional to the decoded prefix
 # (decode_megakernel's paged-attention-style design). Must divide the
 # cache length and be a multiple of 8; lengths it does not divide fall
-# back to a single full-length chunk.
-CACHE_CHUNK = 56
+# back to a single full-length chunk. Hardware round-4: chunking LOSES
+# for greedy at bb=2 (bs32 greedy 207 vs 234 — per-cell overhead exceeds
+# the prefix-skip savings), so group==1 runs a single full-length chunk;
+# the beam chunk matrix is in BENCH_NOTES round 4.
+import os as _os
+
+CACHE_CHUNK = int(_os.environ.get("WHISPER_CACHE_CHUNK", "56"))
+CHUNK_GREEDY = _os.environ.get("WHISPER_CHUNK_GREEDY", "0") == "1"
 
 
 def _erf(x: Array) -> Array:
@@ -353,8 +359,10 @@ def whisper_mega_step(stacked: Dict[str, Array], x: Array,
     segrep = jnp.asarray(np.tile(seg_np, (1, group)))
 
     # self-cache chunking (prefix-skip): dead chunks clamp their index
-    # map to the last live chunk — no DMA — and skip compute
-    chunk = CACHE_CHUNK if l % CACHE_CHUNK == 0 else l
+    # map to the last live chunk — no DMA — and skip compute. Greedy
+    # (group=1, bb=2) measured FASTER unchunked — see CACHE_CHUNK note.
+    chunked = (group > 1 or CHUNK_GREEDY) and l % CACHE_CHUNK == 0
+    chunk = CACHE_CHUNK if chunked else l
     n_chunks = l // chunk
 
     def chunk_clamped(c, idx_ref):
