@@ -31,7 +31,7 @@ def main() -> None:
     p.add_argument("--no-pipeline", action="store_true",
                    help="round-3 behavior: block on each device call before "
                         "assembling the next batch")
-    p.add_argument("--max-wait-ms", type=float, default=2.0,
+    p.add_argument("--max-wait-ms", type=float, default=25.0,
                    help="coalescing window: how long a lone request waits "
                         "for co-batchers before dispatch")
     a = p.parse_args()

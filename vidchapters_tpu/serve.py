@@ -78,7 +78,7 @@ class ChapterGenerator:
     def __init__(self, model, params, tokenizer, data_cfg: DataConfig,
                  gen_cfg: GenerationConfig, num_bins: int, seed: int = 0,
                  coalesce: bool = True, max_batch: int = 8,
-                 batch_buckets=(1, 2, 4, 8), max_wait_ms: float = 2.0,
+                 batch_buckets=(1, 2, 4, 8), max_wait_ms: float = 25.0,
                  pipeline: bool = True):
         import jax
 
@@ -469,8 +469,9 @@ def main(args=None) -> None:
                         "next batch (round-3 behavior)")
     p.add_argument("--max-batch", type=int, default=8,
                    help="largest coalesced batch (snaps to batch buckets)")
-    p.add_argument("--max-wait-ms", type=float, default=2.0,
-                   help="max extra latency a lone request pays for batching")
+    p.add_argument("--max-wait-ms", type=float, default=25.0,
+                   help="max extra latency a lone request pays for batching "
+                        "(25 ms measured best under load — BENCH_NOTES r4)")
     a = p.parse_args(args)
 
     cfg: ExperimentConfig = load_config(ExperimentConfig, a.config)
