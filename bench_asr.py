@@ -42,6 +42,9 @@ def main() -> None:
                         "speech (rest silence) and report EFFECTIVE "
                         "audio-s/s — the role whisperx's pyannote VAD plays "
                         "in the reference --faster path's ~70x-RT figure")
+    p.add_argument("--rules-ab", action="store_true",
+                   help="A/B the decode-time timestamp rules and language "
+                        "detection through the real transcriber")
     a = p.parse_args()
 
     from vidchapters_tpu.models.whisper import LARGE_V2, Whisper
@@ -59,6 +62,9 @@ def main() -> None:
 
     if a.vad_fraction is not None:
         _vad_bench(model, params, a)
+        return
+    if a.rules_ab:
+        _rules_ab(model, params, a)
         return
 
     from vidchapters_tpu.ops.decoding import (
@@ -154,8 +160,10 @@ def _vad_bench(model, params, a) -> None:
         audios.append(np.concatenate(blocks))
 
     def run(vad: bool) -> float:
+        # language pinned: this row isolates VAD (detection overhead is
+        # measured by --rules-ab)
         tr = JaxWhisperTranscriber(
-            model, params, max_decode_len=a.steps, vad=vad,
+            model, params, max_decode_len=a.steps, vad=vad, language="en",
             beam_size=a.beam if a.beam > 1 else None,
             temperatures=(0.0,), compression_ratio_threshold=None,
             logprob_threshold=None, no_speech_threshold=None)
@@ -178,6 +186,52 @@ def _vad_bench(model, params, a) -> None:
         "vs_baseline": round(total / dt_on / 70.0, 2),  # whisperx ~70x RT,
         # itself a VAD-assisted real-audio figure — this row is the
         # apples-to-apples comparison for the factory default config
+    }))
+
+
+def _rules_ab(model, params, a) -> None:
+    """Real-transcriber A/B: timestamp rules on/off and language detection
+    on/off, at the factory default decode config. Random weights mean every
+    window decodes the full worst-case token budget, so this upper-bounds
+    the per-step cost of the rules filter (one extra masked log_softmax)
+    and the per-video cost of detection (one batched encode + SOT step)."""
+    from vidchapters_tpu.factory.whisper_transcribe import (
+        JaxWhisperTranscriber,
+    )
+    from vidchapters_tpu.factory.vad import SAMPLE_RATE
+
+    rng = np.random.default_rng(2)
+    secs = 60  # 2 windows per item
+    audios = [rng.normal(0, 0.05, secs * SAMPLE_RATE).astype(np.float32)
+              for _ in range(a.batch)]
+
+    def run(rules: bool, detect: bool) -> float:
+        tr = JaxWhisperTranscriber(
+            model, params, max_decode_len=a.steps,
+            language=None if detect else "en", timestamp_rules=rules,
+            beam_size=a.beam if a.beam > 1 else None,
+            temperatures=(0.0,), compression_ratio_threshold=None,
+            logprob_threshold=None, no_speech_threshold=None)
+        tr.transcribe_batch(audios)  # compile
+        t0 = time.perf_counter()
+        tr.transcribe_batch(audios)
+        return time.perf_counter() - t0
+
+    base = run(False, False)
+    rules = run(True, False)
+    full = run(True, True)
+    total = a.batch * secs
+    print(json.dumps({
+        "metric": "whisper_rules_detect_ab_audio_seconds_per_sec",
+        "value": round(total / full, 1),
+        "unit": "audio-s/s",
+        "no_rules_no_detect": round(total / base, 1),
+        "rules_only": round(total / rules, 1),
+        "rules_delta_pct": round(100 * (base / rules - 1), 1),
+        "detect_delta_pct": round(100 * (rules / full - 1), 1),
+        "batch": a.batch,
+        "dtype": a.dtype or "float32",
+        "beam": a.beam,
     }))
 
 

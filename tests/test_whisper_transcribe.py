@@ -70,7 +70,7 @@ def test_transcribe_end_to_end_tiny():
     tr = JaxWhisperTranscriber(model, params, max_decode_len=16)
     audio = np.zeros(16000 * 31, np.float32)  # ~1 chunk + a tail
     out = tr.transcribe(audio)
-    assert set(out) == {"text", "start", "end"}
+    assert set(out) == {"text", "start", "end", "language"}
     # random model may emit no timestamp pairs; just require consistency
     assert len(out["text"]) == len(out["start"]) == len(out["end"])
 
@@ -135,6 +135,7 @@ def test_no_speech_windows_skipped():
                            no_speech_threshold=-1.0)  # everything "silent"
     audio = np.zeros(16000 * 31, np.float32)
     out = tr.transcribe(audio)
+    assert isinstance(out.pop("language"), str)  # random-weight detection
     assert out == {"text": [], "start": [], "end": []}
 
 
@@ -161,7 +162,7 @@ def test_transcribe_batch_multiple_lengths():
     outs = tr.transcribe_batch(audios)
     assert len(outs) == 3
     for out in outs:
-        assert set(out) == {"text", "start", "end"}
+        assert set(out) == {"text", "start", "end", "language"}
         assert len(out["text"]) == len(out["start"]) == len(out["end"])
     assert tr.transcribe_batch([]) == []
 
@@ -192,7 +193,7 @@ def test_run_batched_asr(tmp_path):
     assert n == 3
     for i in range(3):
         result = pickle.load(open(out_dir / f"vid{i}.pkl", "rb"))
-        assert set(result) == {"text", "start", "end"}
+        assert set(result) == {"text", "start", "end", "language"}
     # idempotent: second sweep skips everything
     assert run_batched_asr(paths, str(out_dir), tr, batch_size=2) == 0
 
@@ -218,7 +219,7 @@ def test_condition_on_previous_text():
     audio = (np.random.default_rng(0).normal(size=16000 * 35) * 0.05
              ).astype(np.float32)
     out = tr.transcribe(audio)
-    assert set(out) == {"text", "start", "end"}
+    assert set(out) == {"text", "start", "end", "language"}
 
 
 @pytest.mark.slow
@@ -230,7 +231,7 @@ def test_conditioning_off_is_default_and_unchanged():
     audio = (np.random.default_rng(0).normal(size=16000 * 5) * 0.05
              ).astype(np.float32)
     out = tr.transcribe(audio)
-    assert set(out) == {"text", "start", "end"}
+    assert set(out) == {"text", "start", "end", "language"}
 
 
 def test_transcribe_param_dtype_bfloat16():
@@ -252,7 +253,7 @@ def test_transcribe_param_dtype_bfloat16():
     leaves = jax.tree_util.tree_leaves(tr.params)
     assert all(leaf.dtype == jnp.bfloat16 for leaf in leaves)
     out = tr.transcribe(np.zeros(16000 * 5, np.float32))
-    assert set(out) == {"text", "start", "end"}
+    assert set(out) == {"text", "start", "end", "language"}
 
 
 # ---------------------------------------------------------------------------
@@ -267,12 +268,19 @@ def test_beam_decode_finds_higher_likelihood_than_greedy():
     search; also deterministic across calls."""
     import jax.numpy as jnp
 
+    # timestamp rules off: this is a pure beam-search property test, and
+    # the rules' length-dependent masking (avg-lp selection over forced
+    # timestamp structure) breaks the unconstrained sum-lp dominance the
+    # property relies on (rules-on decode structure is covered by
+    # test_whisper_langid_rules.py)
     greedy = _tiny_transcriber(temperatures=(0.0,),
                                compression_ratio_threshold=None,
-                               logprob_threshold=None)
+                               logprob_threshold=None,
+                               timestamp_rules=False)
     beam = _tiny_transcriber(temperatures=(0.0,),
                              compression_ratio_threshold=None,
-                             logprob_threshold=None, beam_size=5)
+                             logprob_threshold=None, beam_size=5,
+                             timestamp_rules=False)
     assert beam._beam_decode is not None and greedy._beam_decode is None
     mel = np.zeros((80, 3000), np.float32)
     enc = beam._encode(beam.params, jnp.asarray(mel[None]))
@@ -311,7 +319,7 @@ def test_beam_transcribe_window_and_batch_paths():
     outs = tr.transcribe_batch([audio, audio])
     assert len(outs) == 2
     for o in outs:
-        assert set(o) == {"text", "start", "end"}
+        assert set(o) == {"text", "start", "end", "language"}
     # batched beam equals the single-window beam per element (lockstep
     # batching must not change the decode)
     single = tr.transcribe(audio)

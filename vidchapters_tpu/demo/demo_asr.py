@@ -109,8 +109,12 @@ def jax_transcribe(audio_path: str, model_name: str = "large-v2",
     segments = [{"text": t, "start": s, "end": e}
                 for t, s, e in zip(out["text"], out["start"], out["end"])]
     if align:
-        return align_segments(model, tr.params, tok, audio, segments)
-    return {"segments": segments}
+        aligned = align_segments(model, tr.params, tok, audio, segments)
+        aligned.setdefault("language", out.get("language", "en"))
+        return aligned
+    # ``language`` matches openai-whisper's result schema
+    # (whisper_inference.py:48; whisper_align.py:30-41 groups on it)
+    return {"segments": segments, "language": out.get("language", "en")}
 
 
 def transcribe(video_path: str, model_name: str = "large-v2",

@@ -70,7 +70,9 @@ def merge_asr_pickles(asr_dir: str, out_path: str) -> Dict[str, dict]:
 
 def proc_asr(raw: dict) -> Dict[str, list]:
     """Raw (whisperx-style) result -> the ``{text[], start[], end[]}``
-    schema every dataset reads (merge_asr_whisper_align.py:16-81)."""
+    schema every dataset reads (merge_asr_whisper_align.py:16-81); the
+    detected ``language`` code rides along when present (the key
+    whisper_align.py:30-41 groups videos on)."""
     texts, starts, ends = [], [], []
     segments = raw.get("segments", raw if isinstance(raw, list) else [])
     for seg in segments:
@@ -80,7 +82,10 @@ def proc_asr(raw: dict) -> Dict[str, list]:
         texts.append(text)
         starts.append(float(seg["start"]))
         ends.append(float(seg["end"]))
-    return {"text": texts, "start": starts, "end": ends}
+    out = {"text": texts, "start": starts, "end": ends}
+    if isinstance(raw, dict) and "language" in raw:
+        out["language"] = raw["language"]
+    return out
 
 
 def merge_and_process(asr_dir: str, out_path: str) -> Dict[str, dict]:

@@ -46,6 +46,39 @@ NO_SPEECH = 50362
 SOT_PREV = 50361  # <|startofprev|>: prefixes the rolling text prompt
 TIME_PRECISION = 0.02
 
+# the 99 contiguous language tokens <|en|>..<|su|> of the multilingual v2
+# vocab, in token order (published Whisper constants; the reference factory
+# relies on openai-whisper's identical table via ``model.transcribe``,
+# asr_extract/whisper_inference.py:48, and whisper_align.py:30-41 groups
+# the ASR pickles by the detected ``language`` code)
+LANG_BEGIN = LANG_EN
+WHISPER_LANGUAGES: Tuple[str, ...] = (
+    'en', 'zh', 'de', 'es', 'ru', 'ko', 'fr', 'ja', 'pt', 'tr', 'pl', 'ca',
+    'nl', 'ar', 'sv', 'it', 'id', 'hi', 'fi', 'vi', 'he', 'uk', 'el', 'ms',
+    'cs', 'ro', 'da', 'hu', 'ta', 'no', 'th', 'ur', 'hr', 'bg', 'lt', 'la',
+    'mi', 'ml', 'cy', 'sk', 'te', 'fa', 'lv', 'bn', 'sr', 'az', 'sl', 'kn',
+    'et', 'mk', 'br', 'eu', 'is', 'hy', 'ne', 'mn', 'bs', 'kk', 'sq', 'sw',
+    'gl', 'mr', 'pa', 'si', 'km', 'sn', 'yo', 'so', 'af', 'oc', 'ka', 'be',
+    'tg', 'sd', 'gu', 'am', 'yi', 'lo', 'uz', 'fo', 'ht', 'ps', 'tk', 'nn',
+    'mt', 'sa', 'lb', 'my', 'bo', 'tl', 'mg', 'as', 'tt', 'haw', 'ln', 'ha',
+    'ba', 'jw', 'su')
+
+
+def language_token_for(code: str) -> int:
+    """'en' -> 50259 etc.; raises on unknown codes."""
+    try:
+        return LANG_BEGIN + WHISPER_LANGUAGES.index(code.lower())
+    except ValueError:
+        raise ValueError(f"unknown Whisper language code {code!r}") from None
+
+
+def language_code_for(token: int) -> str:
+    """50259 -> 'en' etc.; raises on out-of-range tokens."""
+    idx = token - LANG_BEGIN
+    if not 0 <= idx < len(WHISPER_LANGUAGES):
+        raise ValueError(f"token {token} is not a Whisper language token")
+    return WHISPER_LANGUAGES[idx]
+
 
 # Cross-layer decode megakernel routing: None = auto (TPU backends only).
 # MEGA_INTERPRET runs the kernel in interpret mode (tests on CPU).
@@ -71,9 +104,100 @@ def compression_ratio(text: str) -> float:
     return len(data) / len(zlib.compress(data))
 
 
+def detect_language_from_logits(logits):
+    """SOT-step logits [B, V] -> (language token [B], probability [B]):
+    softmax restricted to the 99 language tokens, openai-whisper
+    ``detect_language`` semantics (the reference factory's behavior via
+    ``model.transcribe``, asr_extract/whisper_inference.py:48)."""
+    import jax
+    import jax.numpy as jnp
+
+    vocab = logits.shape[-1]
+    n_lang = max(0, min(LANG_BEGIN + len(WHISPER_LANGUAGES), vocab)
+                 - LANG_BEGIN)
+    lang = logits[:, LANG_BEGIN:LANG_BEGIN + n_lang].astype(jnp.float32)
+    probs = jax.nn.softmax(lang, axis=-1)
+    tok = (jnp.argmax(lang, axis=-1) + LANG_BEGIN).astype(jnp.int32)
+    return tok, jnp.max(probs, axis=-1)
+
+
+def apply_timestamp_rules(logits, state, is_first: bool,
+                          max_initial_idx: Optional[int] = 50):
+    """openai-whisper ``ApplyTimestampRules`` as a pure [N, V] f32 logits
+    filter (whisper/decoding.py; the reference inherits these constraints
+    through the bare ``model.transcribe``, whisper_inference.py:48):
+
+    1. timestamps come in pairs — after a lone timestamp only a timestamp
+       or EOT may follow; after a completed pair, no timestamp may;
+    2. timestamps never decrease;
+    3. the first sampled token is a timestamp, at most ``max_initial_idx``
+       steps (0.02 s each) into the window;
+    4. when the summed timestamp probability beats every text token, a
+       timestamp is forced.
+
+    ``state`` is ``(prev, prevprev, ts_last)`` int32 [N] vectors — see
+    ``init_timestamp_state``/``update_timestamp_state``."""
+    import jax
+    import jax.numpy as jnp
+
+    vocab = logits.shape[-1]
+    ids = jnp.arange(vocab)
+    is_ts = ids >= TIMESTAMP_BEGIN
+    neg = jnp.float32(-1e9)
+    prev, prevprev, ts_last = state
+    last_ts = prev >= TIMESTAMP_BEGIN
+    pen_ts = prevprev >= TIMESTAMP_BEGIN
+    m = jnp.where((last_ts & pen_ts)[:, None] & is_ts[None], neg, 0.0)
+    m += jnp.where((last_ts & ~pen_ts)[:, None] & ~is_ts[None]
+                   & (ids[None] != EOT), neg, 0.0)
+    floor = jnp.where(last_ts & ~pen_ts, ts_last, ts_last + 1)
+    m += jnp.where(is_ts[None] & (ids[None] < floor[:, None]), neg, 0.0)
+    if is_first:
+        bad = ~is_ts
+        if max_initial_idx is not None:
+            bad = bad | (ids > TIMESTAMP_BEGIN + max_initial_idx)
+        m += jnp.where(bad[None], neg, 0.0)
+    logits = logits + m
+    lp = jax.nn.log_softmax(logits, axis=-1)
+    ts_lp = jax.nn.logsumexp(jnp.where(is_ts[None], lp, neg), axis=-1)
+    txt_max = jnp.max(jnp.where(is_ts[None], neg, lp), axis=-1)
+    force = ts_lp > txt_max
+    return jnp.where(force[:, None] & ~is_ts[None], neg, logits)
+
+
+def init_timestamp_state(n: int):
+    """prev starts at the -1 sentinel (no token sampled yet: last_was_
+    timestamp=False) and prevprev timestamp-like — openai-whisper treats a
+    sampled sequence shorter than 2 as penultimate_was_timestamp=True, so
+    the forced opening timestamp is followed by TEXT, not a pair-mate."""
+    import jax.numpy as jnp
+
+    return (jnp.full((n,), -1, jnp.int32),
+            jnp.full((n,), TIMESTAMP_BEGIN, jnp.int32),
+            jnp.full((n,), TIMESTAMP_BEGIN - 1, jnp.int32))
+
+
+def update_timestamp_state(state, nxt):
+    import jax.numpy as jnp
+
+    prev, _, ts_last = state
+    # a -1 sentinel prev means ``nxt`` is the FIRST sampled token: the next
+    # step's penultimate check must still see len<2 => timestamp-like
+    prevprev = jnp.where(prev < 0, TIMESTAMP_BEGIN, prev)
+    return (nxt, prevprev, jnp.where(nxt >= TIMESTAMP_BEGIN, nxt, ts_last))
+
+
 class JaxWhisperTranscriber:
+    """``language=None`` (the default) auto-detects the spoken language per
+    video from the first 30 s window — one decoder step at SOT restricted to
+    the 99 language tokens, openai-whisper ``detect_language`` semantics —
+    and every result dict carries the resolved ``language`` code, matching
+    the reference's ASR pickle schema (whisper_align.py:30-41 groups on it).
+    Pass ``language="en"`` (or ``language_token=<id>``) to pin it."""
+
     def __init__(self, model, params, max_decode_len: int = 224,
-                 language_token: int = LANG_EN,
+                 language: Optional[str] = None,
+                 language_token: Optional[int] = None,
                  decode_tokens: Optional[Callable[[List[int]], str]] = None,
                  temperatures: Tuple[float, ...] = (0.0, 0.2, 0.4, 0.6,
                                                     0.8, 1.0),
@@ -86,7 +210,9 @@ class JaxWhisperTranscriber:
                  seed: int = 0,
                  param_dtype: Optional[str] = None,
                  beam_size: Optional[int] = None,
-                 vad: bool = False):
+                 vad: bool = False,
+                 timestamp_rules: bool = True,
+                 max_initial_timestamp: Optional[float] = 1.0):
         import jax
         import jax.numpy as jnp
 
@@ -129,7 +255,15 @@ class JaxWhisperTranscriber:
         self.prompt_len = prompt_len
         self.prompt_reset_on_temperature = prompt_reset_on_temperature
         self._rng = jax.random.PRNGKey(seed)
-        self.sot_sequence = [SOT, language_token, TRANSCRIBE]
+        if language is not None:
+            language_token = language_token_for(language)
+        # None -> auto-detect per video (openai-whisper transcribe.py:
+        # language unset => detect_language on the first 30 s window)
+        self.language_token = language_token
+        # default SOT sequence for callers that poke it directly; the
+        # decode paths build per-video sequences from the resolved token
+        self.sot_sequence = [SOT, language_token if language_token is not None
+                             else LANG_EN, TRANSCRIBE]
 
         self._encode = jax.jit(
             lambda p, mel: model.apply({"params": p}, mel, method=model.encode))
@@ -155,12 +289,48 @@ class JaxWhisperTranscriber:
             suppress[t] = -1e9
         suppress_j = jnp.asarray(suppress)
 
-        def _pick(logits, key, temperature):
+        # language-ID program: one decoder step at SOT, softmax restricted
+        # to the 99 language tokens — openai-whisper ``detect_language``,
+        # the behavior the reference factory gets from ``model.transcribe``
+        # (asr_extract/whisper_inference.py:48)
+        n_lang = max(0, min(LANG_BEGIN + len(WHISPER_LANGUAGES), vocab)
+                     - LANG_BEGIN)
+
+        def _detect_fn(params, enc):
+            b = enc.shape[0]
+            cache = fns.init_cache(b, enc)
+            logits, _ = fns.step(jnp.full((b,), SOT, jnp.int32), cache,
+                                 jnp.asarray(0), None)
+            return detect_language_from_logits(logits)
+
+        self._detect = jax.jit(_detect_fn) if n_lang > 0 else None
+
+        # decode-time timestamp rules (openai-whisper decoding.py
+        # ApplyTimestampRules — inherited by the reference through the bare
+        # ``model.transcribe``): a traced logits filter applied OUTSIDE the
+        # step kernel, so greedy, beam, and both megakernel routes share it
+        use_rules = bool(timestamp_rules) and vocab > TIMESTAMP_BEGIN
+        self.timestamp_rules = use_rules
+        max_initial_idx = (None if max_initial_timestamp is None
+                           else int(round(max_initial_timestamp
+                                          / TIME_PRECISION)))
+
+        def _ts_rules(logits, state, is_first):
+            return apply_timestamp_rules(logits, state, is_first,
+                                         max_initial_idx)
+
+        _ts_init = init_timestamp_state
+        _ts_step = update_timestamp_state
+
+        def _pick(logits, key, temperature, ts_state=None, is_first=False):
             """Greedy where temperature == 0, categorical otherwise — the
             temperature is a per-element [B] vector and the choice a traced
             select, so one compiled program serves the whole fallback ladder
             even when only some batch elements are retrying."""
             logits = logits + suppress_j
+            if ts_state is not None:
+                logits = _ts_rules(logits.astype(jnp.float32), ts_state,
+                                   is_first)
             greedy = jnp.argmax(logits, axis=-1)
             sampled = jax.random.categorical(
                 key, logits / jnp.maximum(temperature, 1e-6)[:, None],
@@ -188,24 +358,29 @@ class JaxWhisperTranscriber:
                     probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
                     no_speech = probs[:, NO_SPEECH] if NO_SPEECH < vocab \
                         else jnp.zeros((batch,), jnp.float32)
-            cur, logp0 = _pick(logits, rng, temperature)
+            ts0 = _ts_init(batch)
+            cur, logp0 = _pick(logits, rng, temperature,
+                               ts0 if use_rules else None, is_first=True)
+            ts_state = _ts_step(ts0, cur)
             sum_lp = logp0
             n_tok = jnp.ones((batch,), jnp.float32)
             done0 = cur == EOT
 
             def body(carry, i):
-                cur, cache, done, sum_lp, n_tok = carry
+                cur, cache, done, sum_lp, n_tok, ts_state = carry
                 logits, cache = fns.step(cur, cache, p_len + i, None)
                 nxt, logp = _pick(logits, jax.random.fold_in(rng, i),
-                                  temperature)
+                                  temperature,
+                                  ts_state if use_rules else None)
                 nxt = jnp.where(done, EOT, nxt)
                 sum_lp = sum_lp + jnp.where(done, 0.0, logp)
                 n_tok = n_tok + jnp.where(done, 0.0, 1.0)
                 done = done | (nxt == EOT)
-                return (nxt, cache, done, sum_lp, n_tok), cur
+                ts_state = _ts_step(ts_state, nxt)
+                return (nxt, cache, done, sum_lp, n_tok, ts_state), cur
 
-            (last, _, _, sum_lp, n_tok), outs = jax.lax.scan(
-                body, (cur, cache, done0, sum_lp, n_tok),
+            (last, _, _, sum_lp, n_tok, _), outs = jax.lax.scan(
+                body, (cur, cache, done0, sum_lp, n_tok, ts_state),
                 jnp.arange(max_decode_len - p_len - 1))
             gen = jnp.concatenate(
                 [jnp.swapaxes(outs, 0, 1), last[:, None]], axis=1)
@@ -244,8 +419,10 @@ class JaxWhisperTranscriber:
                     no_speech = (probs.reshape(b, K, -1)[:, 0, NO_SPEECH]
                                  if NO_SPEECH < vocab
                                  else jnp.zeros((b,), jnp.float32))
-            logp = jax.nn.log_softmax(
-                (logits + suppress_j).astype(jnp.float32), -1)
+            lg = (logits + suppress_j).astype(jnp.float32)
+            if use_rules:
+                lg = _ts_rules(lg, _ts_init(b * K), True)
+            logp = jax.nn.log_softmax(lg, -1)
             first = logp.reshape(b, K, vocab)[:, 0]  # beams identical so far
             sum_lp, cur = jax.lax.top_k(first, K)  # [B, K]
             cur = cur.astype(jnp.int32)
@@ -254,16 +431,25 @@ class JaxWhisperTranscriber:
             seqbuf = seqbuf.at[:, :, 0].set(cur)
             done = cur == EOT
             n_tok = jnp.ones((b, K), jnp.float32)
+            # per-beam timestamp-rule state ([B, K]; permuted with parents)
+            ts_prev = cur
+            ts_pen = jnp.full((b, K), TIMESTAMP_BEGIN, jnp.int32)
+            ts_last = jnp.where(cur >= TIMESTAMP_BEGIN, cur,
+                                TIMESTAMP_BEGIN - 1)
             # a finished beam persists as its own single EOT candidate
             eot_only = jnp.full((vocab,), NEG).at[EOT].set(0.0)
 
             def body(carry, i):
-                cur, cache, seqbuf, sum_lp, n_tok, done = carry
+                (cur, cache, seqbuf, sum_lp, n_tok, done,
+                 ts_prev, ts_pen, ts_last) = carry
                 logits, cache = fns.step(cur.reshape(-1), cache,
                                          p_len + i, None)
-                logp = jax.nn.log_softmax(
-                    (logits + suppress_j).astype(jnp.float32),
-                    -1).reshape(b, K, vocab)
+                lg = (logits + suppress_j).astype(jnp.float32)
+                if use_rules:
+                    lg = _ts_rules(lg, (ts_prev.reshape(-1),
+                                        ts_pen.reshape(-1),
+                                        ts_last.reshape(-1)), False)
+                logp = jax.nn.log_softmax(lg, -1).reshape(b, K, vocab)
                 cand = jnp.where(done[..., None], eot_only[None, None], logp)
                 flat = (sum_lp[..., None] + cand).reshape(b, K * vocab)
                 top, idx = jax.lax.top_k(flat, K)
@@ -280,14 +466,22 @@ class JaxWhisperTranscriber:
                                              axis=1)
                 pdone = jnp.take_along_axis(done, parent, axis=1)
                 pn = jnp.take_along_axis(n_tok, parent, axis=1)
-                seqbuf = seqbuf.at[:, :, i + 1].set(
-                    jnp.where(pdone, EOT, tok))
+                stored = jnp.where(pdone, EOT, tok)
+                seqbuf = seqbuf.at[:, :, i + 1].set(stored)
                 n_tok = pn + jnp.where(pdone, 0.0, 1.0)
                 done = pdone | (tok == EOT)
-                return (tok, cache, seqbuf, top, n_tok, done), ()
+                ts_pen = jnp.take_along_axis(ts_prev, parent, axis=1)
+                ts_lastp = jnp.take_along_axis(ts_last, parent, axis=1)
+                ts_prev = stored
+                ts_last = jnp.where(stored >= TIMESTAMP_BEGIN, stored,
+                                    ts_lastp)
+                return (tok, cache, seqbuf, top, n_tok, done,
+                        ts_prev, ts_pen, ts_last), ()
 
-            (cur, cache, seqbuf, sum_lp, n_tok, done), _ = jax.lax.scan(
-                body, (cur, cache, seqbuf, sum_lp, n_tok, done),
+            (cur, cache, seqbuf, sum_lp, n_tok, done,
+             *_ts), _ = jax.lax.scan(
+                body, (cur, cache, seqbuf, sum_lp, n_tok, done,
+                       ts_prev, ts_pen, ts_last),
                 jnp.arange(max_gen - 1))
             score = sum_lp / jnp.maximum(n_tok, 1.0)
             best = jnp.argmax(score, axis=1)
@@ -308,21 +502,49 @@ class JaxWhisperTranscriber:
             return self.decode_tokens(text_toks)
         return " ".join(str(t) for t in text_toks)
 
-    def _prompt_prefix(self, prompt_tokens: Optional[List[int]]) -> List[int]:
+    def _sot_sequence(self, lang_token: Optional[int]) -> List[int]:
+        return [SOT, lang_token if lang_token is not None else LANG_EN,
+                TRANSCRIBE]
+
+    def detect_language(self, audio: np.ndarray) -> Tuple[str, float]:
+        """Language of the first 30 s window -> (code, probability) —
+        openai-whisper ``detect_language`` semantics (one decoder step at
+        SOT, softmax over the 99 language tokens)."""
+        jnp = self._jnp
+        mel = log_mel_spectrogram(np.asarray(audio)[:N_SAMPLES])
+        enc = self._encode(self.params, jnp.asarray(mel[None]))
+        tok, prob = self._detect(self.params, enc)
+        return language_code_for(int(np.asarray(tok)[0])), \
+            float(np.asarray(prob)[0])
+
+    def _resolve_language(self, audio: np.ndarray) -> int:
+        """Configured language token, or per-video detection when unset."""
+        if self.language_token is not None:
+            return self.language_token
+        if self._detect is None:  # tiny test vocab without language tokens
+            return LANG_EN
+        code, _ = self.detect_language(audio)
+        return language_token_for(code)
+
+    def _prompt_prefix(self, prompt_tokens: Optional[List[int]],
+                       lang_token: Optional[int] = None) -> List[int]:
         """Static-length decode prefix: without conditioning just the SOT
         sequence; with it, exactly ``1 + prompt_len`` <|startofprev|>-filled
         slots holding the most recent transcript tokens, then the SOT
         sequence (two compiled programs total)."""
+        sot = self._sot_sequence(lang_token if lang_token is not None
+                                 else self.language_token)
         if not self.condition_on_previous_text:
-            return list(self.sot_sequence)
+            return sot
         slots = [SOT_PREV] * (1 + self.prompt_len)
         tail = list(prompt_tokens or [])[-self.prompt_len:]
         if tail:
             slots[-len(tail):] = tail
-        return slots + list(self.sot_sequence)
+        return slots + sot
 
     def _decode_window(self, mel: np.ndarray, window_index: int = 0,
-                       prompt_tokens: Optional[List[int]] = None
+                       prompt_tokens: Optional[List[int]] = None,
+                       lang_token: Optional[int] = None
                        ) -> Tuple[List[int], float, float, float]:
         """Temperature-fallback decode of one 30 s window
         (openai-whisper ``transcribe`` decode_with_fallback).
@@ -332,7 +554,7 @@ class JaxWhisperTranscriber:
 
         jnp = self._jnp
         enc = self._encode(self.params, jnp.asarray(mel[None]))
-        prefix_list = self._prompt_prefix(prompt_tokens)
+        prefix_list = self._prompt_prefix(prompt_tokens, lang_token)
         prefix = jnp.asarray(np.asarray([prefix_list], np.int32))
         toks: List[int] = []
         avg_lp, no_speech = 0.0, 0.0
@@ -399,7 +621,13 @@ class JaxWhisperTranscriber:
         return segments, advance
 
     def transcribe(self, audio: np.ndarray) -> Dict[str, list]:
-        """mono float32 16 kHz audio -> ``{text[], start[], end[]}``."""
+        """mono float32 16 kHz audio ->
+        ``{text[], start[], end[], language}`` — the ``language`` code is
+        detected from the first window when the transcriber was built with
+        ``language=None``, matching the reference's per-video ASR pickle
+        schema (whisper_inference.py:48 stores ``model.transcribe``'s
+        result, whose ``language`` key whisper_align.py:30-41 groups on)."""
+        lang_token = self._resolve_language(audio)
         segments: List[dict] = []
         seek = 0
         window_index = 0
@@ -423,7 +651,8 @@ class JaxWhisperTranscriber:
                 break
             mel = log_mel_spectrogram(window)
             tokens, avg_lp, no_speech, temp = self._decode_window(
-                mel, window_index, prompt_tokens=prompt)
+                mel, window_index, prompt_tokens=prompt,
+                lang_token=lang_token)
             window_index += 1
             # whisper transcribe.py: silent window unless the logprob says
             # there is actually confident content
@@ -446,7 +675,8 @@ class JaxWhisperTranscriber:
             seek += int(advance * SAMPLE_RATE)
             if advance <= 0:
                 break
-        out = {"text": [], "start": [], "end": []}
+        out = {"text": [], "start": [], "end": [],
+               "language": self._lang_code(lang_token)}
         for seg in segments:
             text = (self.decode_tokens(seg["tokens"])
                     if self.decode_tokens is not None
@@ -455,6 +685,13 @@ class JaxWhisperTranscriber:
             out["start"].append(float(seg["start"]))
             out["end"].append(float(seg["end"]))
         return out
+
+    @staticmethod
+    def _lang_code(lang_token: int) -> str:
+        try:
+            return language_code_for(lang_token)
+        except ValueError:  # non-standard token pinned by the caller
+            return "en"
 
 
     # -- batched multi-video transcription -----------------------------------
@@ -488,8 +725,21 @@ class JaxWhisperTranscriber:
         seeks = [0] * n
         all_segments: List[List[dict]] = [[] for _ in range(n)]
         window_index = 0
-        prefix = jnp.asarray(
-            np.repeat(np.asarray([self.sot_sequence], np.int32), n, axis=0))
+        # per-video language: configured, or ONE batched detect call over
+        # every video's first window (whisper_inference.py:48 semantics)
+        if self.language_token is not None or self._detect is None:
+            lang_tokens = [self.language_token
+                           if self.language_token is not None else LANG_EN
+                           ] * n
+        else:
+            first_mels = np.stack([
+                log_mel_spectrogram(np.asarray(a)[:N_SAMPLES])
+                for a in audios])
+            enc0 = self._encode(self.params, jnp.asarray(first_mels))
+            toks, _ = self._detect(self.params, enc0)
+            lang_tokens = [int(t) for t in np.asarray(toks)]
+        prefix = jnp.asarray(np.asarray(
+            [self._sot_sequence(lt) for lt in lang_tokens], np.int32))
         vad_segs = None
         if self.use_vad:
             from vidchapters_tpu.factory.vad import (
@@ -537,7 +787,7 @@ class JaxWhisperTranscriber:
                     if accepted[i] is not None or not active(i):
                         continue
                     toks = []
-                    for t in seq[i, len(self.sot_sequence):]:
+                    for t in seq[i, prefix.shape[1]:]:
                         if t == EOT:
                             break
                         toks.append(int(t))
@@ -570,8 +820,9 @@ class JaxWhisperTranscriber:
                     else N_SAMPLES
 
         outs = []
-        for segments in all_segments:
-            out = {"text": [], "start": [], "end": []}
+        for i, segments in enumerate(all_segments):
+            out = {"text": [], "start": [], "end": [],
+                   "language": self._lang_code(lang_tokens[i])}
             for seg in segments:
                 out["text"].append(self._tokens_to_text(seg["tokens"]).strip())
                 out["start"].append(float(seg["start"]))

@@ -752,8 +752,13 @@ def make_mega_decode_fns(cfg, t5_params: Dict[str, Any], max_length: int,
             # the kernel already appended the k/v rows during the
             # permutation write-back — no DUS needed
             hidden, k_new, v_new, self_k, self_v = out
+            # the permutation has been APPLIED — reset pending_src to the
+            # identity so a caller that skips reorder_cache on some step
+            # gets a no-op instead of a stale re-permutation
             new_cache = {"self_k": self_k, "self_v": self_v,
-                         "cross": cache["cross"], "pending_src": src}
+                         "cross": cache["cross"],
+                         "pending_src": jnp.arange(x.shape[0],
+                                                   dtype=jnp.int32)}
         else:
             hidden, k_new, v_new = out
             new_cache = {

@@ -78,6 +78,11 @@ import os as _os
 
 CACHE_CHUNK = int(_os.environ.get("WHISPER_CACHE_CHUNK", "56"))
 CHUNK_GREEDY = _os.environ.get("WHISPER_CHUNK_GREEDY", "0") == "1"
+if CACHE_CHUNK % 8 != 0 or CACHE_CHUNK <= 0:
+    raise ValueError(
+        f"WHISPER_CACHE_CHUNK={CACHE_CHUNK} is invalid: the chunk is the "
+        "sublane extent of the self-cache BlockSpec and Mosaic requires a "
+        "positive multiple of 8 (see the module comment above).")
 
 
 def _erf(x: Array) -> Array:
@@ -628,8 +633,13 @@ def make_whisper_mega_fns(cfg, params: Dict[str, Any], max_length: int,
             # the kernel already permuted the caches and appended the new
             # k/v rows during the write-back — no reorder pass, no DUS
             hidden, k_new, v_new, self_k, self_v = out
+            # the permutation has been APPLIED — reset pending_src to the
+            # identity so a caller that skips reorder_cache on some step
+            # gets a no-op instead of a stale re-permutation
             new_cache = {"self_k": self_k, "self_v": self_v,
-                         "cross": cache["cross"], "pending_src": src}
+                         "cross": cache["cross"],
+                         "pending_src": jnp.arange(x.shape[0],
+                                                   dtype=jnp.int32)}
         else:
             hidden, k_new, v_new = out
             new_cache = {

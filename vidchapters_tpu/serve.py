@@ -325,7 +325,13 @@ class ChapterGenerator:
             if dispatcher_exited:
                 self._completer.join(timeout=t)
                 if self._completer.is_alive():
-                    self._completion_q.put(None)
+                    # bounded (maxsize-1) queue: a blocking put could stall
+                    # close() for a full in-flight device fetch — give up
+                    # after the timeout instead (the completer is a daemon)
+                    try:
+                        self._completion_q.put(None, timeout=t)
+                    except queue_mod.Full:
+                        pass
                     self._completer.join(timeout=t)
         # drain requests stranded behind (or racing) the sentinels
         while True:
@@ -337,16 +343,29 @@ class ChapterGenerator:
                 item.error = RuntimeError("ChapterGenerator closed before "
                                           "this request was dispatched")
                 item.event.set()
+        popped_sentinel = False
         while True:
             try:
                 item = self._completion_q.get_nowait()
             except queue_mod.Empty:
                 break
-            if item is not None:
-                for p in item[0]:
-                    p.error = RuntimeError("ChapterGenerator closed before "
-                                           "this result was fetched")
-                    p.event.set()
+            if item is None:
+                # a dispatcher that outlived the join timeout enqueues its
+                # completion sentinel LATE — it belongs to the completer,
+                # not to this drain; remember it and put it back so the
+                # still-alive completer is not stranded on an empty queue
+                popped_sentinel = True
+                continue
+            for p in item[0]:
+                p.error = RuntimeError("ChapterGenerator closed before "
+                                       "this result was fetched")
+                p.event.set()
+        if popped_sentinel and (self._completer is not None
+                                and self._completer.is_alive()):
+            try:
+                self._completion_q.put_nowait(None)
+            except queue_mod.Full:
+                pass
 
 
 def _make_handler(engine: ChapterGenerator):
