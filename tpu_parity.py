@@ -409,6 +409,87 @@ def check_whisper_mega_beam():
     return f"beam ancestry identical ({std_tokens.size} tokens)"
 
 
+@run("whisper_mega_beam_chunked")
+def check_whisper_mega_beam_chunked():
+    """Whisper megakernel BEAM path with CACHE_CHUNK(56) prefix-skip cache
+    streaming actually COMPILED on chip: max_target_positions=112 (two
+    chunks) and 62 decode steps, so the online-softmax accumulation across
+    the chunk boundary, the dead-chunk index-map clamp, and the per-chunk
+    deferred-permutation write-back all run through Mosaic — the class of
+    block-layout behavior interpret mode cannot catch (advisor round 4;
+    CPU twin: tests/test_whisper_megakernel.py::
+    test_multi_chunk_greedy_and_beam_cross_boundary). The whole beam loop
+    runs under one lax.scan per path (62 eager steps would pay the tunnel
+    RPC floor 62 times)."""
+    from vidchapters_tpu.models.whisper import Whisper, WhisperConfig
+    from vidchapters_tpu.ops.decoding import make_decode_fns
+    from vidchapters_tpu.ops import whisper_megakernel as wm
+    from vidchapters_tpu.ops.whisper_megakernel import make_whisper_mega_fns
+    max_len = 2 * wm.CACHE_CHUNK  # 112 at the default chunk
+    steps = wm.CACHE_CHUNK + 6    # crosses the boundary
+    K, b = 4, 2
+    rows = b * K
+    cfg = WhisperConfig(vocab_size=256, num_mel_bins=8, d_model=64,
+                        encoder_layers=1, decoder_layers=2, num_heads=4,
+                        d_ff=128, max_source_positions=30,
+                        max_target_positions=max_len, dtype="float32")
+    model = Whisper(cfg)
+    rng = np.random.default_rng(3)
+    mel = jnp.asarray(rng.normal(size=(b, 8, 60)), jnp.float32)
+    toks = jnp.zeros((1, 4), jnp.int32)
+    params = model.init(jax.random.PRNGKey(3), mel[:1], toks)["params"]
+    enc = model.apply({"params": params}, mel, method=model.encode)
+    vocab = cfg.vocab_size
+
+    def beam_tokens(fns):
+        cache0 = fns.init_cache(rows, enc)
+
+        def body(carry, i):
+            tokens, sum_lp, cache = carry
+            logits, cache = fns.step(tokens, cache, i, None)
+            logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+            flat = (sum_lp[..., None] + logp.reshape(b, K, vocab)
+                    ).reshape(b, K * vocab)
+            sum_lp, idx = jax.lax.top_k(flat, K)
+            parent = (jnp.arange(b)[:, None] * K
+                      + idx // vocab).reshape(-1)
+            tokens = (idx % vocab).reshape(-1).astype(jnp.int32)
+            if fns.reorder_cache is not None:
+                cache = fns.reorder_cache(cache, parent)
+            else:
+                def perm(x):
+                    return (jnp.take(x, parent, axis=0)
+                            if x.ndim and x.shape[0] == rows else x)
+                cache = {k: (v if k == "cross"
+                             else jax.tree_util.tree_map(perm, v))
+                         for k, v in cache.items()}
+            return (tokens, sum_lp, cache), tokens
+
+        tokens0 = jnp.full((rows,), 5, jnp.int32)
+        sum_lp0 = jnp.concatenate(
+            [jnp.zeros((b, 1)), jnp.full((b, K - 1), -1e9)], axis=1)
+
+        def loop(t0, s0, c0):
+            (_, _, _), picked = jax.lax.scan(
+                body, (t0, s0, c0), jnp.arange(steps))
+            return picked
+
+        return np.asarray(jax.jit(loop)(tokens0, sum_lp0, cache0))
+
+    ref = make_decode_fns(model, params, max_len)
+    std_tokens = beam_tokens(ref)
+    mega = make_whisper_mega_fns(cfg, params, max_len, interpret=False,
+                                 quantize=False)
+    mega_tokens = beam_tokens(mega)
+    diff = int((std_tokens != mega_tokens).sum())
+    pre = int((std_tokens[:wm.CACHE_CHUNK]
+               != mega_tokens[:wm.CACHE_CHUNK]).sum())
+    assert diff == 0, (f"token mismatches: {diff}/{std_tokens.size} "
+                       f"({pre} before the chunk boundary)")
+    return (f"2-chunk beam ancestry identical "
+            f"({std_tokens.size} tokens, {steps} steps)")
+
+
 @run("topk_vs_lax")
 def check_topk():
     """Single-pass Pallas beam top-k vs lax.top_k: exact values AND
@@ -466,7 +547,7 @@ ALL = [check_fused_fwd, check_fused_bwd, check_fused_padded,
        check_deform_fwd, check_deform_bwd,
        check_mega_greedy, check_mega_beam,
        check_fused_decode_step, check_whisper_mega,
-       check_whisper_mega_beam,
+       check_whisper_mega_beam, check_whisper_mega_beam_chunked,
        check_topk, check_auction]
 
 
