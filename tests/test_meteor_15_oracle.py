@@ -134,6 +134,87 @@ def test_multi_reference_takes_best():
     assert got == pytest.approx(expect, abs=1e-12)
 
 
+def test_empty_hypothesis_and_reference_are_zero():
+    # Jar convention: no alignment is possible, the segment scores 0 —
+    # for an empty hypothesis, an empty reference, and both.
+    assert _score("", "the cat sat") == 0.0
+    assert _score("the cat sat", "") == 0.0
+    assert _score("", "") == 0.0
+    assert _score("   ", "the cat") == 0.0  # whitespace-only
+    assert meteor_score("", ["the cat sat", "dogs bark"]) == 0.0
+
+
+def test_corpus_sum_includes_empty_hypothesis_reference_mass():
+    # Summed-stats aggregation with one EMPTY-hypothesis segment: the
+    # segment scores 0, but its reference still adds weight to the summed
+    # recall denominator (the jar sums per-segment statistics, so an
+    # unanswered segment drags corpus recall, unlike a mean of scores).
+    # seg a: hyp = ref = "the cat sat on the mat"
+    #   weights: the .25, cat .75, sat .75, on .25, the .25, mat .75
+    #   wp = wr = 3.0/3.0, chunks 1, m 6
+    # seg b: hyp = "" vs ref "dogs bark"
+    #   wp = 0/0, wr = 0/(.75+.75) = 0/1.5, chunks 0, m 0
+    # corpus: P = 3.0/3.0 = 1, R = 3.0/(3.0+1.5) = 2/3, frag = 1/6
+    m = Meteor()
+    corpus, segs = m.compute_score(
+        {"a": ["the cat sat on the mat"], "b": ["dogs bark"]},
+        {"a": ["the cat sat on the mat"], "b": [""]})
+    assert segs[0] == pytest.approx(1.0 - G * (1.0 / 6.0) ** B, abs=1e-12)
+    assert segs[1] == 0.0
+    expect = (1.0 - G * (1.0 / 6.0) ** B) * _fmean(1.0, 3.0 / 4.5)
+    assert corpus == pytest.approx(expect, abs=1e-12)
+
+
+def test_multi_reference_best_by_score_not_first():
+    # Two NON-identical references; the winner must be selected by score.
+    # hyp "the cat sat":
+    #   vs "the cat ate fish" (first): the+cat match, 1 chunk, m 2
+    #     s1 = (1-.6*.5^.2) * fmean(1/1.75, 1/2.5)
+    #   vs "a cat sat" (second): cat+sat match (the~a never matches),
+    #     1 chunk, m 2; wp = 1.5/(.25+.75+.75), wr = 1.5/(.25+.75+.75)
+    #     s2 = (1-.6*.5^.2) * fmean(6/7, 6/7)   [fmean(p,p) = p]
+    s1 = (1.0 - G * 0.5 ** B) * _fmean(1.0 / 1.75, 1.0 / 2.5)
+    s2 = (1.0 - G * 0.5 ** B) * (6.0 / 7.0)
+    assert s2 > s1  # the second reference wins
+    got = meteor_score("the cat sat", ["the cat ate fish", "a cat sat"])
+    assert got == pytest.approx(s2, abs=1e-12)
+    # order independence
+    got = meteor_score("the cat sat", ["a cat sat", "the cat ate fish"])
+    assert got == pytest.approx(s2, abs=1e-12)
+
+
+def test_norm_splits_trailing_punctuation():
+    # The reference drives the jar with ``-norm`` (meteor.py:17-19), which
+    # tokenizes punctuation: "mat." becomes ["mat", "."].
+    # hyp "The cat sat on the mat." vs ref "the cat sat on the mat":
+    #   hyp tokens: the cat sat on the mat .   (7; "." is content, .75)
+    #   6 exact matches, contiguous -> 1 chunk, m 6
+    #   wp = 3.0/(3.0+.75) = .8    wr = 3.0/3.0 = 1
+    got = _score("The cat sat on the mat.", "the cat sat on the mat")
+    expect = (1.0 - G * (1.0 / 6.0) ** B) * _fmean(0.8, 1.0)
+    assert got == pytest.approx(expect, abs=1e-12)
+
+
+def test_norm_keeps_intraword_apostrophe_and_hyphen():
+    # Contractions and compounds stay single tokens under -norm: if
+    # "don't" / "ice-cream" were split, both sides would still match
+    # perfectly but m would be 8, not 4 — the fragmentation penalty
+    # pins the tokenization.
+    got = _score("Don't STOP the ice-cream", "don't stop the ice-cream")
+    expect = 1.0 - G * (1.0 / 4.0) ** B
+    assert got == pytest.approx(expect, abs=1e-12)
+
+
+def test_norm_comma_breaks_chunk_contiguity():
+    # "cats, dogs" vs "cats dogs": the comma becomes its own (unmatched)
+    # token BETWEEN the matches, so hyp positions 0 and 2 are no longer
+    # adjacent -> 2 chunks over m = 2 -> frag 1 -> full gamma penalty.
+    # wp = 1.5/(.75+.75+.75) = 2/3   wr = 1.5/1.5 = 1
+    got = _score("cats, dogs", "cats dogs")
+    expect = (1.0 - G) * _fmean(2.0 / 3.0, 1.0)
+    assert got == pytest.approx(expect, abs=1e-12)
+
+
 def test_default_params_are_the_15_english_task():
     assert (DEFAULT_PARAMS.alpha, DEFAULT_PARAMS.beta, DEFAULT_PARAMS.gamma,
             DEFAULT_PARAMS.delta) == (A, B, G, D)

@@ -55,6 +55,19 @@ class Translator:
         vocab = load_json(path)
         return cls({k: int(v) for k, v in vocab["word_to_ix"].items()})
 
+    def to_json(self, path) -> None:
+        """Persist the vocab (the reference's ``dict_file`` role, so
+        ``eval.py``-style standalone evaluation can rebuild the exact
+        caption mapping). Serialized from ``ix_to_word``: lookups of
+        unseen words insert UNK-valued keys into the defaultdict, which
+        must not leak into the saved table."""
+        import json as _json
+        from pathlib import Path
+
+        words = {w: i for i, w in self.ix_to_word.items()
+                 if i != self.vocab_size}
+        Path(path).write_text(_json.dumps({"word_to_ix": words}))
+
     def __len__(self) -> int:
         return self.vocab_size
 

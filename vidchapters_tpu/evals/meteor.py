@@ -69,6 +69,30 @@ don now
 """.split())
 
 
+_PUNCT = frozenset("!\"#$%&'()*+,-./:;<=>?@[\\]^_`{|}~")
+
+
+def _normalize(text: str) -> List[str]:
+    """``-norm`` tokenization (the reference invokes the jar with
+    ``-l en -norm``, dvc_eval/pycocoevalcap/meteor/meteor.py:17-19):
+    lowercase, split punctuation off as separate tokens, collapse
+    whitespace. Intra-word apostrophes and hyphens stay attached
+    ("don't", "ice-cream"), matching the jar normalizer's contraction/
+    compound handling; exotic unicode punctuation replacement is not
+    reproduced (inputs in this stack are PTB-pretokenized anyway)."""
+    text = text.lower()
+    out: List[str] = []
+    n = len(text)
+    for i, ch in enumerate(text):
+        if ch in _PUNCT:
+            intra = (ch in "'-" and 0 < i < n - 1
+                     and text[i - 1].isalnum() and text[i + 1].isalnum())
+            out.append(ch if intra else f" {ch} ")
+        else:
+            out.append(ch)
+    return "".join(out).split()
+
+
 def _stem(word: str) -> str:
     return _STEMMER.stem(word) if _STEMMER is not None else word
 
@@ -267,8 +291,8 @@ def _segment_stats(hyp_str: str, ref_str: str,
                    synonym_table: Optional[Mapping[str, frozenset]] = None
                    ) -> _Stats:
     pr = params or DEFAULT_PARAMS
-    hyp = hyp_str.lower().split()
-    ref = ref_str.lower().split()
+    hyp = _normalize(hyp_str)
+    ref = _normalize(ref_str)
     st = _Stats()
     st.wp_den = sum(_word_weight(w, pr) for w in hyp)
     st.wr_den = sum(_word_weight(w, pr) for w in ref)

@@ -90,6 +90,10 @@ def main(train_json: str, val_json: str, features_path, cfg: PDVCConfig,
     params = model.init({"params": rng}, jnp.asarray(first["video"]),
                         jnp.asarray(first["video_mask"]),
                         method=model.init_all)["params"]
+    # persist the caption vocab (the reference's dict_file role) so
+    # eval_main can rebuild the exact word<->id mapping standalone
+    Path(save_dir).mkdir(parents=True, exist_ok=True)
+    translator.to_json(Path(save_dir) / "translator.json")
 
     steps_per_epoch = max(len(train_ds) // batch_size, 1)
     tx = build_pdvc_optimizer(lr=lr, lr_drop_step=lr_drop_epochs,
@@ -157,6 +161,83 @@ def main(train_json: str, val_json: str, features_path, cfg: PDVCConfig,
     return final_metrics
 
 
+def fake_test_caption_file(meta_csv: str, out_path: str) -> str:
+    """Unlabeled-video smoke GT (PDVC/eval.py:28-35
+    ``create_fake_test_caption_file``): one dummy [0, 0.5] "None" event per
+    video from a metadata CSV with ``filename`` / ``video-duration``
+    columns, so a checkpoint can run proposal+caption inference on videos
+    that have no annotations."""
+    import csv
+    import os
+
+    out = {}
+    with open(meta_csv, newline="") as f:
+        for row in csv.DictReader(f):
+            vid = os.path.basename(row["filename"]).split(".")[0]
+            out[vid] = {"duration": float(row["video-duration"]),
+                        "timestamps": [[0, 0.5]], "sentences": ["None"]}
+    Path(out_path).write_text(json.dumps(out))
+    return out_path
+
+
+def eval_main(load_dir: str, eval_json: str, features_path, cfg: PDVCConfig,
+              save_dir: Optional[str] = None, batch_size: int = 2,
+              max_events: int = 10,
+              translator: Optional[Translator] = None,
+              test_mode: bool = False, alpha: float = 0.3,
+              which: str = "best") -> Dict[str, float]:
+    """Standalone checkpoint evaluation (PDVC/eval.py:37-117): restore the
+    saved params, run inference + reranking over ``eval_json``, write the
+    submission json, and score it — unless ``test_mode`` (unlabeled videos
+    against a fake single-event GT, eval.py:93-97 ``skip_lang_eval``)."""
+    from vidchapters_tpu.runtime.checkpoint import CheckpointManager
+
+    load_path = Path(load_dir)
+    if translator is None:
+        tpath = load_path / "translator.json"
+        if not tpath.exists():
+            raise FileNotFoundError(
+                f"{tpath} not found — training now writes it; pass "
+                "translator= explicitly for older checkpoints")
+        translator = Translator.from_json(tpath)
+    val_ds = PDVCDataset(eval_json, features_path, translator, cfg,
+                         max_events=max_events)
+
+    model = PDVC(cfg)
+    first = pdvc_collate([val_ds[0]])
+    params = model.init({"params": jax.random.PRNGKey(0)},
+                        jnp.asarray(first["video"]),
+                        jnp.asarray(first["video_mask"]),
+                        method=model.init_all)["params"]
+    ckpt = CheckpointManager(str(load_path))
+    name = which if ckpt.has(which) else "last"
+    if not ckpt.has(name):
+        raise FileNotFoundError(f"no '{which}' or 'last' checkpoint "
+                                f"in {load_dir}")
+    (params,) = ckpt.restore(name, (params,))
+    epoch = int(ckpt.meta(name).get("epoch", -1))
+    print(f"loaded PDVC '{name}' checkpoint (epoch {epoch}) "
+          f"from {load_dir}")
+
+    infer = make_pdvc_infer(model, cfg)
+
+    def val_batches():
+        for s in range(0, len(val_ds), batch_size):
+            yield pdvc_collate([val_ds[i] for i in
+                                range(s, min(s + batch_size, len(val_ds)))])
+
+    results, metrics = evaluate_pdvc(
+        infer, params, val_batches(), translator, alpha=alpha,
+        references=None if test_mode else [eval_json])
+    out_dir = Path(save_dir or load_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    out_name = ("dvc_results.json" if test_mode
+                else f"eval_epoch{epoch}_num{len(val_ds)}_alpha{alpha}.json")
+    (out_dir / out_name).write_text(json.dumps({"results": results}))
+    print(f"saved results json to {out_dir / out_name}")
+    return metrics
+
+
 if __name__ == "__main__":  # PDVC train.py CLI equivalent
     import argparse
     import json as _json
@@ -179,6 +260,18 @@ if __name__ == "__main__":  # PDVC train.py CLI equivalent
     p.add_argument("--lr-drop-epochs", type=int, default=8)
     p.add_argument("--max-events", type=int, default=10)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--eval", action="store_true",
+                   help="standalone checkpoint evaluation (PDVC/eval.py): "
+                        "no training, score --val-json with the checkpoint "
+                        "in --load")
+    p.add_argument("--load", default=None,
+                   help="checkpoint dir for --eval (a --save-dir from "
+                        "training; restores 'best', falling back to 'last')")
+    p.add_argument("--test-meta-csv", default=None,
+                   help="eval_mode=test (PDVC/eval.py:28-35): run inference "
+                        "on unlabeled videos listed in this metadata CSV "
+                        "(filename / video-duration columns) against a fake "
+                        "single-event GT; skips metric scoring")
     pre, _ = p.parse_known_args()
     recipe = {}
     if pre.recipe:
@@ -194,7 +287,10 @@ if __name__ == "__main__":  # PDVC train.py CLI equivalent
             train_json=da.get("train_json"), val_json=da.get("val_json"),
             features_path=da.get("features_path"))
     a = p.parse_args()
-    for req in ("train_json", "val_json", "features_path"):
+    required = (("val_json", "features_path") if a.eval and not a.test_meta_csv
+                else ("features_path",) if a.eval
+                else ("train_json", "val_json", "features_path"))
+    for req in required:
         if getattr(a, req) is None:
             p.error(f"--{req.replace('_', '-')} required (flag or recipe)")
     if recipe.get("model"):
@@ -203,8 +299,21 @@ if __name__ == "__main__":  # PDVC train.py CLI equivalent
         cfg = dataclasses.replace(PDVCConfig(), **recipe["model"])
     else:
         cfg = load_config(PDVCConfig, a.config) if a.config else PDVCConfig()
-    print(_json.dumps(main(a.train_json, a.val_json, a.features_path, cfg,
-                           a.save_dir, n_epochs=a.epochs,
-                           batch_size=a.batch_size, lr=a.lr,
-                           lr_drop_epochs=a.lr_drop_epochs,
-                           max_events=a.max_events, seed=a.seed)))
+    if a.eval:
+        if not a.load:
+            p.error("--eval requires --load <checkpoint dir>")
+        eval_json = a.val_json
+        if a.test_meta_csv:
+            Path(a.save_dir).mkdir(parents=True, exist_ok=True)
+            eval_json = fake_test_caption_file(
+                a.test_meta_csv, str(Path(a.save_dir) / ".fake_test.json"))
+        print(_json.dumps(eval_main(
+            a.load, eval_json, a.features_path, cfg, save_dir=a.save_dir,
+            batch_size=a.batch_size, max_events=a.max_events,
+            test_mode=bool(a.test_meta_csv))))
+    else:
+        print(_json.dumps(main(a.train_json, a.val_json, a.features_path, cfg,
+                               a.save_dir, n_epochs=a.epochs,
+                               batch_size=a.batch_size, lr=a.lr,
+                               lr_drop_epochs=a.lr_drop_epochs,
+                               max_events=a.max_events, seed=a.seed)))
