@@ -138,3 +138,34 @@ def test_eval_dvc_2018_version():
     # no navigation metrics in the 2018 scorer
     assert not any(k.endswith("s") and k.startswith("Recall@") for k in out)
     assert "CIDEr" in out
+
+
+def test_soda_c_perfect_submission_ceiling_is_meteor_fragmentation():
+    """The SODA_c ceiling for a PERFECT submission is set by METEOR's
+    fragmentation penalty, not 1.0: an identical L-word caption scores
+    1 - gamma*(1/L)^beta (0.5184 at L=3), and that literal is exactly the
+    per-video F when every event matches with IoU 1. This is the round-5
+    diagnosis of the overfit record's soda_c=0.506 vs F1=100/CIDEr=729
+    (OVERFIT_TPU.json soda_c_ceiling; tpu_overfit.py docstring)."""
+    gt = {"v": {"duration": 90.0,
+                "timestamps": [[0.0, 30.0], [30.0, 62.0], [62.0, 90.0]],
+                "sentences": ["prepping the pasta", "pasta close up",
+                              "final pasta reveal"]}}
+    sub = {"results": {"v": [
+        {"sentence": s, "timestamp": ts}
+        for s, ts in zip(gt["v"]["sentences"], gt["v"]["timestamps"])]}}
+    ceiling = 1.0 - 0.6 * (1.0 / 3.0) ** 0.2  # identical 3-word METEOR
+    out = eval_soda(sub, [gt])
+    assert out["soda_c"] == pytest.approx(ceiling, abs=1e-9)
+    # longer identical captions asymptote toward (1 - gamma): the ceiling
+    # is a property of caption LENGTH, so real chapter titles (~5+ words)
+    # sit higher
+    gt7 = {"v": {"duration": 90.0, "timestamps": [[0.0, 90.0]],
+                 "sentences": ["seven distinct words fill this caption "
+                               "nicely"]}}
+    sub7 = {"results": {"v": [{"sentence": gt7["v"]["sentences"][0],
+                               "timestamp": [0.0, 90.0]}]}}
+    ceiling7 = 1.0 - 0.6 * (1.0 / 7.0) ** 0.2
+    assert eval_soda(sub7, [gt7])["soda_c"] == pytest.approx(
+        ceiling7, abs=1e-9)
+    assert ceiling7 > ceiling

@@ -21,6 +21,20 @@ loss 21.47 -> 3.34 total (generative 11.06 -> 1.412 vs floor 1.357;
 denoising bounded by the stochastic span masks), CIDEr 729, SODA_c 50.6,
 F1 100.
 
+Why SODA_c sits at ~0.52 even for a PERFECT submission (round-5
+diagnosis, reproduced on CPU by scoring the GT against itself): SODA's
+per-pair similarity is METEOR, whose fragmentation penalty caps an
+IDENTICAL L-word caption at 1 - gamma*(1/L)^beta — 0.5184 for the
+3-word synthetic captions here (test_eval_dvc_soda.py pins this
+equality). The reference time quantization int(99*t/duration) further
+shaves mean event IoU to 0.996, and SODA-c multiplies IoU into the
+similarity, giving an achievable ceiling of 0.5163 on this dataset.
+The hardware record's 0.506 is 98.0% of that ceiling — the factor-of-2
+"gap" vs F1=100/CIDEr=729 is entirely the metric definitions (F1 is
+threshold-based, CIDEr has no fragmentation penalty), not a decode or
+eval defect. The record emits ``soda_c_ceiling`` so this is
+self-explaining.
+
 Runtime on one v5e through the axon tunnel: ~25-40 min TRAIN compile in
 the default unrolled layout, or ~1 min with --scan (scan_layers+remat —
 same math, much smaller HLO) + minutes of eval-decode compiles + a few
@@ -179,6 +193,22 @@ def main() -> None:
     V = model_cfg.t5.vocab_size
     p_t, p_o = 1.0 - eps + eps / V, eps / V
     floor = -(p_t * np.log(p_t) + (V - 1) * p_o * np.log(p_o))
+    # achievable SODA_c ceiling on THIS dataset: score the GT against
+    # itself with the reference time quantization applied (SODA-c's
+    # per-pair METEOR penalizes fragmentation even on identical captions
+    # — see the module docstring)
+    from vidchapters_tpu.evals.soda import eval_soda
+
+    ann = json.load(open(ann_path))
+    quant_sub = {"results": {
+        vid: [{"sentence": s,
+               "timestamp": [int(99 * t0 / a["duration"]) / 99
+                             * a["duration"],
+                             int(99 * t1 / a["duration"]) / 99
+                             * a["duration"]]}
+              for s, (t0, t1) in zip(a["sentences"], a["timestamps"])]
+        for vid, a in ann.items()}}
+    soda_ceiling = eval_soda(quant_sub, [ann_path])["soda_c"]
     out = {
         "metric": "tpu_overfit_recipe_scale",
         "loss_first_epoch": round(losses[0], 4) if losses else None,
@@ -188,6 +218,7 @@ def main() -> None:
         "label_smoothing_floor": round(float(floor), 4),
         "cider": round(float(metrics.get("chapters_CIDEr", 0.0)), 4),
         "soda_c": round(float(metrics.get("chapters_soda_c", 0.0)), 4),
+        "soda_c_ceiling": round(float(soda_ceiling), 4),
         "f1": round(float(metrics.get("chapters_F1", 0.0)), 4),
         "epochs": epochs,
         "videos": args.videos,
