@@ -90,7 +90,8 @@ def align_segments(model, params, tokenizer, audio, segments) -> dict:
 
 
 def jax_transcribe(audio_path: str, model_name: str = "large-v2",
-                   vad: bool = False, align: bool = False) -> dict:
+                   vad: bool = False, align: bool = False,
+                   language: str | None = None) -> dict:
     """TPU-native path: HF weights -> JAX Whisper -> chunked decode."""
     from transformers import WhisperTokenizer
 
@@ -102,8 +103,10 @@ def jax_transcribe(audio_path: str, model_name: str = "large-v2",
                else f"openai/whisper-{model_name}")
     model, params = load_hf_whisper(hf_name)
     tok = WhisperTokenizer.from_pretrained(hf_name)
+    # language=None auto-detects per video (openai-whisper semantics,
+    # the reference demo's behavior via model.transcribe)
     tr = JaxWhisperTranscriber(model, params, decode_tokens=tok.decode,
-                               vad=vad)
+                               vad=vad, language=language)
     audio = load_audio(audio_path)
     out = tr.transcribe(audio)
     segments = [{"text": t, "start": s, "end": e}
@@ -119,7 +122,8 @@ def jax_transcribe(audio_path: str, model_name: str = "large-v2",
 
 def transcribe(video_path: str, model_name: str = "large-v2",
                device: str = "cpu", backend: str = "jax",
-               vad: bool = False, align: bool = False) -> dict:
+               vad: bool = False, align: bool = False,
+               language: str | None = None) -> dict:
     if backend == "whisperx":
         import whisper
         import whisperx
@@ -135,7 +139,8 @@ def transcribe(video_path: str, model_name: str = "large-v2",
 
         return make_hf_whisper_transcribe(f"openai/whisper-{model_name}",
                                           device)(video_path)
-    return jax_transcribe(video_path, model_name, vad=vad, align=align)
+    return jax_transcribe(video_path, model_name, vad=vad, align=align,
+                          language=language)
 
 
 def main(args=None) -> None:
@@ -152,9 +157,13 @@ def main(args=None) -> None:
     p.add_argument("--align", action="store_true",
                    help="word-level timings via cross-attention DTW (the "
                         "whisperx.align step of the reference demo)")
+    p.add_argument("--language", default=None,
+                   help="pin the spoken language code (e.g. en); default "
+                        "auto-detects per video like the reference's bare "
+                        "model.transcribe")
     a = p.parse_args(args)
     result = transcribe(a.video_path, a.model, a.device, a.backend,
-                        vad=a.vad, align=a.align)
+                        vad=a.vad, align=a.align, language=a.language)
     save_pickle(result, a.out)
     print(f"wrote {a.out} ({len(result['segments'])} segments)")
 
