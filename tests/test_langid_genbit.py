@@ -4,7 +4,7 @@ langdetect/genbit are not installable in this environment, so the agreement
 fixture is held-out text per language (different register and vocabulary
 from the seed corpora langid trains on at import): the detector must
 classify every one correctly, which a lexicon heuristic cannot do across
-20 languages/6 scripts. GenBit checks pin the metric semantics:
+30 languages/10 scripts (incl. the hard da/no/sv and fa/ar pairs). GenBit checks pin the metric semantics:
 definition-word percentages, co-occurrence bias direction, distance
 weighting, and the percentile frequency cutoff.
 """
@@ -56,6 +56,25 @@ HELD_OUT = {
     "ja": "政府は昨日新しい対策を発表しましたが、国の北部地域では大雨が続いています",
     "ko": "정부는 어제 새로운 조치를 발표했으며 나라의 북부 지역에서는 폭우가 계속되고 있습니다",
     "zh": "政府昨天宣布了新的措施，而该国北部地区的暴雨仍在继续",
+    "ro": "guvernul a anunțat ieri noi măsuri în timp ce ploile puternice "
+          "au continuat în regiunile din nordul țării",
+    "hu": "a kormány tegnap új intézkedéseket jelentett be miközben az "
+          "ország északi részein tovább esett a heves eső",
+    "fi": "hallitus ilmoitti eilen uusista toimista kun rankkasateet "
+          "jatkuivat maan pohjoisosissa",
+    "da": "regeringen meddelte i går nye tiltag mens kraftig regn "
+          "fortsatte i de nordlige dele af landet",
+    "no": "regjeringen kunngjorde i går nye tiltak mens kraftig regn "
+          "fortsatte i de nordlige delene av landet",
+    "el": "η κυβέρνηση ανακοίνωσε χθες νέα μέτρα ενώ οι ισχυρές βροχές "
+          "συνεχίστηκαν στις βόρειες περιοχές της χώρας",
+    "he": "הממשלה הודיעה אתמול על צעדים חדשים בעוד גשם כבד נמשך באזורים "
+          "הצפוניים של המדינה",
+    "fa": "دولت دیروز اقدامات جدیدی را اعلام کرد در حالی که باران شدید در "
+          "مناطق شمالی کشور ادامه داشت",
+    "th": "รัฐบาลประกาศมาตรการใหม่เมื่อวานนี้ขณะที่ฝนตกหนักยังคงดำเนินต่อไปในภาคเหนือของประเทศ",
+    "bn": "সরকার গতকাল নতুন পদক্ষেপ ঘোষণা করেছে যখন দেশের উত্তরাঞ্চলে ভারী "
+          "বৃষ্টি অব্যাহত ছিল",
 }
 
 
@@ -305,6 +324,127 @@ HELD_OUT_MULTI = {
         "说实话我没想到是那个结局我们笑得太大声邻居隔着墙肯定都听见了",
         "呃对其实你只要按一下这里这个小按钮就行了",
         "好的嗯我们看看也许现在加一点盐和胡椒",
+    ],
+    # round-5 additions (langid grew 20 -> 30 languages)
+    "ro": [
+        HELD_OUT["ro"],
+        "toacă ceapa mărunt și călește-o în ulei de măsline până se rumenește apoi adaugă usturoiul și mai amestecă un minut",
+        "ea a lovit un rever câștigător de-a lungul liniei iar publicul s-a ridicat în picioare când ultimul set s-a încheiat",
+        "repornește telefonul deschide meniul de setări și instalează cea mai nouă actualizare înainte să conectezi imprimanta",
+        "trenul spre orașul vechi pleacă de la peronul nouă iar un bilet dus-întors costă cam cincisprezece euro de persoană",
+        "medicul meu mi-a recomandat să beau mai multă apă să dorm opt ore și să fac o plimbare scurtă în fiecare zi",
+        "prețurile au crescut din nou în acest trimestru în timp ce banca centrală a menținut dobânzile neschimbate în ciuda inflației",
+        "sincer nu mă așteptam la finalul ăsta am râs atât de tare încât probabil ne-au auzit vecinii prin perete",
+        "ăă da păi practic doar apeși pe butonașul ăsta de aici",
+        "bine hai să vedem poate mai punem acum puțină sare și piper",
+    ],
+    "hu": [
+        HELD_OUT["hu"],
+        "vágd apróra a hagymát és pirítsd olívaolajban aranybarnára majd add hozzá a fokhagymát és kevergesd még egy percig",
+        "a lány fonák nyerőt ütött a vonal mentén és a közönség felállt amikor az utolsó szett véget ért",
+        "indítsd újra a telefonod nyisd meg a beállítások menüt és telepítsd a legújabb frissítést mielőtt csatlakoztatod a nyomtatót",
+        "a vonat az óvárosba a kilencedik vágányról indul és egy menettérti jegy fejenként körülbelül tizenöt euróba kerül",
+        "az orvosom azt javasolta hogy igyak több vizet aludjak nyolc órát és sétáljak egy rövidet minden nap",
+        "az árak ebben a negyedévben ismét emelkedtek miközben a jegybank az infláció ellenére változatlanul hagyta a kamatokat",
+        "őszintén szólva nem számítottam erre a befejezésre annyira nevettünk hogy a szomszédok biztos áthallották a falon",
+        "hát igen szóval igazából csak megnyomod ezt a kis gombot itt",
+        "oké lássuk csak talán most hozzáadunk egy kis sót meg borsot",
+    ],
+    "fi": [
+        HELD_OUT["fi"],
+        "pilko sipulit hienoksi ja paista niitä oliiviöljyssä kunnes ne ovat kullanruskeita lisää sitten valkosipuli ja sekoita vielä minuutti",
+        "hän löi voittavan rystylyönnin linjaa pitkin ja yleisö nousi seisomaan kun viimeinen erä päättyi",
+        "käynnistä puhelimesi uudelleen avaa asetusvalikko ja asenna uusin päivitys ennen kuin yhdistät tulostimen",
+        "juna vanhaan kaupunkiin lähtee raiteelta yhdeksän ja menopaluulippu maksaa noin viisitoista euroa hengeltä",
+        "lääkärini suositteli juomaan enemmän vettä nukkumaan kahdeksan tuntia ja kävelemään lyhyen lenkin joka päivä",
+        "hinnat nousivat jälleen tällä neljänneksellä kun keskuspankki piti korot ennallaan inflaatiosta huolimatta",
+        "rehellisesti sanottuna en odottanut tuollaista loppua nauroimme niin kovaa että naapurit varmaan kuulivat seinän läpi",
+        "öö joo eli periaatteessa painat vaan tätä pientä nappia tässä",
+        "okei no katsotaan ehkä lisätään nyt vähän suolaa ja pippuria",
+    ],
+    "da": [
+        HELD_OUT["da"],
+        "hak løgene fint og steg dem i olivenolie til de er gyldne tilsæt så hvidløget og rør i et minut mere",
+        "hun slog en baghåndsvinder langs linjen og publikum rejste sig da sidste sæt var slut",
+        "genstart din telefon åbn indstillingsmenuen og installer den nyeste opdatering før du tilslutter printeren",
+        "toget til den gamle bydel kører fra spor ni og en returbillet koster omkring femten euro pr person",
+        "min læge anbefalede mig at drikke mere vand sove otte timer og gå en kort tur hver eneste dag",
+        "priserne steg igen i dette kvartal mens centralbanken holdt renten uændret trods stigende inflation",
+        "helt ærligt havde jeg ikke regnet med den slutning vi grinede så højt at naboerne sikkert kunne høre os gennem væggen",
+        "øh ja altså du trykker bare på den her lille knap her",
+        "okay øhm lad os se måske tilsætter vi lidt salt og peber nu",
+    ],
+    "no": [
+        HELD_OUT["no"],
+        "hakk løken fint og stek den i olivenolje til den er gyllen tilsett deretter hvitløken og rør i ett minutt til",
+        "hun slo en vinnende backhand langs linjen og publikum reiste seg da siste sett var over",
+        "start telefonen på nytt åpne innstillingsmenyen og installer den nyeste oppdateringen før du kobler til skriveren",
+        "toget til gamlebyen går fra spor ni og en returbillett koster omtrent femten euro per person",
+        "legen min anbefalte meg å drikke mer vann sove åtte timer og gå en kort tur hver eneste dag",
+        "prisene steg igjen dette kvartalet mens sentralbanken holdt renten uendret til tross for økende inflasjon",
+        "helt ærlig hadde jeg ikke ventet den slutten vi lo så høyt at naboene sikkert hørte oss gjennom veggen",
+        "eh ja altså du trykker bare på denne lille knappen her",
+        "ok ehm la oss se kanskje vi tilsetter litt salt og pepper nå",
+    ],
+    "el": [
+        HELD_OUT["el"],
+        "ψιλοκόψτε τα κρεμμύδια και σοτάρετέ τα σε ελαιόλαδο μέχρι να ροδίσουν μετά προσθέστε το σκόρδο και ανακατέψτε άλλο ένα λεπτό",
+        "χτύπησε ένα νικητήριο ρεβέρ παράλληλα στη γραμμή και το κοινό σηκώθηκε όρθιο όταν τελείωσε το τελευταίο σετ",
+        "επανεκκίνησε το τηλέφωνό σου άνοιξε το μενού ρυθμίσεων και εγκατάστησε την τελευταία ενημέρωση πριν συνδέσεις τον εκτυπωτή",
+        "το τρένο για την παλιά πόλη φεύγει από την αποβάθρα εννέα και ένα εισιτήριο με επιστροφή κοστίζει περίπου δεκαπέντε ευρώ το άτομο",
+        "ο γιατρός μου μού συνέστησε να πίνω περισσότερο νερό να κοιμάμαι οκτώ ώρες και να κάνω έναν μικρό περίπατο κάθε μέρα",
+        "οι τιμές ανέβηκαν ξανά αυτό το τρίμηνο ενώ η κεντρική τράπεζα κράτησε τα επιτόκια αμετάβλητα παρά τον πληθωρισμό",
+        "ειλικρινά δεν περίμενα αυτό το τέλος γελάσαμε τόσο δυνατά που μάλλον μας άκουσαν οι γείτονες μέσα από τον τοίχο",
+        "ε ναι βασικά απλώς πατάς αυτό το κουμπάκι εδώ",
+        "εντάξει για να δούμε ίσως προσθέσουμε λίγο αλάτι και πιπέρι τώρα",
+    ],
+    "he": [
+        HELD_OUT["he"],
+        "קוצצים את הבצל דק ומטגנים בשמן זית עד להזהבה ואז מוסיפים את השום ומערבבים עוד דקה",
+        "היא חבטה מכת יד אחורית מנצחת לאורך הקו והקהל קם על רגליו כשהמערכה האחרונה הסתיימה",
+        "הפעל מחדש את הטלפון פתח את תפריט ההגדרות והתקן את העדכון האחרון לפני שאתה מחבר את המדפסת",
+        "הרכבת לעיר העתיקה יוצאת מרציף תשע וכרטיס הלוך ושוב עולה בערך חמישה עשר אירו לאדם",
+        "הרופא שלי המליץ לשתות יותר מים לישון שמונה שעות וללכת הליכה קצרה כל יום",
+        "המחירים עלו שוב ברבעון הזה בעוד הבנק המרכזי השאיר את הריבית ללא שינוי למרות האינפלציה",
+        "בכנות לא ציפיתי לסוף הזה צחקנו כל כך חזק שהשכנים בטח שמעו אותנו דרך הקיר",
+        "אה כן בעצם אתה פשוט לוחץ על הכפתור הקטן הזה כאן",
+        "אוקיי בוא נראה אולי נוסיף עכשיו קצת מלח ופלפל",
+    ],
+    "fa": [
+        HELD_OUT["fa"],
+        "پیازها را ریز خرد کنید و در روغن زیتون تفت دهید تا طلایی شوند سپس سیر را اضافه کنید و یک دقیقه دیگر هم بزنید",
+        "او یک بک‌هند برنده در امتداد خط زد و تماشاگران وقتی ست آخر تمام شد از جا بلند شدند",
+        "گوشی خود را دوباره راه‌اندازی کنید منوی تنظیمات را باز کنید و آخرین به‌روزرسانی را نصب کنید پیش از آنکه چاپگر را وصل کنید",
+        "قطار به شهر قدیمی از سکوی نه حرکت می‌کند و بلیت رفت و برگشت برای هر نفر حدود پانزده یورو است",
+        "پزشکم توصیه کرد آب بیشتری بنوشم هشت ساعت بخوابم و هر روز پیاده‌روی کوتاهی داشته باشم",
+        "قیمت‌ها در این فصل دوباره بالا رفتند در حالی که بانک مرکزی با وجود تورم نرخ بهره را بدون تغییر نگه داشت",
+        "راستش انتظار چنین پایانی را نداشتم آنقدر بلند خندیدیم که همسایه‌ها حتما از پشت دیوار صدایمان را شنیدند",
+        "اوم آره خب در واقع فقط همین دکمه کوچک را اینجا فشار می‌دهی",
+        "خب ببینیم شاید حالا کمی نمک و فلفل اضافه کنیم",
+    ],
+    "th": [
+        HELD_OUT["th"],
+        "หั่นหอมใหญ่ให้ละเอียดแล้วผัดในน้ำมันมะกอกจนเป็นสีทองจากนั้นใส่กระเทียมแล้วคนต่ออีกหนึ่งนาที",
+        "เธอตีแบ็คแฮนด์ชนะไปตามเส้นและผู้ชมลุกขึ้นยืนเมื่อเซตสุดท้ายจบลง",
+        "รีสตาร์ทโทรศัพท์ของคุณเปิดเมนูการตั้งค่าแล้วติดตั้งอัปเดตล่าสุดก่อนเชื่อมต่อเครื่องพิมพ์",
+        "รถไฟไปเมืองเก่าออกจากชานชาลาเก้าและตั๋วไปกลับราคาประมาณสิบห้ายูโรต่อคน",
+        "หมอแนะนำให้ฉันดื่มน้ำมากขึ้นนอนแปดชั่วโมงและเดินเล่นสั้นๆทุกวัน",
+        "ราคาสินค้าเพิ่มขึ้นอีกครั้งในไตรมาสนี้ขณะที่ธนาคารกลางคงอัตราดอกเบี้ยไว้แม้เงินเฟ้อจะสูงขึ้น",
+        "พูดตรงๆฉันไม่คิดว่าจะจบแบบนั้นเราหัวเราะกันดังมากจนเพื่อนบ้านคงได้ยินผ่านกำแพง",
+        "เอ่อใช่ก็แค่กดปุ่มเล็กๆตรงนี้",
+        "โอเคลองดูบางทีตอนนี้เราอาจจะเติมเกลือกับพริกไทยอีกนิด",
+    ],
+    "bn": [
+        HELD_OUT["bn"],
+        "পেঁয়াজ মিহি করে কেটে জলপাই তেলে সোনালি হওয়া পর্যন্ত ভাজুন তারপর রসুন দিয়ে আরও এক মিনিট নাড়ুন",
+        "সে লাইন বরাবর একটি জয়সূচক ব্যাকহ্যান্ড মারল এবং শেষ সেট শেষ হলে দর্শকরা উঠে দাঁড়াল",
+        "আপনার ফোনটি পুনরায় চালু করুন সেটিংস মেনু খুলুন এবং প্রিন্টার সংযোগ করার আগে সর্বশেষ আপডেট ইনস্টল করুন",
+        "পুরনো শহরে যাওয়ার ট্রেনটি নয় নম্বর প্ল্যাটফর্ম থেকে ছাড়ে এবং যাওয়া-আসার টিকিটের দাম জনপ্রতি প্রায় পনের ইউরো",
+        "আমার ডাক্তার আমাকে বেশি পানি খেতে আট ঘণ্টা ঘুমাতে এবং প্রতিদিন একটু হাঁটতে বলেছেন",
+        "এই প্রান্তিকে দাম আবার বেড়েছে যদিও কেন্দ্রীয় ব্যাংক মূল্যস্ফীতি সত্ত্বেও সুদের হার অপরিবর্তিত রেখেছে",
+        "সত্যি বলতে আমি এমন সমাপ্তি আশা করিনি আমরা এত জোরে হেসেছিলাম যে প্রতিবেশীরা নিশ্চয়ই দেয়ালের ওপাশ থেকে শুনেছে",
+        "আঁ হ্যাঁ মানে আসলে তুমি শুধু এখানে এই ছোট্ট বোতামটা চাপো",
+        "আচ্ছা দেখি হয়তো এখন একটু লবণ আর গোলমরিচ দেব",
     ],
 }
 

@@ -10,8 +10,10 @@ per-n-gram multinomial log-likelihood with additive smoothing, normalized
 per n-gram so text length cancels.
 
 Covers the language families the VidChapters-7M paper reports (English plus
-the major European/Asian ASR languages). Profiles are deterministic (no
-langdetect-style random sampling), so detection is reproducible.
+the major European/Asian ASR languages; 30 languages over 10 scripts as of
+round 5, incl. the hard da/no/sv and fa/ar pairs). Profiles are
+deterministic (no langdetect-style random sampling), so detection is
+reproducible.
 """
 
 from __future__ import annotations
@@ -34,7 +36,21 @@ _SEED_TEXT: Dict[str, str] = {
            "after months of talks. the home team scored twice in the "
            "second half to win the match. our flight leaves early in the "
            "morning so we should pack our bags tonight and check in "
-           "online before we go to the airport."),
+           "online before we go to the airport. in a moment it costs "
+           "nothing to get into the museum, so we can go inside and look "
+           "at the exhibition. can you buy two kilos of potatoes and "
+           "some meat at the butcher on the square while you are in town "
+           "anyway. my watch broke last month and now i have to find a "
+           "new one at a reasonable price. it takes about twenty minutes "
+           "to walk down to the beach and the trip is well worth it on a "
+           "warm summer day. my computer starts slowly so i clean up the "
+           "hard drive and delete the old files. it is the best time to "
+           "travel because there are the fewest tourists and prices are "
+           "at their lowest. winter will be cold this year they say on "
+           "the radio and maybe snow will arrive as early as november. "
+           "remember to update the app on your phone and press the "
+           "button below to subscribe; you will find the settings in the "
+           "menu at the top right."),
     "es": ("en este vídeo vamos a enseñarte cómo hacer pan en casa. gracias "
            "por ver el vídeo y no olvides suscribirte al canal. hoy vamos a "
            "hablar de la historia del mundo y de las personas que lo "
@@ -49,7 +65,22 @@ _SEED_TEXT: Dict[str, str] = {
            "bueno pues vale ahora sí vamos a ver esto un poquito más de "
            "cerca aquí abajo. deberías beber mucha agua y descansar bien "
            "cada noche me dice siempre mi abuela. sí claro también "
-           "podemos añadir algo de azúcar si os gusta más dulce."),
+           "podemos añadir algo de azúcar si os gusta más dulce. dentro "
+           "de un momento la entrada al museo será gratuita, así que "
+           "podremos entrar y ver la exposición. puedes comprar dos "
+           "kilos de patatas y un poco de carne en la carnicería de la "
+           "plaza ya que estás en la ciudad de todos modos. mi reloj se "
+           "rompió el mes pasado y ahora tengo que encontrar uno nuevo a "
+           "un precio razonable. se tarda unos veinte minutos en bajar "
+           "andando a la playa y el paseo merece la pena en un día "
+           "caluroso de verano. mi ordenador arranca lento así que "
+           "limpio el disco duro y borro los archivos viejos. es la "
+           "mejor época para viajar porque hay menos turistas y los "
+           "precios están más bajos. el invierno será frío este año "
+           "dicen en la radio y puede que la nieve llegue ya en "
+           "noviembre. acuérdate de actualizar la aplicación en tu "
+           "móvil y pulsa el botón de abajo para suscribirte; "
+           "encontrarás los ajustes en el menú arriba a la derecha."),
     "fr": ("dans cette vidéo nous allons vous montrer comment faire du pain "
            "à la maison. merci d'avoir regardé et n'oubliez pas de vous "
            "abonner à la chaîne. aujourd'hui nous allons parler de "
@@ -60,7 +91,23 @@ _SEED_TEXT: Dict[str, str] = {
            "après des mois de négociations. l'équipe locale a marqué deux "
            "buts en seconde période et a gagné le match. notre vol part "
            "tôt le matin donc il faut faire les valises ce soir avant "
-           "d'aller à l'aéroport."),
+           "d'aller à l'aéroport. dans un instant l'entrée du musée sera "
+           "gratuite, donc nous pourrons entrer et regarder l'exposition. "
+           "peux-tu acheter deux kilos de pommes de terre et un peu de "
+           "viande chez le boucher sur la place puisque tu es en ville "
+           "de toute façon. ma montre s'est cassée le mois dernier et "
+           "maintenant je dois en trouver une nouvelle à un prix "
+           "raisonnable. il faut environ vingt minutes pour descendre à "
+           "la plage à pied et la promenade en vaut la peine par une "
+           "chaude journée d'été. mon ordinateur démarre lentement alors "
+           "je nettoie le disque dur et je supprime les vieux fichiers. "
+           "c'est la meilleure période pour voyager car il y a le moins "
+           "de touristes et les prix sont au plus bas. l'hiver sera "
+           "froid cette année disent-ils à la radio et la neige arrivera "
+           "peut-être dès novembre. pense à mettre à jour l'application "
+           "sur ton téléphone et appuie sur le bouton ci-dessous pour "
+           "t'abonner ; tu trouveras les réglages dans le menu en haut "
+           "à droite."),
     "de": ("in diesem video zeigen wir dir, wie man zu hause brot backt. "
            "danke fürs zuschauen und vergiss nicht, den kanal zu "
            "abonnieren. heute sprechen wir über die geschichte der welt und "
@@ -71,7 +118,23 @@ _SEED_TEXT: Dict[str, str] = {
            "abkommen nach monatelangen verhandlungen. die heimmannschaft "
            "erzielte in der zweiten halbzeit zwei tore und gewann das "
            "spiel. unser flug geht früh am morgen, also sollten wir heute "
-           "abend packen, bevor wir zum flughafen fahren."),
+           "abend packen, bevor wir zum flughafen fahren. gleich kostet "
+           "es nichts mehr ins museum zu kommen, also können wir "
+           "hineingehen und uns die ausstellung ansehen. kannst du zwei "
+           "kilo kartoffeln und etwas fleisch beim metzger am markt "
+           "kaufen, wenn du sowieso in der stadt bist. meine uhr ist "
+           "letzten monat kaputt gegangen und jetzt muss ich eine neue "
+           "zu einem vernünftigen preis finden. es dauert ungefähr "
+           "zwanzig minuten zum strand hinunterzugehen und der ausflug "
+           "lohnt sich an einem warmen sommertag. mein computer startet "
+           "langsam also räume ich die festplatte auf und lösche die "
+           "alten dateien. es ist die beste reisezeit denn es gibt die "
+           "wenigsten touristen und die preise sind am niedrigsten. der "
+           "winter wird dieses jahr kalt sagen sie im radio und "
+           "vielleicht kommt schon im november schnee. denk daran die "
+           "app auf deinem handy zu aktualisieren und drücke den knopf "
+           "unten um zu abonnieren; die einstellungen findest du im "
+           "menü oben rechts."),
     "pt": ("neste vídeo vamos mostrar como fazer pão em casa. obrigado por "
            "assistir e não se esqueça de se inscrever no canal. hoje vamos "
            "falar sobre a história do mundo e as pessoas que a mudaram. "
@@ -86,7 +149,21 @@ _SEED_TEXT: Dict[str, str] = {
            "confirmaram o acordo após meses de negociações. o time da "
            "casa marcou dois gols no segundo tempo e venceu a partida. "
            "nosso voo sai cedo de manhã, então devemos arrumar as malas "
-           "hoje à noite antes de ir ao aeroporto."),
+           "hoje à noite antes de ir ao aeroporto. daqui a pouco a "
+           "entrada no museu será gratuita, então poderemos entrar e ver "
+           "a exposição. você pode comprar dois quilos de batatas e um "
+           "pouco de carne no açougue da praça já que está na cidade de "
+           "qualquer forma. meu relógio quebrou no mês passado e agora "
+           "preciso encontrar um novo por um preço razoável. leva cerca "
+           "de vinte minutos para descer a pé até a praia e o passeio "
+           "vale a pena num dia quente de verão. meu computador liga "
+           "devagar então eu limpo o disco rígido e apago os arquivos "
+           "antigos. é a melhor época para viajar porque há menos "
+           "turistas e os preços estão mais baixos. o inverno será frio "
+           "este ano dizem no rádio e talvez a neve chegue já em "
+           "novembro. lembre-se de atualizar o aplicativo no seu celular "
+           "e aperte o botão abaixo para se inscrever; você encontra as "
+           "configurações no menu no canto superior direito."),
     "it": ("in questo video vi mostreremo come fare il pane a casa. grazie "
            "per aver guardato e non dimenticate di iscrivervi al canale. "
            "oggi parleremo della storia del mondo e delle persone che "
@@ -97,7 +174,22 @@ _SEED_TEXT: Dict[str, str] = {
            "l'accordo dopo mesi di trattative. la squadra di casa ha "
            "segnato due gol nel secondo tempo e ha vinto la partita. il "
            "nostro volo parte presto la mattina quindi dobbiamo fare le "
-           "valigie stasera prima di andare all'aeroporto."),
+           "valigie stasera prima di andare all'aeroporto. tra poco "
+           "l'ingresso al museo sarà gratuito, quindi potremo entrare e "
+           "vedere la mostra. puoi comprare due chili di patate e un po' "
+           "di carne dal macellaio in piazza visto che sei comunque in "
+           "città. il mio orologio si è rotto il mese scorso e adesso "
+           "devo trovarne uno nuovo a un prezzo ragionevole. ci vogliono "
+           "circa venti minuti per scendere a piedi alla spiaggia e la "
+           "passeggiata ne vale la pena in una calda giornata d'estate. "
+           "il mio computer si avvia lentamente quindi pulisco il disco "
+           "e cancello i vecchi file. è il periodo migliore per "
+           "viaggiare perché ci sono meno turisti e i prezzi sono più "
+           "bassi. l'inverno sarà freddo quest'anno dicono alla radio e "
+           "forse la neve arriverà già a novembre. ricordati di "
+           "aggiornare l'applicazione sul telefono e premi il pulsante "
+           "qui sotto per iscriverti; troverai le impostazioni nel menu "
+           "in alto a destra."),
     "nl": ("in deze video laten we je zien hoe je thuis brood bakt. bedankt "
            "voor het kijken en vergeet niet je te abonneren op het kanaal. "
            "vandaag praten we over de geschiedenis van de wereld en de "
@@ -108,7 +200,22 @@ _SEED_TEXT: Dict[str, str] = {
            "na maanden van onderhandelingen. de thuisploeg scoorde twee "
            "keer in de tweede helft en won de wedstrijd. onze vlucht "
            "vertrekt vroeg in de ochtend dus we moeten vanavond inpakken "
-           "voordat we naar het vliegveld gaan."),
+           "voordat we naar het vliegveld gaan. zo meteen kost het niets "
+           "om het museum binnen te komen, dus we kunnen naar binnen "
+           "gaan en de tentoonstelling bekijken. kun je twee kilo "
+           "aardappelen en wat vlees kopen bij de slager op het plein "
+           "als je toch in de stad bent. mijn horloge ging vorige maand "
+           "kapot en nu moet ik een nieuwe vinden voor een redelijke "
+           "prijs. het duurt ongeveer twintig minuten om naar het strand "
+           "te lopen en het uitje is het helemaal waard op een warme "
+           "zomerdag. mijn computer start langzaam dus ik ruim de harde "
+           "schijf op en verwijder de oude bestanden. het is de beste "
+           "tijd om te reizen want er zijn de minste toeristen en de "
+           "prijzen zijn het laagst. de winter wordt koud dit jaar "
+           "zeggen ze op de radio en misschien valt er al sneeuw in "
+           "november. vergeet niet de app op je telefoon bij te werken "
+           "en druk op de knop hieronder om je te abonneren; de "
+           "instellingen vind je in het menu rechtsboven."),
     "sv": ("i den här videon visar vi dig hur man bakar bröd hemma. tack "
            "för att du tittade och glöm inte att prenumerera på kanalen. "
            "idag ska vi prata om världens historia och människorna som "
@@ -118,7 +225,29 @@ _SEED_TEXT: Dict[str, str] = {
            "kväll: tjänstemännen bekräftade avtalet efter månader av "
            "förhandlingar. hemmalaget gjorde två mål i andra halvlek och "
            "vann matchen. vårt flyg avgår tidigt på morgonen så vi borde "
-           "packa väskorna i kväll innan vi åker till flygplatsen."),
+           "packa väskorna i kväll innan vi åker till flygplatsen. och nu "
+           "ska vi titta närmare på hur det fungerar i praktiken. jag "
+           "tycker att det är väldigt viktigt att man inte glömmer bort "
+           "att vila mellan passen. under veckan kommer vädret att växla "
+           "mellan sol och regn, och på torsdag blir det blåsigt längs "
+           "kusten. han sade att de skulle åka till stugan över helgen "
+           "för att fiska och plocka svamp. priserna på el har stigit "
+           "kraftigt i södra sverige den här vintern. många människor "
+           "väljer att cykla till jobbet eftersom det både är billigare "
+           "och bättre för miljön. om en stund kostar det ingenting att "
+           "komma in på museet, så vi kan gå in och titta på "
+           "utställningen. kan du köpa två kilo potatis och lite kött "
+           "hos slaktaren på torget när du ändå är i stan. min klocka "
+           "gick sönder förra månaden och nu måste jag hitta en ny till "
+           "ett rimligt pris. det tar ungefär tjugo minuter att gå ner "
+           "till stranden och turen är väl värd det en varm sommardag. "
+           "min dator startar långsamt så jag rensar hårddisken och tar "
+           "bort de gamla filerna. det är den bästa tiden att resa, för "
+           "då är det minst turister och priserna är som lägst. vintern "
+           "blir kall i år, säger de i radion, och det kommer kanske "
+           "snö redan i november. tryck på knappen nedanför för att "
+           "prenumerera, och glöm inte att uppdatera appen i "
+           "inställningarna uppe till höger."),
     "pl": ("w tym filmie pokażemy wam, jak upiec chleb w domu. dziękujemy "
            "za oglądanie i nie zapomnijcie zasubskrybować kanału. dzisiaj "
            "porozmawiamy o historii świata i ludziach, którzy ją zmienili. "
@@ -229,6 +358,151 @@ _SEED_TEXT: Dict[str, str] = {
            "今晚的最新消息，经过数月的谈判，官员们确认了协议。"
            "主队在下半场打进两球，赢得了比赛。"
            "我们的航班明天一早起飞，所以今晚去机场之前应该收拾好行李。"),
+    "ro": ("în acest videoclip vă vom arăta cum să faceți pâine acasă. "
+           "mulțumim pentru vizionare și nu uitați să vă abonați la canal. "
+           "astăzi vom vorbi despre istoria lumii și despre oamenii care au "
+           "schimbat-o. bine ați revenit, aceasta este a doua parte a "
+           "tutorialului. mai întâi trebuie să amestecăm făina cu apa și "
+           "apoi să frământăm aluatul timp de zece minute până devine "
+           "neted. ultimele știri din această seară: oficialii au "
+           "confirmat acordul după luni de negocieri. echipa gazdă a "
+           "marcat două goluri în repriza a doua și a câștigat meciul. "
+           "zborul nostru pleacă dimineața devreme, așa că ar trebui să ne "
+           "facem bagajele în seara asta înainte să mergem la aeroport."),
+    "hu": ("ebben a videóban megmutatjuk, hogyan süthetsz kenyeret otthon. "
+           "köszönjük, hogy megnézted, és ne felejts el feliratkozni a "
+           "csatornára. ma a világ történelméről fogunk beszélni és azokról "
+           "az emberekről, akik megváltoztatták. üdvözlünk újra mindenkit, "
+           "ez az útmutató második része. először össze kell kevernünk a "
+           "lisztet a vízzel, majd tíz percig dagasztjuk a tésztát, amíg "
+           "sima nem lesz. friss hírek ma este: a tisztviselők hónapokig "
+           "tartó tárgyalások után megerősítették a megállapodást. a hazai "
+           "csapat két gólt szerzett a második félidőben és megnyerte a "
+           "meccset. a gépünk kora reggel indul, ezért ma este össze "
+           "kellene csomagolnunk, mielőtt kimegyünk a repülőtérre."),
+    "fi": ("tässä videossa näytämme, miten leipä leivotaan kotona. kiitos "
+           "katsomisesta, äläkä unohda tilata kanavaa. tänään puhumme "
+           "maailman historiasta ja ihmisistä, jotka muuttivat sitä. "
+           "tervetuloa takaisin kaikki, tämä on opetusohjelman toinen osa. "
+           "ensin meidän täytyy sekoittaa jauhot veteen ja sitten vaivata "
+           "taikinaa kymmenen minuuttia, kunnes se on sileää. illan "
+           "tuoreimmat uutiset: viranomaiset vahvistivat sopimuksen "
+           "kuukausien neuvottelujen jälkeen. kotijoukkue teki kaksi "
+           "maalia toisella puoliajalla ja voitti ottelun. lentomme "
+           "lähtee aikaisin aamulla, joten meidän pitäisi pakata laukut "
+           "tänä iltana ennen kuin lähdemme lentokentälle."),
+    "da": ("i denne video viser vi jer, hvordan man bager brød derhjemme. "
+           "tak fordi i så med, og glem ikke at abonnere på kanalen. i dag "
+           "skal vi tale om verdens historie og de mennesker, der ændrede "
+           "den. velkommen tilbage allesammen, det her er anden del af "
+           "vejledningen. først skal vi blande melet med vandet og "
+           "derefter ælte dejen i ti minutter, indtil den er glat. sidste "
+           "nyt i aften: embedsmændene bekræftede aftalen efter måneders "
+           "forhandlinger. hjemmeholdet scorede to mål i anden halvleg og "
+           "vandt kampen. vores fly afgår tidligt om morgenen, så vi bør "
+           "pakke kufferterne i aften, inden vi tager ud til lufthavnen. "
+           "hvad synes du selv, skal vi prøve igen i næste uge efter "
+           "arbejde, eller venter vi til om søndagen hos mig. og nu skal "
+           "vi kigge nærmere på hvordan det fungerer i praksis. jeg "
+           "synes at det er meget vigtigt at man ikke glemmer at hvile "
+           "mellem øvelserne. i løbet af ugen veksler vejret mellem sol "
+           "og regn, og torsdag bliver det blæsende langs kysten. han "
+           "sagde at de ville tage ud til sommerhuset i weekenden for at "
+           "fiske og samle svampe. priserne på el er steget kraftigt i "
+           "det sydlige danmark denne vinter. mange mennesker vælger at "
+           "cykle på arbejde fordi det både er billigere og bedre for "
+           "miljøet. om lidt koster det ikke noget at komme ind på "
+           "museet, så vi kan gå derind og kigge på udstillingen. kan du "
+           "købe to kilo kartofler og lidt kød hos slagteren på torvet, "
+           "når du alligevel er i byen. mit ur gik i stykker i sidste "
+           "måned, og nu skal jeg finde et nyt til en fornuftig pris. "
+           "det tager cirka tyve minutter at gå ned til stranden, og "
+           "turen er det hele værd en varm sommerdag. min computer "
+           "starter langsomt, så jeg rydder op på harddisken og sletter "
+           "de gamle filer. det er det bedste tidspunkt at rejse på, for "
+           "der er færrest turister og priserne er lavest. vinteren "
+           "bliver kold i år, siger de i radioen, og der kommer måske "
+           "sne allerede i november. husk at opdatere appen på din "
+           "telefon, og tryk på knappen nedenunder for at abonnere; "
+           "indstillingerne finder du i menuen øverst til højre."),
+    "no": ("i denne videoen viser vi dere hvordan man baker brød hjemme. "
+           "takk for at dere så på, og ikke glem å abonnere på kanalen. i "
+           "dag skal vi snakke om verdens historie og menneskene som "
+           "forandret den. velkommen tilbake alle sammen, dette er andre "
+           "del av veiledningen. først må vi blande melet med vannet og "
+           "deretter elte deigen i ti minutter til den er glatt. siste "
+           "nytt i kveld: tjenestemennene bekreftet avtalen etter måneder "
+           "med forhandlinger. hjemmelaget scoret to mål i andre omgang "
+           "og vant kampen. flyet vårt drar tidlig om morgenen, så vi "
+           "burde pakke koffertene i kveld før vi drar til flyplassen. "
+           "hva synes du selv, skal vi prøve igjen neste uke etter jobb, "
+           "eller venter vi til søndag hjemme hos meg. og nå skal vi se "
+           "nærmere på hvordan det fungerer i praksis. jeg synes det er "
+           "veldig viktig at man ikke glemmer å hvile mellom øktene. i "
+           "løpet av uken veksler været mellom sol og regn, og torsdag "
+           "blir det mye vind langs kysten. han sa at de skulle dra på "
+           "hytta i helgen for å fiske og plukke sopp. strømprisene har "
+           "steget kraftig i sør-norge denne vinteren. mange velger å "
+           "sykle til jobben fordi det både er billigere og bedre for "
+           "miljøet. om litt koster det ingenting å komme inn på museet, "
+           "så vi kan gå inn og se på utstillingen. kan du kjøpe to kilo "
+           "poteter og litt kjøtt hos slakteren på torget når du likevel "
+           "er i byen. klokka mi gikk i stykker forrige måned, og nå må "
+           "jeg finne en ny til en fornuftig pris. det tar omtrent tjue "
+           "minutter å gå ned til stranden, og turen er vel verdt det en "
+           "varm sommerdag. datamaskinen min starter sakte, så jeg "
+           "rydder opp på harddisken og sletter de gamle filene. det er "
+           "den beste tiden å reise på, for da er det færrest turister "
+           "og prisene er lavest. vinteren blir kald i år, sier de på "
+           "radioen, og det kommer kanskje snø allerede i november. husk "
+           "å oppdatere appen på telefonen din, og trykk på knappen "
+           "nedenfor for å abonnere; innstillingene finner du i menyen "
+           "øverst til høyre."),
+    "el": ("σε αυτό το βίντεο θα σας δείξουμε πώς να φτιάξετε ψωμί στο "
+           "σπίτι. ευχαριστούμε που παρακολουθήσατε και μην ξεχάσετε να "
+           "κάνετε εγγραφή στο κανάλι. σήμερα θα μιλήσουμε για την ιστορία "
+           "του κόσμου και τους ανθρώπους που την άλλαξαν. καλώς ήρθατε "
+           "ξανά, αυτό είναι το δεύτερο μέρος του οδηγού. πρώτα πρέπει να "
+           "ανακατέψουμε το αλεύρι με το νερό και μετά να ζυμώσουμε τη "
+           "ζύμη για δέκα λεπτά. τελευταία νέα απόψε: οι αξιωματούχοι "
+           "επιβεβαίωσαν τη συμφωνία μετά από μήνες διαπραγματεύσεων. η "
+           "γηπεδούχος ομάδα σκόραρε δύο γκολ στο δεύτερο ημίχρονο και "
+           "κέρδισε τον αγώνα. η πτήση μας φεύγει νωρίς το πρωί, οπότε θα "
+           "πρέπει να ετοιμάσουμε τις βαλίτσες απόψε πριν πάμε στο "
+           "αεροδρόμιο."),
+    "he": ("בסרטון הזה נראה לכם איך להכין לחם בבית. תודה שצפיתם ואל תשכחו "
+           "להירשם לערוץ. היום נדבר על ההיסטוריה של העולם ועל האנשים "
+           "ששינו אותה. ברוכים השבים כולם, זה החלק השני של המדריך. קודם "
+           "צריך לערבב את הקמח עם המים ואז ללוש את הבצק עשר דקות עד "
+           "שהוא חלק. חדשות אחרונות הערב: הפקידים אישרו את ההסכם אחרי "
+           "חודשים של משא ומתן. הקבוצה המארחת כבשה שני שערים במחצית "
+           "השנייה וניצחה במשחק. הטיסה שלנו יוצאת מוקדם בבוקר, אז כדאי "
+           "שנארוז את המזוודות הערב לפני שניסע לשדה התעופה."),
+    "fa": ("در این ویدیو به شما نشان می‌دهیم که چگونه در خانه نان بپزید. "
+           "ممنون که تماشا کردید و فراموش نکنید که در کانال عضو شوید. "
+           "امروز درباره تاریخ جهان و مردمی که آن را تغییر دادند صحبت "
+           "خواهیم کرد. خوش آمدید، این قسمت دوم آموزش است. ابتدا باید آرد "
+           "را با آب مخلوط کنیم و سپس خمیر را ده دقیقه ورز دهیم تا صاف "
+           "شود. آخرین خبرهای امشب: مقامات پس از ماه‌ها مذاکره توافق را "
+           "تأیید کردند. تیم میزبان در نیمه دوم دو گل زد و بازی را برد. "
+           "پرواز ما صبح زود حرکت می‌کند، بنابراین باید امشب چمدان‌ها را "
+           "ببندیم پیش از اینکه به فرودگاه برویم."),
+    "th": ("ในวิดีโอนี้เราจะแสดงให้คุณดูว่าทำขนมปังที่บ้านอย่างไร "
+           "ขอบคุณที่รับชมและอย่าลืมกดติดตามช่องของเรา "
+           "วันนี้เราจะพูดถึงประวัติศาสตร์ของโลกและผู้คนที่เปลี่ยนแปลงมัน "
+           "ยินดีต้อนรับกลับมาทุกคน นี่คือส่วนที่สองของบทเรียน "
+           "ก่อนอื่นเราต้องผสมแป้งกับน้ำแล้วนวดแป้งสิบนาทีจนเนียน "
+           "ข่าวล่าสุดคืนนี้ เจ้าหน้าที่ยืนยันข้อตกลงหลังจากการเจรจานานหลายเดือน "
+           "ทีมเจ้าบ้านยิงสองประตูในครึ่งหลังและชนะการแข่งขัน "
+           "เที่ยวบินของเราออกแต่เช้า ดังนั้นเราควรเก็บกระเป๋าคืนนี้ก่อนไปสนามบิน"),
+    "bn": ("এই ভিডিওতে আমরা আপনাকে দেখাব কীভাবে বাড়িতে রুটি বানাতে হয়। "
+           "দেখার জন্য ধন্যবাদ এবং চ্যানেলটি সাবস্ক্রাইব করতে ভুলবেন না। "
+           "আজ আমরা বিশ্বের ইতিহাস এবং যারা এটি বদলে দিয়েছেন তাদের নিয়ে কথা বলব। "
+           "আবার স্বাগতম সবাইকে, এটি টিউটোরিয়ালের দ্বিতীয় অংশ। "
+           "প্রথমে আমাদের ময়দার সঙ্গে পানি মেশাতে হবে এবং তারপর দশ মিনিট ধরে খামির মাখতে হবে। "
+           "আজ রাতের সর্বশেষ খবর: কয়েক মাসের আলোচনার পর কর্মকর্তারা চুক্তিটি নিশ্চিত করেছেন। "
+           "স্বাগতিক দল দ্বিতীয়ার্ধে দুটি গোল করে ম্যাচটি জিতেছে। "
+           "আমাদের ফ্লাইট খুব ভোরে ছাড়ে, তাই বিমানবন্দরে যাওয়ার আগে আজ রাতেই ব্যাগ গুছিয়ে নেওয়া উচিত।"),
 }
 
 _NGRAM_RANGE = (1, 2, 3)
@@ -254,7 +528,12 @@ _PROFILES: Dict[str, _Profile] = {
     lang: _Profile(text) for lang, text in _SEED_TEXT.items()
 }
 _VOCAB_SIZE = len(set().union(*[p.counts for p in _PROFILES.values()]))
-_SMOOTH = 0.5
+# Jelinek-Mercer interpolation weight: p(g|lang) mixes the profile's
+# n-gram FREQUENCY with a uniform floor. Frequencies (not raw counts)
+# keep the model invariant to seed-corpus length — additive smoothing
+# with the global vocab in the denominator made longer seeds win on any
+# shared gram once the 30-language union vocab dwarfed profile totals.
+_LAMBDA = 0.98
 
 
 def detect_langs(text: str, top_k: int = 3) -> List[Tuple[str, float]]:
@@ -266,10 +545,11 @@ def detect_langs(text: str, top_k: int = 3) -> List[Tuple[str, float]]:
     grams = _ngrams(text)
     if not grams or not text.strip():
         return []
+    floor = (1.0 - _LAMBDA) / _VOCAB_SIZE
     scores: Dict[str, float] = {}
     for lang, prof in _PROFILES.items():
-        denom = prof.total + _SMOOTH * _VOCAB_SIZE
-        ll = sum(math.log((prof.counts.get(g, 0) + _SMOOTH) / denom)
+        ll = sum(math.log(_LAMBDA * prof.counts.get(g, 0) / prof.total
+                          + floor)
                  for g in grams)
         scores[lang] = ll / len(grams)
     # softmax over per-gram average log-likelihoods
