@@ -205,21 +205,33 @@ def _rules_ab(model, params, a) -> None:
     audios = [rng.normal(0, 0.05, secs * SAMPLE_RATE).astype(np.float32)
               for _ in range(a.batch)]
 
-    def run(rules: bool, detect: bool) -> float:
-        tr = JaxWhisperTranscriber(
+    def make(rules: bool, detect: bool):
+        return JaxWhisperTranscriber(
             model, params, max_decode_len=a.steps,
             language=None if detect else "en", timestamp_rules=rules,
             beam_size=a.beam if a.beam > 1 else None,
             temperatures=(0.0,), compression_ratio_threshold=None,
             logprob_threshold=None, no_speech_threshold=None)
-        tr.transcribe_batch(audios)  # compile
+
+    def timed(tr) -> float:
+        tr.transcribe_batch(audios)  # compile (or warm)
         t0 = time.perf_counter()
         tr.transcribe_batch(audios)
         return time.perf_counter() - t0
 
-    base = run(False, False)
-    rules = run(True, False)
-    full = run(True, True)
+    from vidchapters_tpu.factory.whisper_transcribe import (
+        language_token_for,
+    )
+
+    # language is runtime DATA (the SOT prefix is a program input), so the
+    # full and rules-only arms share one compiled decode program — only two
+    # big remote compiles instead of three (the tunnel drops ~15-min-plus
+    # compile RPCs; see BENCH_NOTES round 5)
+    tr_full = make(rules=True, detect=True)
+    full = timed(tr_full)
+    tr_full.language_token = language_token_for("en")  # pin -> no detect
+    rules = timed(tr_full)
+    base = timed(make(rules=False, detect=False))
     total = a.batch * secs
     print(json.dumps({
         "metric": "whisper_rules_detect_ab_audio_seconds_per_sec",

@@ -340,6 +340,33 @@ class JaxWhisperTranscriber:
                 jax.nn.log_softmax(logits, axis=-1), nxt[:, None], -1)[:, 0]
             return nxt, logp
 
+        def _prefix_scan(cache, tokens):
+            # feed the forced prefix through the cache as a lax.scan: ONE
+            # step-kernel instance in the program instead of p_len unrolled
+            # copies (each unrolled megakernel instance is a separate
+            # Mosaic compile at large-v2 scale; the unrolled form pushed
+            # transcriber compiles past the remote-compile tunnel's
+            # patience). Returns (cache, last-step logits f32, no_speech).
+            batch, p_len = tokens.shape
+
+            def body(carry, i):
+                cache, no_speech, _ = carry
+                logits, cache = fns.step(tokens[:, i], cache, i, None)
+                logits = logits.astype(jnp.float32)
+                # whisper DecodingTask: P(<|nospeech|>) at the SOT step —
+                # SOT sits 3 from the end of the prefix ([..prompt..],
+                # SOT, lang, task), with or without conditioning
+                if NO_SPEECH < vocab:
+                    ns = jax.nn.softmax(logits, axis=-1)[:, NO_SPEECH]
+                    no_speech = jnp.where(i == p_len - 3, ns, no_speech)
+                return (cache, no_speech, logits), ()
+
+            init = (cache, jnp.zeros((batch,), jnp.float32),
+                    jnp.zeros((batch, vocab), jnp.float32))
+            (cache, no_speech, logits), _ = jax.lax.scan(
+                body, init, jnp.arange(p_len))
+            return cache, logits, no_speech
+
         def _decode(params, enc, prefix, temperature, rng):
             # run the forced prefix through the cache, then continue decoding;
             # returns (sequence, sum_logprob, n_generated, no_speech_prob)
@@ -347,17 +374,7 @@ class JaxWhisperTranscriber:
             cache = fns.init_cache(batch, enc)
             tokens = prefix  # [B, P]
             p_len = tokens.shape[1]
-            no_speech = jnp.zeros((batch,), jnp.float32)
-            for i in range(p_len):
-                logits, cache = fns.step(tokens[:, i], cache, jnp.asarray(i),
-                                         None)
-                # whisper DecodingTask: P(<|nospeech|>) at the SOT step —
-                # SOT sits 3 from the end of the prefix ([..prompt..], SOT,
-                # lang, task), so this holds with or without conditioning
-                if i == p_len - 3:
-                    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
-                    no_speech = probs[:, NO_SPEECH] if NO_SPEECH < vocab \
-                        else jnp.zeros((batch,), jnp.float32)
+            cache, logits, no_speech = _prefix_scan(cache, tokens)
             ts0 = _ts_init(batch)
             cur, logp0 = _pick(logits, rng, temperature,
                                ts0 if use_rules else None, is_first=True)
@@ -410,15 +427,8 @@ class JaxWhisperTranscriber:
             cache = fns.init_cache(b * K, enc)
             tok_k = jnp.repeat(prefix, K, axis=0)
             p_len = prefix.shape[1]
-            no_speech = jnp.zeros((b,), jnp.float32)
-            for i in range(p_len):
-                logits, cache = fns.step(tok_k[:, i], cache, jnp.asarray(i),
-                                         None)
-                if i == p_len - 3:
-                    probs = jax.nn.softmax(logits.astype(jnp.float32), -1)
-                    no_speech = (probs.reshape(b, K, -1)[:, 0, NO_SPEECH]
-                                 if NO_SPEECH < vocab
-                                 else jnp.zeros((b,), jnp.float32))
+            cache, logits, ns_k = _prefix_scan(cache, tok_k)
+            no_speech = ns_k.reshape(b, K)[:, 0]
             lg = (logits + suppress_j).astype(jnp.float32)
             if use_rules:
                 lg = _ts_rules(lg, _ts_init(b * K), True)
