@@ -139,6 +139,27 @@ def test_translator_roundtrip():
     assert tr.word_to_ix["jumped"] == tr.vocab_size  # unknown
     text = tr.rtranslate(ids[1:])
     assert text.startswith("the dog")
+    # UNK is a real last vocab entry (reference build_vocab.py:52), so no
+    # word's reverse mapping is shadowed — incl. the one at the last id
+    assert tr.ix_to_word[tr.word_to_ix["fast"]] == "fast"
+    assert tr.ix_to_word[tr.unk_id] == "UNK"
+
+
+def test_translator_json_roundtrip(tmp_path):
+    tr = Translator.build(["a b c", "a b", "a"])
+    tr.translate("unseen words accrete in the defaultdict", max_len=16)
+    path = tmp_path / "translator.json"
+    tr.to_json(path)
+    tr2 = Translator.from_json(str(path))
+    # exact mapping round trip: every id decodes to the same word, incl.
+    # the highest-id word (previously clobbered by the UNK shadow) and
+    # none of the accreted unknown lookups leak in
+    assert tr2.vocab_size == tr.vocab_size
+    assert tr2.ix_to_word == tr.ix_to_word
+    for w in ("a", "b", "c"):
+        assert tr2.word_to_ix[w] == tr.word_to_ix[w]
+    assert "unseen" not in tr2.ix_to_word.values()
+    assert tr2.rtranslate([tr2.word_to_ix["c"]]) == "c."
 
 
 def test_pdvc_dataset(tmp_path):

@@ -91,10 +91,10 @@ def test_transcriber_vad_skips_silent_windows(monkeypatch):
         n_calls = 0
         orig = tr._decode_window
 
-        def counting(mel, window_index=0, prompt_tokens=None):
+        def counting(mel, window_index=0, prompt_tokens=None, **kw):
             nonlocal n_calls
             n_calls += 1
-            return orig(mel, window_index, prompt_tokens)
+            return orig(mel, window_index, prompt_tokens, **kw)
 
         tr._decode_window = counting
         tr.transcribe(audio)

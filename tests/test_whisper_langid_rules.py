@@ -157,6 +157,61 @@ def test_run_batched_asr_pickles_have_language(tmp_path):
         assert result["language"] in WHISPER_LANGUAGES
 
 
+@pytest.mark.slow
+def test_detection_encode_is_reused():
+    """Auto-detect must not add an encoder pass: detection's window-0
+    encoding is reused by the first decode window, so encoder calls equal
+    decode calls (not decode + 1) in both single and batched paths."""
+    rng = np.random.default_rng(3)
+    audio = rng.normal(0, 0.05, 16000 * 5).astype(np.float32)
+
+    def instrument(tr):
+        enc_calls, dec_calls = [], []
+        orig_enc, orig_dec = tr._encode, tr._decode
+
+        def counting_enc(params, mels):
+            enc_calls.append(1)
+            return orig_enc(params, mels)
+
+        def counting_dec(*args):
+            dec_calls.append(1)
+            return orig_dec(*args)
+
+        tr._encode, tr._decode = counting_enc, counting_dec
+        return enc_calls, dec_calls
+
+    tr = _tiny_transcriber(temperatures=(0.0,))  # one decode per window
+    enc_calls, dec_calls = instrument(tr)
+    out = tr.transcribe(audio)
+    assert out["language"] in WHISPER_LANGUAGES  # detection really ran
+    assert len(dec_calls) >= 1
+    assert len(enc_calls) == len(dec_calls)
+
+    tr2 = _tiny_transcriber(temperatures=(0.0,))
+    enc_calls2, dec_calls2 = instrument(tr2)
+    outs = tr2.transcribe_batch([audio, np.zeros(16000 * 4, np.float32)])
+    assert all(o["language"] in WHISPER_LANGUAGES for o in outs)
+    assert len(enc_calls2) == len(dec_calls2)
+
+
+def test_detect_language_without_language_tokens_raises():
+    """Tiny/custom vocabs below LANG_BEGIN have no language tokens; the
+    public API must say so instead of crashing with a bare TypeError."""
+    from vidchapters_tpu.models.whisper import Whisper, WhisperConfig
+
+    cfg = WhisperConfig(vocab_size=256, num_mel_bins=80, d_model=32,
+                        encoder_layers=1, decoder_layers=1, num_heads=4,
+                        d_ff=64, max_source_positions=1500,
+                        max_target_positions=16, dtype="float32")
+    model = Whisper(cfg)
+    params = model.init({"params": jax.random.PRNGKey(0)},
+                        jnp.zeros((1, 80, 3000), jnp.float32),
+                        jnp.zeros((1, 4), jnp.int32))["params"]
+    tr = JaxWhisperTranscriber(model, params, max_decode_len=8)
+    with pytest.raises(ValueError, match="language tokens"):
+        tr.detect_language(np.zeros(16000, np.float32))
+
+
 # ---------------------------------------------------------------------------
 # timestamp rules
 # ---------------------------------------------------------------------------

@@ -34,19 +34,28 @@ def tokenize_caption(sentence: str) -> List[str]:
 
 
 class Translator:
-    """Word <-> id mapping; id 0 is BOS/EOS/pad, unknown -> vocab_size."""
+    """Word <-> id mapping; id 0 is BOS/EOS/pad, unknown -> the UNK entry.
+
+    Like the reference (PDVC/misc/build_vocab.py:52), ``build`` appends
+    "UNK" as a real last vocab entry, so the unknown-word fallback id
+    equals UNK's own id and no word's reverse mapping is shadowed."""
 
     def __init__(self, word_to_ix: Dict[str, int]):
         self.vocab_size = len(word_to_ix)
-        self.word_to_ix = defaultdict(lambda: self.vocab_size, word_to_ix)
+        # mappings constructed without an explicit UNK entry fall back to
+        # one id past the largest assigned id (never shadowing a word)
+        self.unk_id = word_to_ix.get(
+            "UNK", max(word_to_ix.values(), default=0) + 1)
+        self.word_to_ix = defaultdict(lambda: self.unk_id, word_to_ix)
         self.ix_to_word = {v: k for k, v in word_to_ix.items()}
-        self.ix_to_word[self.vocab_size] = "UNK"
+        self.ix_to_word.setdefault(self.unk_id, "UNK")
 
     @classmethod
     def build(cls, sentences: Sequence[str], min_count: int = 1,
               max_vocab: Optional[int] = None) -> "Translator":
         counts = Counter(w for s in sentences for w in tokenize_caption(s))
         words = [w for w, c in counts.most_common(max_vocab) if c >= min_count]
+        words.append("UNK")  # reference build_vocab.py:52
         # id 0 reserved for BOS/EOS
         return cls({w: i + 1 for i, w in enumerate(words)})
 
@@ -60,12 +69,12 @@ class Translator:
         ``eval.py``-style standalone evaluation can rebuild the exact
         caption mapping). Serialized from ``ix_to_word``: lookups of
         unseen words insert UNK-valued keys into the defaultdict, which
-        must not leak into the saved table."""
+        must not leak into the saved table; ``ix_to_word`` never
+        accretes, and UNK is a real entry, so the round trip is exact."""
         import json as _json
         from pathlib import Path
 
-        words = {w: i for i, w in self.ix_to_word.items()
-                 if i != self.vocab_size}
+        words = {w: i for i, w in self.ix_to_word.items()}
         Path(path).write_text(_json.dumps({"word_to_ix": words}))
 
     def __len__(self) -> int:

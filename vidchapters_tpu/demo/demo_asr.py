@@ -129,7 +129,8 @@ def transcribe(video_path: str, model_name: str = "large-v2",
         import whisperx
 
         model = whisper.load_model(model_name, device)
-        result = model.transcribe(video_path)
+        # language=None keeps openai-whisper's per-video auto-detection
+        result = model.transcribe(video_path, language=language)
         align_model, metadata = whisperx.load_align_model(
             language_code=result["language"], device=device)
         return whisperx.align(result["segments"], align_model, metadata,
@@ -138,7 +139,8 @@ def transcribe(video_path: str, model_name: str = "large-v2",
         from vidchapters_tpu.factory.asr import make_hf_whisper_transcribe
 
         return make_hf_whisper_transcribe(f"openai/whisper-{model_name}",
-                                          device)(video_path)
+                                          device,
+                                          language=language)(video_path)
     return jax_transcribe(video_path, model_name, vad=vad, align=align,
                           language=language)
 

@@ -17,7 +17,7 @@ from __future__ import annotations
 import os
 
 from pathlib import Path
-from typing import Callable, Dict, Iterable
+from typing import Callable, Dict, Iterable, Optional
 
 import numpy as np
 
@@ -101,15 +101,20 @@ def merge_and_process(asr_dir: str, out_path: str) -> Dict[str, dict]:
 
 
 def make_hf_whisper_transcribe(model_name: str = "openai/whisper-large-v2",
-                               device: str = "cpu") -> Callable[[str], dict]:
-    """Optional HF-whisper backend (requires model weights locally)."""
+                               device: str = "cpu",
+                               language: Optional[str] = None
+                               ) -> Callable[[str], dict]:
+    """Optional HF-whisper backend (requires model weights locally).
+    ``language`` pins the spoken language; None auto-detects."""
     from transformers import pipeline
 
     pipe = pipeline("automatic-speech-recognition", model=model_name,
                     device=device, return_timestamps=True)
+    kwargs = ({"generate_kwargs": {"language": language}}
+              if language else {})
 
     def transcribe(path: str) -> dict:
-        out = pipe(path)
+        out = pipe(path, **kwargs)
         return {"segments": [
             {"text": c["text"], "start": c["timestamp"][0],
              "end": c["timestamp"][1]}

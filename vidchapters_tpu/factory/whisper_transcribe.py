@@ -520,21 +520,37 @@ class JaxWhisperTranscriber:
         """Language of the first 30 s window -> (code, probability) —
         openai-whisper ``detect_language`` semantics (one decoder step at
         SOT, softmax over the 99 language tokens)."""
+        code, prob, _ = self._detect_first_window(audio)
+        return code, prob
+
+    def _detect_first_window(self, audio: np.ndarray
+                             ) -> Tuple[str, float, object]:
+        """(code, probability, window-0 encoding) — the encoding is handed
+        back so the first decode window can reuse it instead of running the
+        encoder twice on the same audio."""
+        if self._detect is None:
+            raise ValueError(
+                "model vocab has no language tokens (vocab_size <= "
+                f"{LANG_BEGIN}); pin language=/language_token= instead")
         jnp = self._jnp
         mel = log_mel_spectrogram(np.asarray(audio)[:N_SAMPLES])
         enc = self._encode(self.params, jnp.asarray(mel[None]))
         tok, prob = self._detect(self.params, enc)
-        return language_code_for(int(np.asarray(tok)[0])), \
-            float(np.asarray(prob)[0])
+        return (language_code_for(int(np.asarray(tok)[0])),
+                float(np.asarray(prob)[0]), enc)
 
-    def _resolve_language(self, audio: np.ndarray) -> int:
-        """Configured language token, or per-video detection when unset."""
+    def _resolve_language(self, audio: np.ndarray) -> Tuple[int, object]:
+        """(configured-or-detected language token, window-0 encoding).
+
+        The encoding is non-None only when detection ran; callers reuse it
+        for the first decode window (detection already paid that encoder
+        pass)."""
         if self.language_token is not None:
-            return self.language_token
+            return self.language_token, None
         if self._detect is None:  # tiny test vocab without language tokens
-            return LANG_EN
-        code, _ = self.detect_language(audio)
-        return language_token_for(code)
+            return LANG_EN, None
+        code, _, enc = self._detect_first_window(audio)
+        return language_token_for(code), enc
 
     def _prompt_prefix(self, prompt_tokens: Optional[List[int]],
                        lang_token: Optional[int] = None) -> List[int]:
@@ -552,18 +568,22 @@ class JaxWhisperTranscriber:
             slots[-len(tail):] = tail
         return slots + sot
 
-    def _decode_window(self, mel: np.ndarray, window_index: int = 0,
+    def _decode_window(self, mel: Optional[np.ndarray], window_index: int = 0,
                        prompt_tokens: Optional[List[int]] = None,
-                       lang_token: Optional[int] = None
+                       lang_token: Optional[int] = None,
+                       enc: Optional[object] = None
                        ) -> Tuple[List[int], float, float, float]:
         """Temperature-fallback decode of one 30 s window
         (openai-whisper ``transcribe`` decode_with_fallback).
 
-        Returns (tokens, avg_logprob, no_speech_prob, accepted_temp)."""
+        ``enc`` short-circuits the encoder (language detection already
+        encoded window 0). Returns (tokens, avg_logprob, no_speech_prob,
+        accepted_temp)."""
         import jax
 
         jnp = self._jnp
-        enc = self._encode(self.params, jnp.asarray(mel[None]))
+        if enc is None:
+            enc = self._encode(self.params, jnp.asarray(mel[None]))
         prefix_list = self._prompt_prefix(prompt_tokens, lang_token)
         prefix = jnp.asarray(np.asarray([prefix_list], np.int32))
         toks: List[int] = []
@@ -637,7 +657,7 @@ class JaxWhisperTranscriber:
         ``language=None``, matching the reference's per-video ASR pickle
         schema (whisper_inference.py:48 stores ``model.transcribe``'s
         result, whose ``language`` key whisper_align.py:30-41 groups on)."""
-        lang_token = self._resolve_language(audio)
+        lang_token, enc0 = self._resolve_language(audio)
         segments: List[dict] = []
         seek = 0
         window_index = 0
@@ -659,10 +679,12 @@ class JaxWhisperTranscriber:
             window = audio[seek: seek + N_SAMPLES]
             if len(window) < SAMPLE_RATE // 2:
                 break
-            mel = log_mel_spectrogram(window)
+            # window 0 was already encoded by language detection
+            reuse = enc0 if seek == 0 else None
+            mel = log_mel_spectrogram(window) if reuse is None else None
             tokens, avg_lp, no_speech, temp = self._decode_window(
                 mel, window_index, prompt_tokens=prompt,
-                lang_token=lang_token)
+                lang_token=lang_token, enc=reuse)
             window_index += 1
             # whisper transcribe.py: silent window unless the logprob says
             # there is actually confident content
@@ -737,6 +759,7 @@ class JaxWhisperTranscriber:
         window_index = 0
         # per-video language: configured, or ONE batched detect call over
         # every video's first window (whisper_inference.py:48 semantics)
+        enc0 = None
         if self.language_token is not None or self._detect is None:
             lang_tokens = [self.language_token
                            if self.language_token is not None else LANG_EN
@@ -772,12 +795,18 @@ class JaxWhisperTranscriber:
                             len(audios[i]))
             if not any(active(i) for i in range(n)):
                 break
-            mels = np.stack([
-                log_mel_spectrogram(audios[i][seeks[i]:seeks[i] + N_SAMPLES])
-                if active(i) else np.zeros((80, N_SAMPLES // HOP_LENGTH),
-                                           np.float32)
-                for i in range(n)])
-            enc = self._encode(self.params, jnp.asarray(mels))
+            if enc0 is not None and window_index == 0 and not any(seeks):
+                # detection already encoded every video's window 0 (rows
+                # for inactive too-short videos differ but are never read)
+                enc = enc0
+            else:
+                mels = np.stack([
+                    log_mel_spectrogram(
+                        audios[i][seeks[i]:seeks[i] + N_SAMPLES])
+                    if active(i) else np.zeros(
+                        (80, N_SAMPLES // HOP_LENGTH), np.float32)
+                    for i in range(n)])
+                enc = self._encode(self.params, jnp.asarray(mels))
             temps = np.zeros(n, np.float32)
             accepted: List[Optional[tuple]] = [None] * n
             for ti in range(len(self.temperatures)):
