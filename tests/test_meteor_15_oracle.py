@@ -215,6 +215,63 @@ def test_norm_comma_breaks_chunk_contiguity():
     assert got == pytest.approx(expect, abs=1e-12)
 
 
+def test_align_fewer_chunks_beats_module_weight():
+    # hyp "running runs" vs ref "runs running". Two max-coverage
+    # alignments exist: crossed EXACT matches (running<->running,
+    # runs<->runs -> 2 chunks) or in-place STEM matches
+    # (running~runs, runs~running -> 1 contiguous chunk). The aligner
+    # objective orders chunk minimization BEFORE module weight, so the
+    # stem alignment must win despite its lower weight (.6 < 1.0):
+    #   wp_num = .6*(.75+.75) = .9   wp_den = 1.5   P = R = .6
+    #   chunks = 1, m = 2 -> frag = 1/2
+    got = _score("running runs", "runs running")
+    expect = (1.0 - G * 0.5 ** B) * _fmean(0.6, 0.6)
+    assert got == pytest.approx(expect, abs=1e-12)
+    # the crossed-exact alternative scores differently — the equality
+    # above really does pin the aligner's choice
+    crossed = (1.0 - G * 1.0 ** B) * _fmean(1.0, 1.0)
+    assert abs(expect - crossed) > 1e-3
+
+
+def test_align_duplicate_word_picks_contiguous_occurrence():
+    # hyp "the the cat" vs ref "the cat": ref's single "the" can match
+    # either hyp occurrence (both exact). Matching hyp[1] keeps the
+    # alignment contiguous with cat (1 chunk); matching hyp[0] leaves a
+    # gap (2 chunks). Chunk minimization picks hyp[1]:
+    #   wp_num = .25 + .75 = 1.0   wp_den = .25+.25+.75 = 1.25  P = .8
+    #   wr_num = 1.0               wr_den = 1.0                 R = 1
+    #   chunks = 1, m = 2
+    got = _score("the the cat", "the cat")
+    expect = (1.0 - G * 0.5 ** B) * _fmean(0.8, 1.0)
+    assert got == pytest.approx(expect, abs=1e-12)
+
+
+def test_chunk_breaks_on_reference_side_gap():
+    # hyp "cats dogs" vs ref "cats sleep dogs": the matches are adjacent
+    # on the HYP side but straddle an unmatched ref word — contiguity
+    # requires adjacency on BOTH sides, so this is 2 chunks over m = 2
+    # (frag 1 -> full gamma penalty).
+    #   wp = 1.5/1.5 = 1        wr = 1.5/(.75*3) = 2/3
+    got = _score("cats dogs", "cats sleep dogs")
+    expect = (1.0 - G) * _fmean(1.0, 2.0 / 3.0)
+    assert got == pytest.approx(expect, abs=1e-12)
+
+
+def test_align_coverage_beats_exact_module():
+    # table: "big cat" <-> "lion".  hyp "big cat" vs ref "lion cat".
+    # Option A: phrase match ["big","cat"]~["lion"] covers 3 words but
+    # consumes hyp "cat", forfeiting the exact cat<->cat match (cov 2).
+    # Coverage maximization is the FIRST objective, so A wins even
+    # though B uses the higher-weight exact module:
+    #   wp_num = .6*(.75+.75) = .9    wp_den = 1.5    P = .6
+    #   wr_num = .6*.75 = .45         wr_den = 1.5    R = .3
+    #   hyp_matched 2, ref_matched 1 -> m = 1.5; chunks = 1
+    table = {"big cat": frozenset({"lion"}), "lion": frozenset({"big cat"})}
+    got = _score("big cat", "lion cat", paraphrases=table)
+    expect = (1.0 - G * (1.0 / 1.5) ** B) * _fmean(0.6, 0.3)
+    assert got == pytest.approx(expect, abs=1e-12)
+
+
 def test_default_params_are_the_15_english_task():
     assert (DEFAULT_PARAMS.alpha, DEFAULT_PARAMS.beta, DEFAULT_PARAMS.gamma,
             DEFAULT_PARAMS.delta) == (A, B, G, D)
