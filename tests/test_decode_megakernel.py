@@ -296,3 +296,49 @@ def test_gated_act_mega_parity_and_misaligned_fallback():
     np.testing.assert_array_equal(out, ref)
     ref, out = run(96)   # misaligned dff: falls back, still identical
     np.testing.assert_array_equal(out, ref)
+
+
+def test_mega_skipped_reorder_is_noop(setup):
+    """Regression for the round-4 advisor finding: after a step consumes
+    pending_src (the deferred beam permutation is applied inside the
+    kernel), the returned cache must carry the identity so a caller that
+    skips reorder_cache gets a no-op instead of a stale re-permutation."""
+    from vidchapters_tpu.ops.decoding import reorder_beam_cache
+
+    cfg, model, params, enc_out, enc_mask = setup
+    b0, K = 2, 4
+    rows = b0 * K
+    enc2, mask2 = enc_out[:b0], enc_mask[:b0]
+    ref = make_decode_fns(model, params, MAX_LEN)
+    mega = make_mega_decode_fns(cfg, params, MAX_LEN, num_beams=K,
+                                interpret=True)
+    cache_r = ref.init_cache(rows, enc2)
+    cache_m = mega.init_cache(rows, enc2)
+
+    rng = np.random.default_rng(7)
+    toks = jnp.asarray(rng.integers(2, VOCAB, (rows,)), jnp.int32)
+    lr, cache_r = ref.step(toks, cache_r, jnp.asarray(0), mask2)
+    lm, cache_m = mega.step(toks, cache_m, jnp.asarray(0), mask2)
+    np.testing.assert_allclose(np.asarray(lm), np.asarray(lr),
+                               rtol=2e-4, atol=2e-4)
+
+    # a non-identity within-example beam permutation
+    parent = jnp.asarray(
+        [(i // K) * K + (K - 1 - i % K) for i in range(rows)], jnp.int32)
+    cache_r = reorder_beam_cache(cache_r, parent)
+    cache_m = mega.reorder_cache(cache_m, parent)
+
+    toks2 = jnp.asarray(rng.integers(2, VOCAB, (rows,)), jnp.int32)
+    lr, cache_r = ref.step(toks2, cache_r, jnp.asarray(1), mask2)
+    lm, cache_m = mega.step(toks2, cache_m, jnp.asarray(1), mask2)
+    np.testing.assert_allclose(np.asarray(lm), np.asarray(lr),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_array_equal(np.asarray(cache_m["pending_src"]),
+                                  np.arange(rows))
+
+    # skipped reorder: old bug re-applied the stale permutation here
+    toks3 = jnp.asarray(rng.integers(2, VOCAB, (rows,)), jnp.int32)
+    lr, cache_r = ref.step(toks3, cache_r, jnp.asarray(2), mask2)
+    lm, cache_m = mega.step(toks3, cache_m, jnp.asarray(2), mask2)
+    np.testing.assert_allclose(np.asarray(lm), np.asarray(lr),
+                               rtol=2e-4, atol=2e-4)

@@ -264,3 +264,56 @@ def test_multi_chunk_greedy_and_beam_cross_boundary():
                                    quantize=False)
     mega_tokens = beam_loop(mega_b, mega_b.init_cache(rows, enc))
     np.testing.assert_array_equal(mega_tokens, std_tokens)
+
+
+def test_skipped_reorder_is_noop_after_applied_permutation(setup):
+    """Regression for the round-4 advisor finding: step() consumes
+    pending_src by APPLYING it inside the kernel, so the cache it returns
+    must carry the identity — a caller that skips reorder_cache on a step
+    gets a no-op, not a stale re-permutation of the self caches."""
+    cfg, model, params, enc = setup
+    K = 2
+    b = enc.shape[0]
+    rows = b * K
+    ref = make_decode_fns(model, params, MAX_LEN)
+    mega = make_whisper_mega_fns(cfg, params, MAX_LEN, interpret=True,
+                                 quantize=False)
+    cache_r = ref.init_cache(rows, enc)   # shared per-example cross
+    cache_m = mega.init_cache(rows, enc)  # grouped mega layout
+
+    def ref_perm(cache, parent):
+        def perm(x):
+            return (jnp.take(x, parent, axis=0)
+                    if x.ndim and x.shape[0] == rows else x)
+        return {k: (v if k == "cross"
+                    else jax.tree_util.tree_map(perm, v))
+                for k, v in cache.items()}
+
+    toks = jnp.asarray(np.arange(rows) % 7 + 3, jnp.int32)
+    lr, cache_r = ref.step(toks, cache_r, jnp.asarray(0), None)
+    lm, cache_m = mega.step(toks, cache_m, jnp.asarray(0), None)
+    np.testing.assert_allclose(np.asarray(lm), np.asarray(lr),
+                               atol=2e-4, rtol=2e-4)
+
+    # a non-identity within-example permutation (swap each example's beams)
+    parent = jnp.asarray(
+        [(i // K) * K + (K - 1 - i % K) for i in range(rows)], jnp.int32)
+    cache_r = ref_perm(cache_r, parent)
+    cache_m = mega.reorder_cache(cache_m, parent)
+
+    toks2 = jnp.asarray(np.arange(rows) % 5 + 2, jnp.int32)
+    lr, cache_r = ref.step(toks2, cache_r, jnp.asarray(1), None)
+    lm, cache_m = mega.step(toks2, cache_m, jnp.asarray(1), None)
+    np.testing.assert_allclose(np.asarray(lm), np.asarray(lr),
+                               atol=2e-4, rtol=2e-4)
+    # the permutation was applied in-kernel — pending_src must be identity
+    np.testing.assert_array_equal(np.asarray(cache_m["pending_src"]),
+                                  np.arange(rows))
+
+    # step WITHOUT an intervening reorder_cache: with the old bug the
+    # stale permutation re-applies and the self caches diverge
+    toks3 = jnp.asarray(np.arange(rows) % 9 + 1, jnp.int32)
+    lr, cache_r = ref.step(toks3, cache_r, jnp.asarray(2), None)
+    lm, cache_m = mega.step(toks3, cache_m, jnp.asarray(2), None)
+    np.testing.assert_allclose(np.asarray(lm), np.asarray(lr),
+                               atol=2e-4, rtol=2e-4)
