@@ -359,3 +359,33 @@ def test_rules_off_streams_violate():
         except AssertionError:
             violations += 1
     assert violations > 0
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("kw", [
+    {},                                    # greedy megakernel route
+    {"beam_size": 3},                      # beam megakernel route
+])
+def test_random_mega_decode_streams_wellformed(kw):
+    """The rules filter sits OUTSIDE the step kernel, so the megakernel
+    routes (fused greedy step and grouped beam) must emit the same
+    well-formed timestamp structure as the standard path — asserted
+    directly here rather than inferred from token-identity tests."""
+    from vidchapters_tpu.factory import whisper_transcribe as wt
+
+    old, oldi = wt.USE_MEGA_DECODE, wt.MEGA_INTERPRET
+    try:
+        wt.USE_MEGA_DECODE = True
+        wt.MEGA_INTERPRET = True
+        tr = _tiny_transcriber(language="en",
+                               compression_ratio_threshold=None,
+                               logprob_threshold=None,
+                               no_speech_threshold=None, **kw)
+    finally:
+        wt.USE_MEGA_DECODE, wt.MEGA_INTERPRET = old, oldi
+    assert tr.timestamp_rules
+    rng = np.random.default_rng(5)
+    for seed in range(2):
+        mel = rng.normal(0, 1, (80, 3000)).astype(np.float32)
+        toks, _, _, _ = tr._decode_window(mel, seed)
+        _assert_wellformed(toks)
