@@ -383,6 +383,11 @@ def test_random_mega_decode_streams_wellformed(kw):
                                no_speech_threshold=None, **kw)
     finally:
         wt.USE_MEGA_DECODE, wt.MEGA_INTERPRET = old, oldi
+    # pin the route: mega fns carry an in-kernel reorder_cache, the
+    # standard path's is None — without this the test could silently
+    # degrade to re-testing the standard path if fns construction ever
+    # moves past the flag-restore above
+    assert tr.decode_fns.reorder_cache is not None
     assert tr.timestamp_rules
     rng = np.random.default_rng(5)
     for seed in range(2):

@@ -15,7 +15,11 @@ import jax
 import jax.numpy as jnp
 
 from vidchapters_tpu.models.whisper import Whisper, WhisperConfig
-from vidchapters_tpu.ops.decoding import greedy_decode, make_decode_fns
+from vidchapters_tpu.ops.decoding import (
+    greedy_decode,
+    make_decode_fns,
+    reorder_beam_cache,
+)
 from vidchapters_tpu.ops.whisper_megakernel import (
     gelu_erf,
     make_whisper_mega_fns,
@@ -249,12 +253,9 @@ def test_multi_chunk_greedy_and_beam_cross_boundary():
             if fns.reorder_cache is not None:
                 cache = fns.reorder_cache(cache, parent)
             else:
-                def perm(x):
-                    return (jnp.take(x, parent, axis=0)
-                            if x.ndim and x.shape[0] == rows else x)
-                cache = {k: (v if k == "cross"
-                             else jax.tree_util.tree_map(perm, v))
-                         for k, v in cache.items()}
+                # the production skip rules (ops/decoding.py) — not an
+                # inline copy that could drift from them
+                cache = reorder_beam_cache(cache, parent)
             if i >= 50:  # boundary region only — keep the test fast
                 picked.append(np.asarray(tokens))
         return np.stack(picked)
@@ -281,14 +282,6 @@ def test_skipped_reorder_is_noop_after_applied_permutation(setup):
     cache_r = ref.init_cache(rows, enc)   # shared per-example cross
     cache_m = mega.init_cache(rows, enc)  # grouped mega layout
 
-    def ref_perm(cache, parent):
-        def perm(x):
-            return (jnp.take(x, parent, axis=0)
-                    if x.ndim and x.shape[0] == rows else x)
-        return {k: (v if k == "cross"
-                    else jax.tree_util.tree_map(perm, v))
-                for k, v in cache.items()}
-
     toks = jnp.asarray(np.arange(rows) % 7 + 3, jnp.int32)
     lr, cache_r = ref.step(toks, cache_r, jnp.asarray(0), None)
     lm, cache_m = mega.step(toks, cache_m, jnp.asarray(0), None)
@@ -298,7 +291,7 @@ def test_skipped_reorder_is_noop_after_applied_permutation(setup):
     # a non-identity within-example permutation (swap each example's beams)
     parent = jnp.asarray(
         [(i // K) * K + (K - 1 - i % K) for i in range(rows)], jnp.int32)
-    cache_r = ref_perm(cache_r, parent)
+    cache_r = reorder_beam_cache(cache_r, parent)
     cache_m = mega.reorder_cache(cache_m, parent)
 
     toks2 = jnp.asarray(np.arange(rows) % 5 + 2, jnp.int32)

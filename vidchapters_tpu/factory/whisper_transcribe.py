@@ -280,6 +280,9 @@ class JaxWhisperTranscriber:
                                         interpret=MEGA_INTERPRET)
         else:
             fns = make_decode_fns(model, params, max_decode_len)
+        # exposed so tests/benches can pin which decode route was built
+        # (mega fns carry an in-kernel reorder_cache; standard fns None)
+        self.decode_fns = fns
 
         # openai-whisper style suppression: never emit task/language/sot
         # control tokens or <|notimestamps|> mid-transcription
