@@ -50,6 +50,7 @@ def test_pdvc_eval_only_cli(tmp_path):
     standalone through the real argparse main, (b) eval_mode=test runs
     proposal+caption inference on unlabeled videos from a metadata CSV
     via the fake single-event GT (eval.py:28-35), skipping metrics."""
+    import os
     import subprocess
     import sys
 
@@ -87,7 +88,12 @@ def test_pdvc_eval_only_cli(tmp_path):
                "--features-path", str(feat_dir),
                "--config", str(cfg_path),
                "--save-dir", str(tmp_path / "eval_out"), *extra]
-        r = subprocess.run(cmd, capture_output=True, text=True, timeout=900)
+        # PYTHONPATH pinned to the repo drops the axon sitecustomize so the
+        # fresh interpreter honors JAX_PLATFORMS=cpu instead of leasing the
+        # remote TPU (same pattern as test_dvc_main_eval_load.py)
+        env = dict(os.environ, PYTHONPATH=os.getcwd(), JAX_PLATFORMS="cpu")
+        r = subprocess.run(cmd, capture_output=True, text=True, env=env,
+                           timeout=900)
         assert r.returncode == 0, r.stderr[-2000:]
         return r.stdout
 
